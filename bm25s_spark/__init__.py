@@ -1,0 +1,37 @@
+"""bm25s_spark — a PySpark-native full-text (BM25) analytics engine.
+
+A from-scratch, Spark-first rebuild of the capabilities of the reference
+library ``xhluca/bm25s`` (eager sparse BM25 scoring): per-turn tokenization
+of transcript text via Arrow-vectorized pandas UDFs, posting-list
+construction / merge / compression as DataFrame aggregations, eagerly
+precomputed BM25 impacts for all five variants (robertson, lucene, atire,
+bm25l, bm25+), and distributed top-k retrieval via a doc-sharded
+scatter-gather kernel inside ``mapInPandas``.
+
+The index *is* a set of tables (parquet locally, Iceberg on a cluster):
+``postings`` / ``term_stats`` / ``doc_map`` / ``stats``.  Nothing is ever
+collected to the driver except final ≤k-per-query candidate lists.
+
+Reference behavior parity is documented per-function with file:line
+citations into the reference repo (read-only at ``/root/reference``).
+"""
+
+from bm25s_spark.tokenization import tokenize, make_tokenizer_udf, STOPWORDS_EN
+from bm25s_spark.scoring import METHODS, idf_expr, tfc_expr, nnoc_value
+from bm25s_spark.indexer import SparkBM25, BM25Index
+from bm25s_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "tokenize",
+    "make_tokenizer_udf",
+    "STOPWORDS_EN",
+    "METHODS",
+    "idf_expr",
+    "tfc_expr",
+    "nnoc_value",
+    "SparkBM25",
+    "BM25Index",
+    "get_spark",
+]

@@ -1,0 +1,255 @@
+"""Index construction: the "eager sparse BM25 index" as Spark tables.
+
+The reference builds a CSC sparse matrix of precomputed BM25 impacts
+(``reference/bm25s/__init__.py:326-438``).  Our equivalent index is a set
+of DataFrames/tables:
+
+- ``doc_lens``   (doc_id, dl)                       — per-doc token count
+- ``term_stats`` (term, term_id, df, nnoc_*)        — vocab + doc freq
+- ``postings``   (term, doc_id, tf, dl, impact_*)   — the flat inverted
+  index with **eagerly precomputed float32 impacts for all five variants**
+  (north_star requirement), equivalent to the reference's CSC ``data``/
+  ``indices`` arrays (``reference/bm25s/__init__.py:432-438``)
+- ``stats``      scalars: num_docs, avg_doc_len, k1, b, delta
+
+The build is a pure DataFrame pipeline (SURVEY.md §3.1 lifecycle):
+
+1. tokenize (Arrow pandas UDF, narrow)
+2. ``explode`` → TF per (doc, term) via hash aggregation
+   (reference: per-doc ``Counter``, ``reference/bm25s/scoring.py:238-243``)
+   — doc_id in the grouping key means head terms cause **no** skew here
+3. DF per term via ``count`` (map-side partial aggregation bounds each
+   reducer's input at n_partitions rows per term — no skew)
+   (reference: ``reference/bm25s/scoring.py:28-57``)
+4. join TF × doc_lens × term_stats + the impact column expressions
+   (reference: ``reference/bm25s/scoring.py:246-309``); AQE skew-join
+   splits any head-term stragglers
+
+``k1/b/delta`` are pinned at index time like the reference
+(``reference/bm25s/__init__.py:144-152``); ``method``/``idf_method`` stay
+query-time choices because every variant's impact is stored (and arbitrary
+``method × idf_method`` cross-combinations are recoverable exactly from
+``tf``/``dl``/``df``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bm25s_spark import scoring
+from bm25s_spark.ids import assign_dense_ids, assign_doc_ids
+from bm25s_spark.scoring import (
+    DEFAULT_B,
+    DEFAULT_DELTA,
+    DEFAULT_K1,
+    METHOD_SLUGS,
+    METHODS,
+)
+from bm25s_spark.tokenization import make_tokenizer_udf
+
+
+IMPACT_COLS = {m: f"impact_{METHOD_SLUGS[m]}" for m in METHODS}
+NNOC_COLS = {m: f"nnoc_{METHOD_SLUGS[m]}" for m in scoring.METHODS_REQUIRING_NNOC}
+
+
+@dataclass
+class BM25Index:
+    """Handle to the index tables plus the global scalars."""
+
+    spark: SparkSession
+    postings: DataFrame          # (term, doc_id, tf, dl, impact_* ×5 float32)
+    term_stats: DataFrame        # (term, term_id, df, nnoc_bm25l, nnoc_bm25plus)
+    doc_lens: DataFrame          # (doc_id, dl)
+    doc_map: DataFrame | None    # (doc_id, <original key/payload columns>)
+    num_docs: int
+    avg_doc_len: float
+    k1: float = DEFAULT_K1
+    b: float = DEFAULT_B
+    delta: float = DEFAULT_DELTA
+    tokenizer_kwargs: dict = field(default_factory=dict)
+    sharded: DataFrame | None = None   # blocked layout (see postings_blocks)
+    docs_per_shard: int = 65536
+
+    def persist(self) -> "BM25Index":
+        self.postings = self.postings.persist()
+        self.term_stats = self.term_stats.persist()
+        self.doc_lens = self.doc_lens.persist()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.term_stats, self.doc_lens):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    # ---- query API (delegates) -------------------------------------
+    def retrieve(self, queries_df: DataFrame, k: int = 10, **kw) -> DataFrame:
+        from bm25s_spark.retrieval import retrieve
+
+        return retrieve(self, queries_df, k=k, **kw)
+
+    def get_scores(self, queries_df: DataFrame, **kw) -> DataFrame:
+        from bm25s_spark.retrieval import score_all
+
+        return score_all(self, queries_df, **kw)
+
+    def save(self, path: str, fmt: str = "parquet") -> None:
+        from bm25s_spark.index_io import save_index
+
+        save_index(self, path, fmt=fmt)
+
+
+def build_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str | None = None,
+    order_cols: list[str] | None = None,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    delta: float = DEFAULT_DELTA,
+    stopwords="en",
+    stemmer: str | None = None,
+    token_pattern: str | None = None,
+    empty_fallback: bool = False,
+    keep_doc_map: bool = True,
+) -> BM25Index:
+    """Build the eager BM25 index from a document DataFrame.
+
+    ``doc_id_col``: use an existing integer doc id column; otherwise dense
+    ids are assigned by rank under ``order_cols`` (default
+    ``(conv_id, turn_idx)`` — the transcripts doc-identity rule).
+    """
+    spark = docs.sparkSession
+    tok_kwargs = dict(
+        stopwords=stopwords,
+        stemmer=stemmer,
+        empty_fallback=empty_fallback,
+    )
+    if token_pattern is not None:
+        tok_kwargs["token_pattern"] = token_pattern
+
+    if doc_id_col is not None:
+        base = docs.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    else:
+        base = assign_doc_ids(docs, order_cols)
+
+    udf = make_tokenizer_udf(**tok_kwargs)
+    tokenized = base.select("doc_id", udf(F.col(text_col)).alias("tokens"))
+
+    doc_lens = tokenized.select(
+        "doc_id", F.size("tokens").alias("dl")
+    ).persist()
+
+    # one tiny action for the two global scalars (reference does the same
+    # single pass for avg_doc_len, reference/bm25s/__init__.py:357)
+    agg = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+
+    # TF per (doc, term): reference/bm25s/scoring.py:238-243 (Counter)
+    occurrences = tokenized.select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    tf = occurrences.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    # DF per term: reference/bm25s/scoring.py:28-57
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # vocab with the empty-token patch (reference/bm25s/__init__.py:562-564):
+    # "" joins the vocab (df=0 → contributes nothing, but OOV lookups hit it)
+    empty_row = spark.createDataFrame([("", 0)], "term string, df long")
+    # max() dedups against a real "" term (possible when empty_fallback
+    # inserted "" into documents — its true df>0 wins over the patch's 0)
+    vocab = (
+        dfreq.unionByName(empty_row).groupBy("term").agg(F.max("df").alias("df"))
+    )
+    term_stats = assign_dense_ids(vocab, ["term"], "term_id")
+    for m, col in NNOC_COLS.items():
+        term_stats = term_stats.withColumn(
+            col,
+            F.when(
+                F.col("df") > 0,
+                scoring.nnoc_expr(m, m, F.col("df"), num_docs, avgdl, k1, b, delta),
+            ).otherwise(F.lit(0.0)),
+        )
+    term_stats = term_stats.persist()
+
+    # impacts: reference/bm25s/scoring.py:246-309 — idf*tfc (− nnoc for
+    # bm25l/bm25+), stored float32 to match the reference dtype
+    # (reference/bm25s/scoring.py:265). term_stats is vocab-sized →
+    # broadcast when small; Catalyst/AQE picks the strategy.
+    postings = (
+        tf.join(doc_lens, "doc_id")
+        .join(term_stats.select("term", "term_id", "df"), "term")
+    )
+    for m in METHODS:
+        postings = postings.withColumn(
+            IMPACT_COLS[m],
+            scoring.impact_expr(
+                m, m,
+                F.col("tf"), F.col("dl"), F.col("df"),
+                num_docs, avgdl, k1, b, delta,
+            ).cast("float"),
+        )
+
+    doc_map = base.drop("tokens") if keep_doc_map else None
+
+    return BM25Index(
+        spark=spark,
+        postings=postings,
+        term_stats=term_stats,
+        doc_lens=doc_lens,
+        doc_map=doc_map,
+        num_docs=num_docs,
+        avg_doc_len=avgdl,
+        k1=k1,
+        b=b,
+        delta=delta,
+        tokenizer_kwargs=tok_kwargs,
+    )
+
+
+class SparkBM25:
+    """Facade mirroring the reference's ``BM25`` class API
+    (``reference/bm25s/__init__.py:143-1411``): ``index`` / ``retrieve`` /
+    ``get_scores`` / ``save`` / ``load`` — but over DataFrames."""
+
+    def __init__(
+        self,
+        k1: float = DEFAULT_K1,
+        b: float = DEFAULT_B,
+        delta: float = DEFAULT_DELTA,
+        method: str = "lucene",
+        idf_method: str | None = None,
+    ):
+        if method not in METHODS:
+            raise ValueError(f"Invalid method {method!r}. Choose from {METHODS}.")
+        self.k1, self.b, self.delta = k1, b, delta
+        self.method = method
+        self.idf_method = idf_method or method
+        self.index_: BM25Index | None = None
+
+    def index(self, docs: DataFrame, **kw) -> BM25Index:
+        self.index_ = build_index(
+            docs, k1=self.k1, b=self.b, delta=self.delta, **kw
+        ).persist()
+        return self.index_
+
+    def retrieve(self, queries_df: DataFrame, k: int = 10, **kw) -> DataFrame:
+        assert self.index_ is not None, "call index() first"
+        kw.setdefault("method", self.method)
+        kw.setdefault("idf_method", self.idf_method)
+        return self.index_.retrieve(queries_df, k=k, **kw)
+
+    def get_scores(self, queries_df: DataFrame, **kw) -> DataFrame:
+        assert self.index_ is not None, "call index() first"
+        kw.setdefault("method", self.method)
+        kw.setdefault("idf_method", self.idf_method)
+        return self.index_.get_scores(queries_df, **kw)

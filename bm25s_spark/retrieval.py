@@ -1,0 +1,258 @@
+"""Query-time top-k BM25 retrieval.
+
+Two physical strategies over the same semantics:
+
+1. ``retrieve(..., strategy="join")`` — pure DataFrame plan: broadcast the
+   (tiny) query-term table, inner-join the postings (OOV terms drop out,
+   mirroring ``reference/bm25s/__init__.py:572-579``), hash-aggregate
+   ``sum(mult * impact)`` per (query, doc), window top-k.  Catalyst does
+   partial aggregation map-side, so shuffle volume is bounded by
+   (distinct candidate docs × queries), not postings touched.
+
+2. ``strategy="sharded"`` — the scalable scatter-gather kernel (see
+   ``shards.py``): doc-sharded postings scored per shard with a NumPy
+   scatter-add + local top-k inside ``mapInPandas`` (the distributed twin
+   of the reference's ``np.add.at`` kernel,
+   ``reference/bm25s/__init__.py:272-324``), then a tiny final merge of
+   ``shards × k`` candidates per query.
+
+Reference semantics reproduced exactly:
+- duplicate query terms score multiple times (``get_tokens_ids`` keeps
+  multiplicity, ``reference/bm25s/__init__.py:572-579``) → the ``mult``
+  weight;
+- weight mask multiplies the accumulated scores **before** the
+  nonoccurrence add-back (``reference/bm25s/__init__.py:610-618``) — so
+  the nnoc constant is *not* masked;
+- per-query nonoccurrence add-back ``Σ_t mult(t)·nnoc(t)`` for
+  bm25l/bm25+ (``:614-618``);
+- queries that are empty (or all-OOV) score zero everywhere
+  (``reference/bm25s/__init__.py:653-657``);
+- ``k > num_docs`` raises (``:759-765``);
+- results are always exactly k rows per query: when fewer than k docs
+  match, the remainder is padded with unmatched docs whose score is the
+  query's nnoc constant (for bm25l/+) or 0 — exactly the value every
+  unmatched doc has in the reference's dense score vector.  Tie order
+  within equal scores is doc_id-ascending (the reference's own numpy and
+  numba backends disagree on tie order — SURVEY.md §2.6 — so rank
+  identity is defined on tie groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bm25s_spark import scoring
+from bm25s_spark.indexer import IMPACT_COLS, NNOC_COLS, BM25Index
+from bm25s_spark.scoring import METHODS, METHODS_REQUIRING_NNOC
+from bm25s_spark.tokenization import make_tokenizer_udf
+
+
+def tokenize_queries(index: BM25Index, queries_df: DataFrame,
+                     query_id_col: str = "query_id",
+                     text_col: str = "text") -> DataFrame:
+    """queries(query_id, text) → (query_id, term, mult) using the *same*
+    tokenizer configuration the index was built with (update_vocab=never:
+    unseen terms simply won't join)."""
+    udf = make_tokenizer_udf(**index.tokenizer_kwargs)
+    toks = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(udf(F.col(text_col))).alias("term"),
+    )
+    return toks.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("mult"))
+
+
+def _impact_col(index: BM25Index, method: str, idf_method: str):
+    """Column expression for the effective per-posting impact.
+
+    Standard combos (idf_method == method) read the eagerly-stored float32
+    column; cross combos (e.g. atire+robertson — the rank-bm25 equivalence
+    setting, ``reference/tests/__init__.py:92-98``) recompute exactly from
+    (tf, dl, df), which the flat postings retain.
+    """
+    if idf_method == method:
+        return F.col(IMPACT_COLS[method])
+    return scoring.impact_expr(
+        method, idf_method,
+        F.col("tf"), F.col("dl"), F.col("df"),
+        index.num_docs, index.avg_doc_len,
+        index.k1, index.b, index.delta,
+    ).cast("float")
+
+
+def _nnoc_per_query(index: BM25Index, qterms: DataFrame,
+                    method: str, idf_method: str) -> DataFrame:
+    """(query_id, nnoc_sum): Σ mult(t)·nnoc(t) over in-vocab query terms
+    (``reference/bm25s/__init__.py:614-618`` — note the indexing keeps
+    duplicates, hence the multiplicity weight)."""
+    if method not in METHODS_REQUIRING_NNOC:
+        return qterms.select("query_id").distinct().withColumn(
+            "nnoc_sum", F.lit(0.0)
+        )
+    ts = index.term_stats
+    if idf_method == method:
+        nnoc = F.col(NNOC_COLS[method])
+    else:
+        nnoc = F.when(
+            F.col("df") > 0,
+            scoring.nnoc_expr(
+                method, idf_method, F.col("df"),
+                index.num_docs, index.avg_doc_len,
+                index.k1, index.b, index.delta,
+            ),
+        ).otherwise(F.lit(0.0))
+    joined = qterms.join(ts, "term", "left")  # keep OOV rows: they add 0
+    return joined.groupBy("query_id").agg(
+        F.sum(
+            F.coalesce(F.col("mult") * nnoc, F.lit(0.0))
+        ).alias("nnoc_sum")
+    )
+
+
+def _matched_scores(index: BM25Index, qterms: DataFrame,
+                    method: str, idf_method: str,
+                    weight_mask_df: DataFrame | None) -> DataFrame:
+    """(query_id, doc_id, score) for docs sharing ≥1 term with the query.
+    Scores include mask and nnoc add-back."""
+    impact = _impact_col(index, method, idf_method)
+    joined = F.broadcast(qterms).join(index.postings, "term")
+    matched = joined.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("mult").cast("double") * impact.cast("double")).alias("raw")
+    )
+    if weight_mask_df is not None:
+        matched = matched.join(
+            F.broadcast(weight_mask_df.select("doc_id", F.col("weight").cast("double").alias("_w"))),
+            "doc_id",
+            "left",
+        ).withColumn("raw", F.col("raw") * F.coalesce(F.col("_w"), F.lit(1.0))).drop("_w")
+    nnoc = _nnoc_per_query(index, qterms, method, idf_method)
+    return (
+        matched.join(nnoc, "query_id", "left")
+        .withColumn("score", F.col("raw") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def retrieve(
+    index: BM25Index,
+    queries_df: DataFrame,
+    k: int = 10,
+    method: str = "lucene",
+    idf_method: str | None = None,
+    weight_mask_df: DataFrame | None = None,
+    strategy: str = "join",
+    pad: bool = True,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k retrieval → (query_id, rank, doc_id, score).
+
+    ``weight_mask_df``: optional (doc_id, weight) — missing docs weigh 1.0.
+    """
+    if method not in METHODS:
+        raise ValueError(f"Invalid method {method!r}")
+    idf_method = idf_method or method
+    if k > index.num_docs:
+        raise ValueError(
+            f"k={k} is larger than the number of documents ({index.num_docs})"
+        )
+    if strategy == "sharded":
+        from bm25s_spark.shards import retrieve_sharded
+
+        return retrieve_sharded(
+            index, queries_df, k=k, method=method, idf_method=idf_method,
+            weight_mask_df=weight_mask_df, pad=pad,
+            query_id_col=query_id_col, text_col=text_col,
+        )
+
+    qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
+    scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    topk = (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+    if not pad:
+        return topk
+    # padding needs a count of topk; persist so the scoring job runs once
+    topk = topk.persist()
+    return _pad_to_k(index, queries_df, qterms, topk, k, method, idf_method,
+                     query_id_col)
+
+
+def _pad_to_k(index, queries_df, qterms, topk, k, method, idf_method,
+              query_id_col) -> DataFrame:
+    """Guarantee exactly k rows per query: unmatched docs carry the
+    query's nnoc constant (0 for non-nnoc variants) — the value the
+    reference's dense score vector assigns them.  Padding only ever
+    touches the first ≤k doc_ids (a broadcastable sliver of doc_map)."""
+    spark = index.spark
+    all_q = queries_df.select(F.col(query_id_col).alias("query_id")).distinct()
+    counts = topk.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    need = (
+        all_q.join(counts, "query_id", "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .where(F.col("n") < k)
+    )
+    if need.limit(1).count() == 0:
+        return topk
+    # candidate pool: 2k lowest doc_ids (enough to fill k after excluding
+    # up to k already-matched docs)
+    pool = index.doc_lens.select("doc_id").orderBy("doc_id").limit(2 * k)
+    nnoc = _nnoc_per_query(index, qterms, method, idf_method)
+    cand = (
+        F.broadcast(need.select("query_id")).crossJoin(F.broadcast(pool))
+        .join(topk.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
+        .join(nnoc, "query_id", "left")
+        .withColumn("score", F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
+        .select("query_id", "doc_id", "score")
+    )
+    unioned = topk.select("query_id", "doc_id", "score").unionByName(cand)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        unioned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def score_all(
+    index: BM25Index,
+    queries_df: DataFrame,
+    method: str = "lucene",
+    idf_method: str | None = None,
+    weight_mask_df: DataFrame | None = None,
+    dense: bool = False,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``get_scores`` analog → (query_id, doc_id, score).
+
+    ``dense=True`` emits a row for *every* (query, doc) pair, including
+    zero/nnoc-only scores — the distributed twin of the reference's dense
+    score vector (test-scale tool; at 10^12 docs use ``retrieve``)."""
+    idf_method = idf_method or method
+    qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
+    scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df)
+    if not dense:
+        return scores
+    all_pairs = (
+        queries_df.select(F.col(query_id_col).alias("query_id"))
+        .distinct()
+        .crossJoin(index.doc_lens.select("doc_id"))
+    )
+    nnoc = _nnoc_per_query(index, qterms, method, idf_method)
+    return (
+        all_pairs.join(scores, ["query_id", "doc_id"], "left")
+        .join(nnoc, "query_id", "left")
+        .withColumn(
+            "score",
+            F.coalesce(F.col("score"), F.coalesce(F.col("nnoc_sum"), F.lit(0.0))),
+        )
+        .select("query_id", "doc_id", "score")
+    )

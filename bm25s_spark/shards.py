@@ -1,0 +1,369 @@
+"""Doc-sharded index layout + the scatter-gather query kernel.
+
+This is the piece that makes the engine hold at 10^12 documents.
+
+**Layout.** Postings are grouped by ``(shard_id, term)`` where
+``shard_id = doc_id // docs_per_shard`` — classic document sharding, the
+way every horizontally-scaled search engine partitions its index.  Each
+row holds the term's postings *within one shard* as columnar arrays:
+delta-encoded local doc gaps (``reference`` stores raw int32 ids,
+``reference/bm25s/__init__.py:432-438`` — delta encoding is our
+compression addition) plus one float32 impact array per BM25 variant and
+the per-(shard,term) **max impact** per variant (the block-max metadata
+that enables score-upper-bound pruning at query time).
+
+Doc-sharding also *structurally* bounds term skew: the per-group
+``collect_list`` for even the most frequent term caps at
+``docs_per_shard`` elements, so the Zipf head can never melt a single
+reducer.  (The term-ordered save layout still uses an explicit salted
+two-phase merge — see ``index_io.py``.)
+
+**Query kernel.** Queries are tokenized, joined to ``term_stats``
+(OOV drop), collected into one small broadcast payload
+``{term -> [(query_idx, mult·scale, ...)]}``, then a single
+``mapInPandas`` pass over the sharded postings scores every query against
+every shard: per shard we reconstruct ``term -> (local_ids, impacts)``
+and run a NumPy scatter-add into a dense float32 vector of
+``docs_per_shard`` elements — the *same* kernel as the reference's
+``_compute_relevance_from_scores`` (``reference/bm25s/__init__.py:272-324``,
+``np.add.at`` at ``:318``) but over a bounded doc range — followed by a
+local ``argpartition`` top-k (``reference/bm25s/selection.py:14-37``).
+Each shard emits ≤k candidates per query, so the only shuffle after the
+postings scan is ``n_queries × k × n_shards`` rows; the final exact top-k
+merge re-ranks those candidates with the identical NumPy routine for tie
+parity.
+
+Cross ``method × idf_method`` combos never rescan: stored impact
+``I = idf_m·tfc`` (or ``idf_m·tfc − nnoc_mm`` for bm25l/+) is rescaled
+per *term* with scalars:  ``I' = (I + nnoc_mm)·idf_i/idf_m − nnoc_mi``,
+folded into the broadcast payload as an affine (scale, shift) per
+(query, term).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+from bm25s_spark import scoring
+from bm25s_spark.indexer import IMPACT_COLS, BM25Index
+from bm25s_spark.scoring import METHODS, METHODS_REQUIRING_NNOC, METHOD_SLUGS
+from bm25s_spark.retrieval import tokenize_queries, _nnoc_per_query
+
+
+SHARD_SCHEMA_FIELDS = [
+    StructField("shard_id", LongType(), False),
+    StructField("term_id", LongType(), False),
+    StructField("term", StringType(), False),
+    StructField("df", LongType(), False),
+    StructField("n_postings", IntegerType(), False),
+    StructField("doc_gaps", ArrayType(IntegerType()), False),
+] + [
+    StructField(f"impacts_{METHOD_SLUGS[m]}", ArrayType(FloatType()), False)
+    for m in METHODS
+] + [
+    StructField(f"max_impact_{METHOD_SLUGS[m]}", FloatType(), False)
+    for m in METHODS
+]
+SHARD_SCHEMA = StructType(SHARD_SCHEMA_FIELDS)
+
+
+def _field_getter(field_name: str):
+    """Single-arg lambda factory for F.transform (a two-arg lambda would
+    receive the array index as its second argument)."""
+    return lambda s: s[field_name]
+
+
+def build_sharded_postings(index: BM25Index, docs_per_shard: int | None = None) -> DataFrame:
+    """Flat postings → blocked (shard_id, term) rows with delta-encoded
+    doc gaps and per-variant impact arrays + block maxes.
+
+    One shuffle: ``groupBy(shard_id, term)`` with ``sort_array(collect_list)``
+    — the distributed equivalent of the reference's COO→CSC conversion
+    (``reference/bm25s/scoring.py:371-432``), bounded per group by
+    ``docs_per_shard`` so head terms cannot skew a reducer.
+    """
+    if docs_per_shard is None:
+        docs_per_shard = index.docs_per_shard
+    p = index.postings
+    struct_cols = [F.col("doc_id").cast("long").alias("doc_id")] + [
+        F.col(IMPACT_COLS[m]) for m in METHODS
+    ]
+    grouped = (
+        p.withColumn("shard_id", (F.col("doc_id") / docs_per_shard).cast("long"))
+        .groupBy("shard_id", "term_id", "term", "df")
+        .agg(F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("plist"))
+    )
+    local = F.transform(
+        F.col("plist"), lambda s: (s["doc_id"] % docs_per_shard).cast("int")
+    )
+    gaps = F.transform(
+        local,
+        lambda x, i: F.when(i == 0, x).otherwise(
+            x - F.element_at(local, i)  # element_at is 1-based → previous elem
+        ),
+    )
+    out = grouped.select(
+        "shard_id", "term_id", "term", "df",
+        F.size("plist").cast("int").alias("n_postings"),
+        gaps.alias("doc_gaps"),
+        *[
+            F.transform(F.col("plist"), _field_getter(IMPACT_COLS[m])).alias(
+                f"impacts_{METHOD_SLUGS[m]}"
+            )
+            for m in METHODS
+        ],
+        *[
+            F.array_max(
+                F.transform(F.col("plist"), _field_getter(IMPACT_COLS[m]))
+            ).alias(f"max_impact_{METHOD_SLUGS[m]}")
+            for m in METHODS
+        ],
+    )
+    return out
+
+
+def ensure_sharded(index: BM25Index) -> DataFrame:
+    if index.sharded is None:
+        index.sharded = build_sharded_postings(index).persist()
+    return index.sharded
+
+
+def _query_payload(index: BM25Index, qterms_rows, method: str, idf_method: str):
+    """Driver-side broadcast payload.
+
+    qterms_rows: collected (query_id, term, mult, df) for in-vocab terms.
+    Returns (query_ids ordered list, {term: [(q_idx, scale, shift)]})
+    where effective impact = stored*scale + shift per occurrence, already
+    multiplied by query-term multiplicity.
+    """
+    slug = METHOD_SLUGS[method]
+    query_ids = sorted({r["query_id"] for r in qterms_rows})
+    qidx = {q: i for i, q in enumerate(query_ids)}
+    n, avgdl = index.num_docs, index.avg_doc_len
+    k1, b, delta = index.k1, index.b, index.delta
+    per_term: dict[str, list[tuple[int, float, float]]] = {}
+    for r in qterms_rows:
+        mult = float(r["mult"])
+        df = float(r["df"])
+        if df <= 0:
+            continue  # the "" patch token: no postings, contributes via nnoc only
+        if idf_method == method:
+            scale, shift = 1.0, 0.0
+        else:
+            idf_m = scoring.idf_value(method, df, n)
+            idf_i = scoring.idf_value(idf_method, df, n)
+            nnoc_mm = scoring.nnoc_value(method, method, df, n, avgdl, k1, b, delta)
+            nnoc_mi = scoring.nnoc_value(method, idf_method, df, n, avgdl, k1, b, delta)
+            ratio = (idf_i / idf_m) if idf_m != 0.0 else 0.0
+            scale = ratio
+            shift = nnoc_mm * ratio - nnoc_mi
+        per_term.setdefault(r["term"], []).append(
+            (qidx[r["query_id"]], mult * scale, mult * shift)
+        )
+    return query_ids, per_term, slug
+
+
+def retrieve_sharded(
+    index: BM25Index,
+    queries_df: DataFrame,
+    k: int = 10,
+    method: str = "lucene",
+    idf_method: str | None = None,
+    weight_mask_df: DataFrame | None = None,
+    pad: bool = True,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scatter-gather top-k over the doc-sharded index."""
+    idf_method = idf_method or method
+    if k > index.num_docs:
+        raise ValueError(
+            f"k={k} is larger than the number of documents ({index.num_docs})"
+        )
+    spark = index.spark
+    sharded = ensure_sharded(index)
+    docs_per_shard = index.docs_per_shard
+
+    qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
+    qrows = (
+        qterms.join(index.term_stats.select("term", "df"), "term")
+        .select("query_id", "term", "mult", "df")
+        .collect()
+    )
+    all_query_ids = [
+        r["query_id"]
+        for r in queries_df.select(F.col(query_id_col).alias("query_id")).distinct().collect()
+    ]
+    query_ids, per_term, slug = _query_payload(index, qrows, method, idf_method)
+    bc = spark.sparkContext.broadcast((query_ids, per_term, docs_per_shard, k, slug))
+
+    mask_rows = None
+    if weight_mask_df is not None:
+        mask_rows = {
+            r["doc_id"]: float(r["weight"]) for r in weight_mask_df.collect()
+        }
+    bc_mask = spark.sparkContext.broadcast(mask_rows)
+
+    imp_col = f"impacts_{slug}"
+    needed = sharded.select("shard_id", "term", "doc_gaps", F.col(imp_col).alias("imps"))
+    # only shards containing query terms matter; prune with a broadcast
+    # semi join on term before the scan-heavy kernel
+    terms_df = spark.createDataFrame(
+        [(t,) for t in per_term], "term string"
+    )
+    needed = (
+        needed.join(F.broadcast(terms_df), "term", "left_semi")
+        # co-locate each shard's rows and make them contiguous so the
+        # kernel can stream shard-by-shard across Arrow batch boundaries
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id")
+    )
+
+    out_schema = StructType([
+        StructField("q_idx", IntegerType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ])
+
+    def score_partition(batches):
+        query_ids_l, per_term_l, dps, k_l, _ = bc.value
+        nq = len(query_ids_l)
+        mask = bc_mask.value
+        # per-query term lists within the current shard
+        cur_shard = None
+        cur_rows: list[tuple[str, np.ndarray, np.ndarray]] = []
+
+        def flush(shard_id, rows):
+            """Score one complete shard: NumPy scatter-add per query into a
+            dense float32 vector of the shard's doc range (the reference
+            kernel, bm25s/__init__.py:272-324, bounded per shard), then
+            argpartition local top-k (bm25s/selection.py:14-37)."""
+            if not rows:
+                return None
+            base = shard_id * dps
+            # invert to per-query posting lists once (not per query scan)
+            per_query: list[list] = [[] for _ in range(nq)]
+            for term, gaps, vals in rows:
+                entries = per_term_l.get(term)
+                if not entries:
+                    continue
+                local = np.cumsum(gaps, dtype=np.int64)
+                for e_q, scale, shift in entries:
+                    per_query[e_q].append((local, vals, scale, shift))
+            rows_q, rows_d, rows_s = [], [], []
+            acc = np.zeros(dps, dtype=np.float32)
+            for q_i in range(nq):
+                plists = per_query[q_i]
+                if not plists:
+                    continue
+                acc[:] = 0.0
+                for local, vals, scale, shift in plists:
+                    if scale == 1.0 and shift == 0.0:
+                        acc[local] += vals
+                    else:
+                        acc[local] += vals * np.float32(scale) + np.float32(shift)
+                idx = np.nonzero(acc)[0]
+                if idx.size == 0:
+                    continue
+                sc = acc[idx]
+                if mask:
+                    w = np.array(
+                        [mask.get(base + int(i), 1.0) for i in idx],
+                        dtype=np.float32,
+                    )
+                    sc = sc * w
+                kk = min(k_l, sc.shape[0])
+                if kk < sc.shape[0]:
+                    part = np.argpartition(sc, -kk)[-kk:]
+                else:
+                    part = np.arange(sc.shape[0])
+                rows_q.append(np.full(part.shape[0], q_i, dtype=np.int32))
+                rows_d.append(base + idx[part].astype(np.int64))
+                rows_s.append(sc[part].astype(np.float64))
+            if not rows_q:
+                return None
+            return pd.DataFrame({
+                "q_idx": np.concatenate(rows_q),
+                "doc_id": np.concatenate(rows_d),
+                "score": np.concatenate(rows_s),
+            })
+
+        for pdf in batches:
+            for shard_id, term, gaps, vals in zip(
+                pdf["shard_id"].values, pdf["term"].values,
+                pdf["doc_gaps"].values, pdf["imps"].values,
+            ):
+                if cur_shard is not None and shard_id != cur_shard:
+                    out = flush(int(cur_shard), cur_rows)
+                    if out is not None:
+                        yield out
+                    cur_rows = []
+                cur_shard = shard_id
+                cur_rows.append((
+                    term,
+                    np.asarray(gaps, dtype=np.int64),
+                    np.asarray(vals, dtype=np.float32),
+                ))
+        if cur_shard is not None:
+            out = flush(int(cur_shard), cur_rows)
+            if out is not None:
+                yield out
+
+    candidates = needed.mapInPandas(score_partition, out_schema)
+
+    # final exact merge: ≤ shards×k candidates per query — tiny
+    qid_df = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(query_ids)], "q_idx int, query_id string"
+    )
+    merged = candidates.join(F.broadcast(qid_df), "q_idx").drop("q_idx")
+
+    nnoc = _nnoc_per_query(index, qterms, method, idf_method)
+    merged = (
+        merged.join(F.broadcast(nnoc), "query_id", "left")
+        .withColumn("score", F.col("score") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
+        .drop("nnoc_sum")
+    )
+
+    final_schema = StructType([
+        StructField("query_id", StringType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ])
+
+    def final_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # the reference's numpy top-k routine on the candidate set for tie
+        # parity (reference/bm25s/selection.py:14-37): argpartition then
+        # descending argsort of the k-partition
+        sc = pdf["score"].to_numpy()
+        kk = min(k, sc.shape[0])
+        if kk < sc.shape[0]:
+            part = np.argpartition(sc, -kk)[-kk:]
+        else:
+            part = np.arange(sc.shape[0])
+        order = part[np.argsort(-sc[part], kind="stable")]
+        return pd.DataFrame({
+            "query_id": np.full(kk, key[0]),
+            "rank": np.arange(1, kk + 1, dtype=np.int32),
+            "doc_id": pdf["doc_id"].to_numpy()[order],
+            "score": sc[order],
+        })
+
+    topk = merged.groupBy("query_id").applyInPandas(final_topk, final_schema)
+
+    if not pad:
+        return topk
+    # pad to exactly k rows/query (empty or sparse queries)
+    topk = topk.persist()
+    from bm25s_spark.retrieval import _pad_to_k
+
+    return _pad_to_k(
+        index, queries_df, qterms, topk, k, method, idf_method, query_id_col
+    )

@@ -1,0 +1,155 @@
+"""Arrow-vectorized tokenization with reference-exact semantics.
+
+Pipeline per document (matching the reference's functional tokenizer,
+``reference/bm25s/tokenization.py:566-719``):
+
+1. lowercase the whole string (``:649-650``)
+2. regex ``findall`` with ``(?u)\\b\\w\\w+\\b`` — the sklearn
+   CountVectorizer pattern; drops 1-char tokens (``:638``, ``:152``)
+3. optional empty fallback: an empty token list becomes ``[""]``
+   (functional path quirk: ``allow_empty=False`` *inserts* the empty
+   token, ``:654-655``; the ``Tokenizer`` class inverts the flag,
+   ``:318-319`` — our boolean ``empty_fallback`` names the behavior
+   directly and both reference spellings map onto it)
+4. stopword filter on the **lowercased, unstemmed** token (``:659-661``)
+5. optional stemming applied to unique tokens then remapped (``:675-699``)
+
+Everything runs inside an iterator-of-series pandas UDF: regex compiled
+once per executor task, stemmer instantiated once per task (the C stemmer
+object is not picklable — same constraint the reference hits in
+``reference/examples/tokenize_multiprocess.py:5-8``), stem results memoized
+across batches in a per-task dict (mirrors the reference's ``word_to_stem``
+cache, ``reference/bm25s/tokenization.py:334-339``).
+
+No per-row Python at the DataFrame API level: the UDF receives Arrow
+batches and uses pandas ``str`` ops for the regex scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# The classic Lucene StandardAnalyzer English stopword set (33 words) —
+# public knowledge (org.apache.lucene.analysis.en.EnglishAnalyzer
+# ENGLISH_STOP_WORDS_SET); identical to the reference's default English
+# list semantics (verified by tests against the in-process reference).
+STOPWORDS_EN: frozenset[str] = frozenset(
+    {
+        "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+        "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+        "such", "that", "the", "their", "then", "there", "these", "they",
+        "this", "to", "was", "will", "with",
+    }
+)
+
+DEFAULT_TOKEN_PATTERN = r"(?u)\b\w\w+\b"
+
+
+def resolve_stopwords(stopwords: str | Iterable[str] | None) -> frozenset[str]:
+    """Accepts "en"/"english", an iterable of words, or None/"" (no filtering)."""
+    if stopwords is None:
+        return frozenset()
+    if isinstance(stopwords, str):
+        key = stopwords.lower()
+        if key in ("en", "english"):
+            return STOPWORDS_EN
+        if key in ("", "none"):
+            return frozenset()
+        raise ValueError(
+            f"Unknown stopword set {stopwords!r}; pass an explicit list for "
+            "non-English languages."
+        )
+    return frozenset(stopwords)
+
+
+def load_stemmer(stemmer: str | Callable | None):
+    """Resolve a stemmer spec to a list[str]->list[str] callable, or None.
+
+    Accepts a language name (uses PyStemmer when installed — gated behind
+    import-try since it is not available in every environment), a callable
+    (``stemWords``-style or plain), or None.
+    """
+    if stemmer is None:
+        return None
+    if callable(stemmer):
+        if hasattr(stemmer, "stemWords"):
+            return stemmer.stemWords
+        return stemmer
+    try:
+        import Stemmer  # type: ignore
+
+        return Stemmer.Stemmer(stemmer).stemWords
+    except ImportError as exc:
+        raise ImportError(
+            "PyStemmer is not installed; pass stemmer=None or a callable."
+        ) from exc
+
+
+def make_tokenizer_udf(
+    stopwords: str | Iterable[str] | None = "en",
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+    lower: bool = True,
+    stemmer: str | None = None,
+    empty_fallback: bool = False,
+):
+    """Build the ``text:string -> tokens:array<string>`` pandas UDF.
+
+    ``stemmer`` must be a *spec* (language string or None) — not a live
+    object — so the UDF closure stays picklable; the stemmer is
+    instantiated lazily on each executor task.
+    """
+    sw = resolve_stopwords(stopwords)
+    pattern = token_pattern
+    do_lower = lower
+    fallback = empty_fallback
+    stemmer_spec = stemmer
+
+    def tokenize_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        stem_fn = load_stemmer(stemmer_spec)
+        stem_cache: dict[str, str] = {"": ""}
+
+        def finish(tokens: list[str]) -> list[str]:
+            if fallback and not tokens:
+                tokens = [""]
+            kept = [t for t in tokens if t not in sw]
+            if stem_fn is None:
+                return kept
+            missing = [t for t in set(kept) if t not in stem_cache]
+            if missing:
+                for tok, st in zip(missing, stem_fn(missing)):
+                    stem_cache[tok] = st
+            return [stem_cache[t] for t in kept]
+
+        for series in batches:
+            s = series.fillna("")
+            if do_lower:
+                s = s.str.lower()
+            found = s.str.findall(pattern)
+            yield found.map(finish)
+
+    return F.pandas_udf(tokenize_iter, ArrayType(StringType()))
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    **udf_kwargs,
+) -> DataFrame:
+    """Append a ``tokens`` column; the standalone-tokenizer API
+    (functional ``bm25s.tokenize`` analog, returning a DataFrame)."""
+    udf = make_tokenizer_udf(**udf_kwargs)
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def tokens_to_terms(df: DataFrame, doc_id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """Explode tokens to one row per occurrence: (doc_id, term)."""
+    return df.select(doc_id_col, F.explode_outer(tokens_col).alias("term")).where(
+        F.col("term").isNotNull()
+    )

@@ -1,0 +1,70 @@
+"""The doc-sharded scatter-gather path must agree with both the join
+strategy and the reference, including across shard boundaries and at
+different parallelism levels (determinism)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bm25s_spark.indexer import SparkBM25
+from bm25s_spark.transcripts import queries_for, transcripts_df
+
+from tests.conftest import assert_rank_identical, ref_topk
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def _normalize(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 4))
+        )
+    return {q: sorted(v) for q, v in out.items()}
+
+
+@pytest.mark.parametrize("method", ["lucene", "bm25l"])
+def test_sharded_matches_reference(spark, ref_bm25s, method):
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = [r["text"] for r in tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    queries = queries_for(texts, 25)
+    engine = SparkBM25(method=method)
+    idx = engine.index(tdf)
+    idx.docs_per_shard = 256  # force ~8 shards at 2000 docs
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    ours = _rows(engine.retrieve(qdf, k=10, strategy="sharded"))
+    docs, scores = ref_topk(ref_bm25s, texts, [q[1] for q in queries], 10, method)
+    assert_rank_identical(ours, docs, scores)
+
+
+def test_sharded_equals_join_strategy(spark):
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = [r["text"] for r in tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    queries = queries_for(texts, 20, seed=7)
+    engine = SparkBM25(method="atire", idf_method="robertson")
+    idx = engine.index(tdf)
+    idx.docs_per_shard = 300
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    a = _normalize(_rows(engine.retrieve(qdf, k=8, strategy="join")))
+    b = _normalize(_rows(engine.retrieve(qdf, k=8, strategy="sharded")))
+    assert set(a) == set(b)
+    for q in a:
+        sa = [x[2] for x in a[q]]
+        sb = [x[2] for x in b[q]]
+        assert sa == sb, (q, a[q], b[q])
+
+
+def test_determinism_across_partitions(spark):
+    """Same results whether the corpus arrives in 2 or 8 partitions
+    (FIXTURES.md §5)."""
+    tdf = transcripts_df(spark, "t2")
+    queries = [("q-0", "spark shuffle partition skew"), ("q-1", "telemetry checkpoint")]
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    results = []
+    for nparts in (2, 8):
+        engine = SparkBM25()
+        engine.index(tdf.repartition(nparts))
+        results.append(_normalize(_rows(engine.retrieve(qdf, k=10))))
+    assert results[0] == results[1]
