@@ -182,9 +182,11 @@ def build_index(
     term_stats = term_stats.persist()
 
     # impacts: reference/bm25s/scoring.py:246-309 — idf*tfc (− nnoc for
-    # bm25l/bm25+), stored float32 to match the reference dtype
-    # (reference/bm25s/scoring.py:265). term_stats is vocab-sized →
-    # broadcast when small; Catalyst/AQE picks the strategy.
+    # bm25l/bm25+). Kept at float64 in the flat layout (exact-arithmetic
+    # oracle comparisons); the sharded/saved layout downcasts to float32,
+    # the reference's storage dtype (reference/bm25s/scoring.py:265).
+    # term_stats is vocab-sized → broadcast when small; Catalyst/AQE
+    # picks the strategy.
     postings = (
         tf.join(doc_lens, "doc_id")
         .join(term_stats.select("term", "term_id", "df"), "term")
@@ -196,7 +198,7 @@ def build_index(
                 m, m,
                 F.col("tf"), F.col("dl"), F.col("df"),
                 num_docs, avgdl, k1, b, delta,
-            ).cast("float"),
+            ).cast("double"),
         )
 
     doc_map = base.drop("tokens") if keep_doc_map else None

@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame pipelines (JVM-side expressions; no
+Python in the hot path) designed so every shuffle key is bounded:
+
+- exact:      hash-groupBy on a normalized-text digest
+- ngram-jaccard: shared-shingle candidate generation with a max-df cutoff
+  on shingles (the classic bound that keeps the self-join from exploding
+  on boilerplate shingles), then exact Jaccard on the candidates
+- minhash-LSH: md5-derived hash family → per-band bucket join; only
+  bucket collisions are verified — the standard sub-quadratic near-dup
+  pipeline
+- simhash:    64-bit sign-aggregated token hashes; near-dups = small
+  Hamming distance within bucket
+- embedding near-dup: cosine ≥ threshold via LSH-ish bucketing or
+  brute-force for small sides (see operators/similarity.py)
+
+Determinism: every hash is derived from md5/xxhash of the content —
+stable across runs, partitions, and engines (md5 also exists in DuckDB,
+which the correctness oracle exploits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Lowercase, trim, collapse internal whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per duplicate *group* (≥2 docs with identical normalized
+    text): (digest, canonical_id = min id, n_dupes).  Scale: single hash
+    aggregation on a 32-byte key."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("digest"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .where(F.col("n_dupes") >= 2)
+    )
+
+
+def deduplicate_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc of each exact-duplicate group."""
+    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col)))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of the normalized text."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingle_at = F.transform(
+        idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), shingle_at.alias("sh"))
+        .select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Candidate pairs by shared shingles, then exact Jaccard ≥ threshold.
+
+    ``max_shingle_df`` drops boilerplate shingles (appearing in more than
+    that many docs) before the self-join — the blow-up bound that makes
+    this viable at scale (the pair count of a shingle is df², so one
+    boilerplate shingle at df=10^6 would alone emit 10^12 pairs).
+    Returns (doc_a, doc_b, common, size_a, size_b, jaccard) with
+    doc_a < doc_b.
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .where((F.col("sdf") >= 2) & (F.col("sdf") <= max_shingle_df))
+        .select("shingle")
+    )
+    sh_r = sh.join(rare, "shingle")
+    common = (
+        sh_r.alias("a")
+        .join(sh_r.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def _md5_hash64(col, seed: int):
+    """Deterministic 48-bit integer hash from md5(seed || value) — stable
+    across engines (DuckDB can reproduce it for the oracle; 12 hex chars
+    keep it inside exact double range there)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), col)), 1, 12), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{H-1}): min over shingles of H md5-derived
+    hash functions — the standard MinHash estimator of Jaccard."""
+    sh = word_shingles(df, n, text_col, id_col)
+    aggs = [
+        F.min(_md5_hash64(F.col("shingle"), i)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of ≥1 band become candidate
+    pairs (doc_a < doc_b, with the matching band id).  Sub-quadratic: the
+    join key is (band, band-digest)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"sig_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "band",
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 48) -> DataFrame:
+    """(doc_id, simhash:long) over ``bits`` bits (≤48 so every bit comes
+    from one md5-derived integer)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    h = _md5_hash64(F.col("tok"), 7)
+    votes = toks.select(
+        "doc_id",
+        *[
+            (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    ).groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    packed = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+                for i in range(bits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return packed
+
+
+def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            bits: int = 48, bands: int = 4) -> DataFrame:
+    """Banded simhash join: split the fingerprint into ``bands`` chunks —
+    any pair within ``max_hamming < bands`` distance agrees exactly on ≥1
+    chunk (pigeonhole), so the join key is (band, chunk)."""
+    sig = simhash_signatures(df, text_col, id_col, bits).persist()
+    per = bits // bands
+    mask = (1 << per) - 1
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftright(F.col("simhash"), bi * per).bitwiseAND(F.lit(mask)).alias("chunk"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    pairs = (
+        chunks.alias("a").join(chunks.alias("b"), ["band", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -77,7 +77,7 @@ def _impact_col(index: BM25Index, method: str, idf_method: str):
         F.col("tf"), F.col("dl"), F.col("df"),
         index.num_docs, index.avg_doc_len,
         index.k1, index.b, index.delta,
-    ).cast("float")
+    ).cast("double")
 
 
 def _nnoc_per_query(index: BM25Index, qterms: DataFrame,

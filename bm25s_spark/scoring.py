@@ -165,6 +165,28 @@ def nnoc_value(
     return idf_value(idf_method, df, n_docs) * tfc_value(method, 0.0, avgdl, avgdl, k1, b, delta)
 
 
+def tfc_numpy(method: str, tf, dl, avgdl: float,
+              k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+              delta: float = DEFAULT_DELTA):
+    """Vectorized NumPy twin of :func:`tfc_expr` for the sharded query
+    kernel (exact cross ``method × idf_method`` scoring from stored
+    tf/dl arrays)."""
+    import numpy as np
+
+    _check(method)
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    norm = (1.0 - b) + b * dl / avgdl
+    if method in ("robertson", "lucene"):
+        return tf / (k1 * norm + tf)
+    if method == "atire":
+        return (tf * (k1 + 1.0)) / (tf + k1 * norm)
+    if method == "bm25l":
+        c = tf / norm
+        return ((k1 + 1.0) * (c + delta)) / (k1 + c + delta)
+    return ((k1 + 1.0) * tf) / (k1 * norm + tf) + delta
+
+
 def idf_value(method: str, df: float, n_docs: float) -> float:
     """Scalar IDF (same formulas as :func:`idf_expr`)."""
     _check(method)

@@ -64,6 +64,8 @@ SHARD_SCHEMA_FIELDS = [
     StructField("df", LongType(), False),
     StructField("n_postings", IntegerType(), False),
     StructField("doc_gaps", ArrayType(IntegerType()), False),
+    StructField("tfs", ArrayType(IntegerType()), False),
+    StructField("dls", ArrayType(IntegerType()), False),
 ] + [
     StructField(f"impacts_{METHOD_SLUGS[m]}", ArrayType(FloatType()), False)
     for m in METHODS
@@ -76,7 +78,13 @@ SHARD_SCHEMA = StructType(SHARD_SCHEMA_FIELDS)
 
 def _field_getter(field_name: str):
     """Single-arg lambda factory for F.transform (a two-arg lambda would
-    receive the array index as its second argument)."""
+    receive the array index as its second argument). Downcasts impacts to
+    float32 — the sharded/saved layout uses the reference's storage dtype
+    (reference/bm25s/scoring.py:265)."""
+    return lambda s: s[field_name].cast("float")
+
+
+def _field_getter_raw(field_name: str):
     return lambda s: s[field_name]
 
 
@@ -92,8 +100,14 @@ def build_sharded_postings(index: BM25Index, docs_per_shard: int | None = None) 
     if docs_per_shard is None:
         docs_per_shard = index.docs_per_shard
     p = index.postings
+    # float32 before the shuffle: halves collect_list bytes and matches
+    # the reference's storage dtype; tf/dl ride along as small ints so any
+    # method × idf_method cross-combination stays exactly computable
     struct_cols = [F.col("doc_id").cast("long").alias("doc_id")] + [
-        F.col(IMPACT_COLS[m]) for m in METHODS
+        F.col(IMPACT_COLS[m]).cast("float").alias(IMPACT_COLS[m]) for m in METHODS
+    ] + [
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
     ]
     grouped = (
         p.withColumn("shard_id", (F.col("doc_id") / docs_per_shard).cast("long"))
@@ -113,6 +127,8 @@ def build_sharded_postings(index: BM25Index, docs_per_shard: int | None = None) 
         "shard_id", "term_id", "term", "df",
         F.size("plist").cast("int").alias("n_postings"),
         gaps.alias("doc_gaps"),
+        F.transform(F.col("plist"), _field_getter_raw("tf")).alias("tfs"),
+        F.transform(F.col("plist"), _field_getter_raw("dl")).alias("dls"),
         *[
             F.transform(F.col("plist"), _field_getter(IMPACT_COLS[m])).alias(
                 f"impacts_{METHOD_SLUGS[m]}"
@@ -139,35 +155,38 @@ def _query_payload(index: BM25Index, qterms_rows, method: str, idf_method: str):
     """Driver-side broadcast payload.
 
     qterms_rows: collected (query_id, term, mult, df) for in-vocab terms.
-    Returns (query_ids ordered list, {term: [(q_idx, scale, shift)]})
-    where effective impact = stored*scale + shift per occurrence, already
-    multiplied by query-term multiplicity.
+    Returns (ordered query ids, {term: [(q_idx, mult)]}, {term:
+    cross_info}).  ``cross_info`` is None for the standard combos (the
+    stored eager impact is used verbatim); for ``idf_method != method``
+    it carries ``(idf_i, nnoc_mi)`` so the kernel recomputes the exact
+    impact ``idf_i·tfc_m(tf, dl) − nnoc_mi`` from the stored tf/dl arrays
+    (no rescale approximation — robust even when the stored variant's idf
+    is zero, e.g. robertson's clamp or atire with df=N).
     """
     slug = METHOD_SLUGS[method]
     query_ids = sorted({r["query_id"] for r in qterms_rows})
     qidx = {q: i for i, q in enumerate(query_ids)}
     n, avgdl = index.num_docs, index.avg_doc_len
     k1, b, delta = index.k1, index.b, index.delta
-    per_term: dict[str, list[tuple[int, float, float]]] = {}
+    per_term: dict[str, list[tuple[int, float]]] = {}
+    cross: dict[str, tuple[float, float] | None] = {}
     for r in qterms_rows:
         mult = float(r["mult"])
         df = float(r["df"])
         if df <= 0:
             continue  # the "" patch token: no postings, contributes via nnoc only
-        if idf_method == method:
-            scale, shift = 1.0, 0.0
-        else:
-            idf_m = scoring.idf_value(method, df, n)
-            idf_i = scoring.idf_value(idf_method, df, n)
-            nnoc_mm = scoring.nnoc_value(method, method, df, n, avgdl, k1, b, delta)
-            nnoc_mi = scoring.nnoc_value(method, idf_method, df, n, avgdl, k1, b, delta)
-            ratio = (idf_i / idf_m) if idf_m != 0.0 else 0.0
-            scale = ratio
-            shift = nnoc_mm * ratio - nnoc_mi
-        per_term.setdefault(r["term"], []).append(
-            (qidx[r["query_id"]], mult * scale, mult * shift)
-        )
-    return query_ids, per_term, slug
+        term = r["term"]
+        if term not in cross:
+            if idf_method == method:
+                cross[term] = None
+            else:
+                idf_i = scoring.idf_value(idf_method, df, n)
+                nnoc_mi = scoring.nnoc_value(
+                    method, idf_method, df, n, avgdl, k1, b, delta
+                )
+                cross[term] = (idf_i, nnoc_mi)
+        per_term.setdefault(term, []).append((qidx[r["query_id"]], mult))
+    return query_ids, per_term, cross, slug
 
 
 def retrieve_sharded(
@@ -201,8 +220,12 @@ def retrieve_sharded(
         r["query_id"]
         for r in queries_df.select(F.col(query_id_col).alias("query_id")).distinct().collect()
     ]
-    query_ids, per_term, slug = _query_payload(index, qrows, method, idf_method)
-    bc = spark.sparkContext.broadcast((query_ids, per_term, docs_per_shard, k, slug))
+    query_ids, per_term, cross, slug = _query_payload(index, qrows, method, idf_method)
+    is_cross = idf_method != method
+    bc = spark.sparkContext.broadcast(
+        (query_ids, per_term, cross, docs_per_shard, k,
+         (method, index.avg_doc_len, index.k1, index.b, index.delta), is_cross)
+    )
 
     mask_rows = None
     if weight_mask_df is not None:
@@ -212,7 +235,18 @@ def retrieve_sharded(
     bc_mask = spark.sparkContext.broadcast(mask_rows)
 
     imp_col = f"impacts_{slug}"
-    needed = sharded.select("shard_id", "term", "doc_gaps", F.col(imp_col).alias("imps"))
+    if is_cross:
+        needed = sharded.select(
+            "shard_id", "term", "doc_gaps", "tfs", "dls",
+            F.col(imp_col).alias("imps"),
+        )
+    else:
+        needed = sharded.select(
+            "shard_id", "term", "doc_gaps",
+            F.lit(None).cast("array<int>").alias("tfs"),
+            F.lit(None).cast("array<int>").alias("dls"),
+            F.col(imp_col).alias("imps"),
+        )
     # only shards containing query terms matter; prune with a broadcast
     # semi join on term before the scan-heavy kernel
     terms_df = spark.createDataFrame(
@@ -233,7 +267,8 @@ def retrieve_sharded(
     ])
 
     def score_partition(batches):
-        query_ids_l, per_term_l, dps, k_l, _ = bc.value
+        (query_ids_l, per_term_l, cross_l, dps, k_l,
+         (method_l, avgdl_l, k1_l, b_l, delta_l), is_cross_l) = bc.value
         nq = len(query_ids_l)
         mask = bc_mask.value
         # per-query term lists within the current shard
@@ -250,13 +285,24 @@ def retrieve_sharded(
             base = shard_id * dps
             # invert to per-query posting lists once (not per query scan)
             per_query: list[list] = [[] for _ in range(nq)]
-            for term, gaps, vals in rows:
+            for term, gaps, vals, tfs, dls in rows:
                 entries = per_term_l.get(term)
                 if not entries:
                     continue
                 local = np.cumsum(gaps, dtype=np.int64)
-                for e_q, scale, shift in entries:
-                    per_query[e_q].append((local, vals, scale, shift))
+                info = cross_l.get(term)
+                if info is not None:
+                    # exact cross method×idf_method impact from tf/dl
+                    idf_i, nnoc_mi = info
+                    vals = (
+                        idf_i
+                        * scoring.tfc_numpy(
+                            method_l, tfs, dls, avgdl_l, k1_l, b_l, delta_l
+                        )
+                        - nnoc_mi
+                    ).astype(np.float32)
+                for e_q, mult in entries:
+                    per_query[e_q].append((local, vals, mult))
             rows_q, rows_d, rows_s = [], [], []
             acc = np.zeros(dps, dtype=np.float32)
             for q_i in range(nq):
@@ -264,11 +310,11 @@ def retrieve_sharded(
                 if not plists:
                     continue
                 acc[:] = 0.0
-                for local, vals, scale, shift in plists:
-                    if scale == 1.0 and shift == 0.0:
+                for local, vals, mult in plists:
+                    if mult == 1.0:
                         acc[local] += vals
                     else:
-                        acc[local] += vals * np.float32(scale) + np.float32(shift)
+                        acc[local] += vals * np.float32(mult)
                 idx = np.nonzero(acc)[0]
                 if idx.size == 0:
                     continue
@@ -296,9 +342,10 @@ def retrieve_sharded(
             })
 
         for pdf in batches:
-            for shard_id, term, gaps, vals in zip(
+            for shard_id, term, gaps, vals, tfs, dls in zip(
                 pdf["shard_id"].values, pdf["term"].values,
                 pdf["doc_gaps"].values, pdf["imps"].values,
+                pdf["tfs"].values, pdf["dls"].values,
             ):
                 if cur_shard is not None and shard_id != cur_shard:
                     out = flush(int(cur_shard), cur_rows)
@@ -310,6 +357,8 @@ def retrieve_sharded(
                     term,
                     np.asarray(gaps, dtype=np.int64),
                     np.asarray(vals, dtype=np.float32),
+                    None if tfs is None else np.asarray(tfs, dtype=np.int64),
+                    None if dls is None else np.asarray(dls, dtype=np.int64),
                 ))
         if cur_shard is not None:
             out = flush(int(cur_shard), cur_rows)

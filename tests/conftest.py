@@ -56,6 +56,21 @@ def ref_topk(ref_bm25s, corpus_texts, query_texts, k, method="lucene",
     return docs, scores
 
 
+def rows_to_arrays(rows):
+    """(query_id, rank, doc_id, score) rows → (docs, scores) arrays in
+    sorted-query order, for feeding a result set as the 'reference' side
+    of assert_rank_identical."""
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    docs, scores = [], []
+    for q in sorted(by_q):
+        rs = sorted(by_q[q], key=lambda r: r["rank"])
+        docs.append([r["doc_id"] for r in rs])
+        scores.append([r["score"] for r in rs])
+    return docs, scores
+
+
 def assert_rank_identical(ours_rows, ref_docs, ref_scores, rtol=1e-4, atol=1e-5):
     """Compare our (query_id, rank, doc_id, score) rows against the
     reference's (docs, scores) arrays.

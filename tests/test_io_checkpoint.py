@@ -1,0 +1,105 @@
+"""Save/load round-trip parity (reference/tests/core/test_save_load.py
+analog) and checkpoint/resume identity."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from bm25s_spark.checkpoint import build_index_checkpointed
+from bm25s_spark.index_io import load_index, save_index
+from bm25s_spark.indexer import SparkBM25
+from bm25s_spark.transcripts import queries_for, transcripts_df
+
+from tests.conftest import assert_rank_identical, rows_to_arrays
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def _tie_aware_equal(rows_a, rows_b):
+    """Rank identity at tie-group granularity (float32 round-trips may
+    flip equal-score orders, incl. at the k boundary)."""
+    docs, scores = rows_to_arrays(rows_b)
+    assert_rank_identical(rows_a, docs, scores, rtol=1e-4, atol=1e-4)
+
+
+def _normalize(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 4))
+        )
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = [r["text"] for r in tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    queries = queries_for(texts, 12, seed=5)
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+
+    engine = SparkBM25(method="lucene")
+    idx = engine.index(tdf)
+    idx.docs_per_shard = 512
+    before_join = _rows(idx.retrieve(qdf, k=8, method="bm25l"))
+    path = str(tmp_path / "index")
+    save_index(idx, path)
+
+    loaded = load_index(spark, path)
+    assert loaded.num_docs == idx.num_docs
+    assert abs(loaded.avg_doc_len - idx.avg_doc_len) < 1e-9
+    after_sharded = _rows(loaded.retrieve(qdf, k=8, method="bm25l", strategy="sharded"))
+    after_join = _rows(loaded.retrieve(qdf, k=8, method="bm25l", strategy="join"))
+    _tie_aware_equal(after_sharded, before_join)
+    _tie_aware_equal(after_join, before_join)
+    # cross idf combo works on a loaded index (tf/dl survive the round trip)
+    cross = _rows(loaded.retrieve(qdf, k=5, method="atire", idf_method="lucene"))
+    cross_orig = _rows(idx.retrieve(qdf, k=5, method="atire", idf_method="lucene"))
+    _tie_aware_equal(cross, cross_orig)
+    # params + layout files exist
+    assert os.path.exists(os.path.join(path, "params.json"))
+    assert os.path.isdir(os.path.join(path, "postings_terms"))
+
+
+def test_checkpoint_resume_identity(spark, tmp_path):
+    tdf = transcripts_df(spark, "t2")
+    queries = queries_for(
+        [r["text"] for r in tdf.orderBy("conv_id", "turn_idx").select("text").collect()],
+        8, seed=9,
+    )
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    ckdir = str(tmp_path / "ck")
+
+    idx1, ck1 = build_index_checkpointed(tdf, ckdir, corpus_tag="t2", docs_per_shard=512)
+    r1 = _normalize(idx1.retrieve(qdf, k=6))
+    assert all(not s.resumed for s in ck1.log)
+    # manifests carry per-file lineage + metrics
+    m = json.load(open(os.path.join(ckdir, "tokenized", "_MANIFEST.json")))
+    assert m["metrics"]["docs_tokenized"] == 2000
+    assert m["rows"] == sum(f["rows"] for f in m["files"]) and len(m["files"]) >= 1
+    m2 = json.load(open(os.path.join(ckdir, "postings", "_MANIFEST.json")))
+    assert m2["metrics"]["postings_emitted"] > 0
+
+    # full resume: every stage is read back, nothing recomputed
+    idx2, ck2 = build_index_checkpointed(tdf, ckdir, corpus_tag="t2", docs_per_shard=512)
+    assert all(s.resumed for s in ck2.log)
+    assert _normalize(idx2.retrieve(qdf, k=6)) == r1
+
+    # kill-after-stage-N: wipe the last two stages, resume recomputes only them
+    shutil.rmtree(os.path.join(ckdir, "postings"))
+    shutil.rmtree(os.path.join(ckdir, "sharded"))
+    idx3, ck3 = build_index_checkpointed(tdf, ckdir, corpus_tag="t2", docs_per_shard=512)
+    resumed = {s.name: s.resumed for s in ck3.log}
+    assert resumed == {
+        "doc_ids": True, "tokenized": True, "tf": True,
+        "term_stats": True, "postings": False, "sharded": False,
+    }
+    assert _normalize(idx3.retrieve(qdf, k=6)) == r1
+    # changed params → different fingerprint → full rebuild
+    idx4, ck4 = build_index_checkpointed(
+        tdf, ckdir, corpus_tag="t2", docs_per_shard=512, k1=1.2
+    )
+    assert all(not s.resumed for s in ck4.log)
