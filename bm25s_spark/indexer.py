@@ -138,7 +138,14 @@ def build_index(
         base = assign_doc_ids(docs, order_cols)
 
     udf = make_tokenizer_udf(**tok_kwargs)
-    tokenized = base.select("doc_id", udf(F.col(text_col)).alias("tokens"))
+    # persist: tokenization (the one Python stage) must run exactly once
+    # even though three downstream branches (stats, TF, DF) consume it;
+    # the checkpointed builder materializes this stage as a table instead
+    from pyspark.storagelevel import StorageLevel
+
+    tokenized = base.select(
+        "doc_id", udf(F.col(text_col)).alias("tokens")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     doc_lens = tokenized.select(
         "doc_id", F.size("tokens").alias("dl")

@@ -57,15 +57,23 @@ def deduplicate_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams of the normalized text."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    """(doc_id, shingle) — distinct word n-grams of the normalized text.
+
+    The token array is projected to a column first: slicing an *inline*
+    split-expression inside the transform lambda would re-evaluate the
+    split per element (O(len²) per doc); slicing the materialized column
+    is O(n) per shingle."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
     idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingle_at = F.transform(
         idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), shingle_at.alias("sh"))
-        .select("doc_id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(shingle_at)).alias("shingle")
     )
 
 

@@ -100,7 +100,8 @@ def lsh_knn(
     emb_df: DataFrame,
     query_df: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     multiprobe: int = 1,
     id_col: str = "vec_id",
@@ -108,31 +109,55 @@ def lsh_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k.  Corpus vectors are bucketed once by
-    sign-bit LSH; each query probes its own bucket plus all buckets at
-    Hamming distance ≤ ``multiprobe`` (flip i bits), and candidates are
-    re-scored exactly.  Deterministic for a fixed seed."""
+    """Approximate cosine top-k: ``n_tables`` independent sign-bit hash
+    tables (the standard recall lever — one table's bucketing is too
+    selective on unclustered data); each query probes its bucket in every
+    table plus all single-bit flips (``multiprobe=1``).  Candidates from
+    any table are unioned and re-scored exactly.  Deterministic for a
+    fixed seed.  Scale: corpus is hashed once per table (narrow), the
+    join key is (table, bucket) and each probe touches ~corpus/2^planes
+    rows."""
     dim = len(emb_df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
     c = emb_df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("bucket", _bucket_expr(F.col("cvec"), planes))
-    q = query_df.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
-    ).withColumn("bucket0", _bucket_expr(F.col("qvec"), planes))
-    # probe set: bucket0 and single-bit flips (multiprobe=1)
-    probes = [F.col("bucket0")]
-    if multiprobe >= 1:
-        probes += [
-            F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-        ]
-    q = q.select(
-        "query_id", "qvec", F.explode(F.array(*probes)).alias("bucket")
     )
-    cand = F.broadcast(q).join(c, "bucket").withColumn(
-        "cosine",
-        (_dot(F.col("qvec"), F.col("cvec"))
-         / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
+    q0 = query_df.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    c_tables, q_tables = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_tables.append(
+            c.withColumn("bucket", _bucket_expr(F.col("cvec"), planes))
+            .withColumn("table", F.lit(t))
+        )
+        qt = q0.withColumn("bucket0", _bucket_expr(F.col("qvec"), planes))
+        probes = [F.col("bucket0")]
+        if multiprobe >= 1:
+            probes += [
+                F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+            ]
+        q_tables.append(
+            qt.select(
+                "query_id", "qvec",
+                F.explode(F.array(*probes)).alias("bucket"),
+            ).withColumn("table", F.lit(t))
+        )
+    c_all = c_tables[0]
+    for x in c_tables[1:]:
+        c_all = c_all.unionByName(x)
+    q_all = q_tables[0]
+    for x in q_tables[1:]:
+        q_all = q_all.unionByName(x)
+    cand = (
+        F.broadcast(q_all).join(c_all, ["table", "bucket"])
+        .select("query_id", "qvec", "vec_id", "cvec")
+        .dropDuplicates(["query_id", "vec_id"])  # pairs can collide in several tables
+        .withColumn(
+            "cosine",
+            (_dot(F.col("qvec"), F.col("cvec"))
+             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

@@ -117,12 +117,13 @@ def build_sharded_postings(index: BM25Index, docs_per_shard: int | None = None) 
     local = F.transform(
         F.col("plist"), lambda s: (s["doc_id"] % docs_per_shard).cast("int")
     )
-    gaps = F.transform(
-        local,
-        lambda x, i: F.when(i == 0, x).otherwise(
-            x - F.element_at(local, i)  # element_at is 1-based → previous elem
-        ),
+    # delta encode via shift+zip: O(n) per list (an element_at(local, i)
+    # inside the lambda would re-evaluate the whole array per element →
+    # O(n²) on head-term lists)
+    shifted = F.concat(
+        F.array(F.lit(0)), F.slice(local, 1, F.greatest(F.size(local) - 1, F.lit(0)))
     )
+    gaps = F.zip_with(local, shifted, lambda a, b: a - b)
     out = grouped.select(
         "shard_id", "term_id", "term", "df",
         F.size("plist").cast("int").alias("n_postings"),

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: batched top-k retrieval from a saved index.
+
+    spark-submit --py-files bm25s_spark.zip scripts/query.py \
+        --index <index dir> --queries <parquet|inline text> --k 10 \
+        [--method lucene] [--idf-method lucene] [--strategy sharded] \
+        [--output results.parquet]
+
+Queries: a parquet path with (query_id, text), or ``--text "..."`` for a
+one-off query.  Results print as JSON lines (query_id, rank, doc_id,
+score) or write to --output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--text", default=None, help="single inline query")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--method", default="lucene")
+    ap.add_argument("--idf-method", default=None)
+    ap.add_argument("--strategy", default="sharded", choices=["join", "sharded"])
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args(argv)
+    if not args.queries and not args.text:
+        ap.error("need --queries or --text")
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("bm25s_spark-query").getOrCreate()
+    from bm25s_spark.index_io import load_index
+
+    index = load_index(spark, args.index)
+    if args.queries:
+        qdf = spark.read.parquet(args.queries)
+    else:
+        qdf = spark.createDataFrame(
+            [("q-0", args.text)], "query_id string, text string"
+        )
+    res = index.retrieve(
+        qdf, k=args.k, method=args.method, idf_method=args.idf_method,
+        strategy=args.strategy,
+    )
+    if args.output:
+        res.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output}))
+    else:
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps(
+                {"query_id": r["query_id"], "rank": r["rank"],
+                 "doc_id": r["doc_id"], "score": r["score"]}
+            ))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,175 @@
+"""Behavioral tests for the training-pipeline operators (dedup,
+similarity, text analysis, multimodal plumbing, incremental indexing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25s_spark.operators import dedup, similarity
+from bm25s_spark.functions.text import (
+    with_fingerprint, with_lang_id, with_quality, with_token_stats,
+)
+from bm25s_spark import multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "The  quick  brown fox jumps over the lazy dog"),        # ws/case dup of 0
+        (3, "the quick brown fox jumps over the sleepy dog"),        # near dup
+        (4, "completely different content about spark shuffles"),
+        (5, "der hund und die katze sind nicht da"),                 # German
+        (6, "le chat est dans la maison pour une heure"),            # French
+        (7, ""),                                                     # empty
+        (8, "spark spark spark spark spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["canonical_id"] == 0 and g["n_dupes"] == 3
+    kept = dedup.deduplicate_exact(docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 3, 4, 5, 6, 7, 8]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert 0.3 <= pairs[(0, 3)] < 1.0   # near-dup shares most shingles
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_candidates(docs, 16, 4).collect()}
+    assert (0, 1) in cand and (0, 2) in cand  # identical text always collides
+    assert (0, 3) in cand                      # near dup: ≥1 band agrees
+    pairs_04 = {(a, b) for a, b in cand if 4 in (a, b)}
+    assert not pairs_04                        # unrelated docs don't collide
+
+
+def test_simhash_near_dups(spark, docs):
+    sig = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_signatures(docs, bits=48).collect()}
+    assert sig[0] == sig[1] == sig[2]
+    ham03 = bin(sig[0] ^ sig[3]).count("1")
+    ham04 = bin(sig[0] ^ sig[4]).count("1")
+    assert ham03 < ham04
+    near = {(r["doc_a"], r["doc_b"]) for r in
+            dedup.simhash_near_duplicates(docs, max_hamming=ham03).collect()}
+    assert (0, 3) in near
+
+
+def test_lsh_knn_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_knn(emb, qv, k=5)
+    approx = similarity.lsh_knn(emb, qv, k=5, n_planes=8, multiprobe=1)
+    b = {}
+    for r in brute.collect():
+        b.setdefault(r["query_id"], set()).add(r["vec_id"])
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(q, set()) & b[q]) / len(b[q]) for q in b]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # rank 1 must be the vector itself (cosine 1.0) in both
+    for r in brute.collect():
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+
+
+def test_text_functions(spark, docs):
+    stats = {r["doc_id"]: r for r in with_token_stats(docs).collect()}
+    assert stats[0]["n_ws_tokens"] == 9
+    assert stats[7]["n_ws_tokens"] == 0
+    q = {r["doc_id"]: r for r in with_quality(docs).collect()}
+    assert q[0]["stopword_ratio"] > 0.2
+    assert q[8]["stopword_ratio"] == 0.0
+    assert 0.0 <= q[0]["quality_score"] <= 1.0
+    lang = {r["doc_id"]: r["lang_guess"] for r in with_lang_id(docs).collect()}
+    assert lang[0] == "en" and lang[5] == "de" and lang[6] == "fr"
+    assert lang[7] == "unk"
+    fp = {r["doc_id"]: r for r in with_fingerprint(docs).collect()}
+    assert fp[0]["fp_md5"] == fp[1]["fp_md5"] == fp[2]["fp_md5"]
+    assert fp[0]["fp_md5"] != fp[3]["fp_md5"]
+    assert fp[0]["fp_head"] == fp[3]["fp_head"]  # same first-5-token prefix
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.extract_features(media, dim=16).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic: same payload → same digest/feature across runs
+    feats2 = {r["media_id"]: r for r in
+              multimodal.extract_features(media, dim=16).collect()}
+    assert by_id[0]["digest"] == feats2[0]["digest"]
+    assert by_id[0]["feature"] == feats2[0]["feature"]
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    rows = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 2 for r in rows)
+    # executors wrap the stub's NotImplementedError in a PythonException
+    with pytest.raises(Exception, match="stubbed in this environment"):
+        multimodal.extract_features(media, decoder="librosa").collect()
+
+
+def test_incremental_indexer(spark, tmp_path, ref_bm25s):
+    """Two micro-batches ingested incrementally == one batch build, and
+    matches the reference oracle on the full corpus."""
+    from bm25s_spark.streaming.incremental import IncrementalIndexer
+    from bm25s_spark.transcripts import ANIMAL_CORPUS
+    from tests.conftest import assert_rank_identical, ref_topk
+
+    rows = [(f"conv-{i:06d}", 0, "user", t, "", None) for i, t in enumerate(ANIMAL_CORPUS)]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    inc = IncrementalIndexer(spark, str(tmp_path / "inc"))
+    inc.process_batch(spark.createDataFrame(rows[:2], schema), 0)
+    inc.process_batch(spark.createDataFrame(rows[2:], schema), 1)
+    idx = inc.to_index()
+    assert idx.num_docs == 4
+    qdf = spark.createDataFrame(
+        [("q-0000", "a cat is a feline, it's sometimes beautiful but cannot fly")],
+        "query_id string, text string",
+    )
+    ours = [r.asDict() for r in idx.retrieve(qdf, k=2).collect()]
+    docs_r, scores_r = ref_topk(ref_bm25s, ANIMAL_CORPUS, [qdf.collect()[0]["text"]], 2)
+    assert_rank_identical(ours, docs_r, scores_r)
+
+
+def test_incremental_vocab_modes(spark, tmp_path):
+    from bm25s_spark.streaming.incremental import IncrementalIndexer
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [("c0", 0, "user", "alpha beta gamma", "", None)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("c1", 0, "user", "beta delta epsilon", "", None)], schema
+    )
+    # update_vocab=never: batch-2 terms outside batch-1 vocab are dropped
+    inc = IncrementalIndexer(spark, str(tmp_path / "nv"), update_vocab="never")
+    inc.process_batch(b1, 0)
+    inc.process_batch(b2, 1)
+    vocab = {r["term"] for r in inc.vocab().collect()}
+    assert vocab == {"alpha", "beta", "gamma"}
+    terms = {r["term"] for r in
+             spark.read.parquet(str(tmp_path / "nv" / "raw_postings")).collect()}
+    assert "delta" not in terms and "beta" in terms
+    # update_vocab=True: vocab grows
+    inc2 = IncrementalIndexer(spark, str(tmp_path / "uv"), update_vocab=True)
+    inc2.process_batch(b1, 0)
+    inc2.process_batch(b2, 1)
+    vocab2 = {r["term"] for r in inc2.vocab().collect()}
+    assert {"alpha", "beta", "gamma", "delta", "epsilon"} <= vocab2
