@@ -1,0 +1,70 @@
+"""BEIR-style retrieval evaluation (driver-side, on collected top-k).
+
+The reference evaluates with pytrec_eval over dict-shaped results
+(``reference/bm25s/utils/beir.py:334-401``).  We keep the same
+result/qrels shapes but compute NDCG@k / Recall@k / Precision@k / MAP@k
+in plain NumPy (pytrec_eval isn't needed for these standard metrics).
+Inputs are DataFrames; only ≤k rows per query are ever collected.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+
+
+def _collect_runs(results_df: DataFrame) -> dict[str, list[tuple[int, float]]]:
+    runs: dict[str, list] = defaultdict(list)
+    for r in results_df.collect():
+        runs[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+    return {
+        q: [(doc, score) for _, doc, score in sorted(rows)]
+        for q, rows in runs.items()
+    }
+
+
+def _collect_qrels(qrels_df: DataFrame) -> dict[str, dict[int, int]]:
+    qrels: dict[str, dict[int, int]] = defaultdict(dict)
+    for r in qrels_df.collect():
+        qrels[r["query_id"]][r["doc_id"]] = int(r["score"])
+    return qrels
+
+
+def evaluate(results_df: DataFrame, qrels_df: DataFrame,
+             k_values: tuple[int, ...] = (1, 5, 10)) -> dict[str, float]:
+    """results: (query_id, rank, doc_id, score); qrels: (query_id,
+    doc_id, score).  Returns {"ndcg@k": …, "recall@k": …, "p@k": …,
+    "map@k": …} averaged over queries with ≥1 relevant doc."""
+    runs = _collect_runs(results_df)
+    qrels = _collect_qrels(qrels_df)
+    out: dict[str, float] = {}
+    qids = [q for q in qrels if qrels[q]]
+    if not qids:
+        return {f"{m}@{k}": 0.0 for k in k_values for m in ("ndcg", "recall", "p", "map")}
+    for k in k_values:
+        ndcg_s, rec_s, p_s, map_s = [], [], [], []
+        for q in qids:
+            rel = qrels[q]
+            ranked = [doc for doc, _ in runs.get(q, [])][:k]
+            gains = [rel.get(d, 0) for d in ranked]
+            dcg = sum(g / math.log2(i + 2) for i, g in enumerate(gains))
+            ideal = sorted(rel.values(), reverse=True)[:k]
+            idcg = sum(g / math.log2(i + 2) for i, g in enumerate(ideal))
+            ndcg_s.append(dcg / idcg if idcg > 0 else 0.0)
+            hits = sum(1 for d in ranked if rel.get(d, 0) > 0)
+            rec_s.append(hits / len(rel))
+            p_s.append(hits / k)
+            ap, seen = 0.0, 0
+            for i, d in enumerate(ranked):
+                if rel.get(d, 0) > 0:
+                    seen += 1
+                    ap += seen / (i + 1)
+            map_s.append(ap / min(len(rel), k))
+        n = len(qids)
+        out[f"ndcg@{k}"] = round(sum(ndcg_s) / n, 5)
+        out[f"recall@{k}"] = round(sum(rec_s) / n, 5)
+        out[f"p@{k}"] = round(sum(p_s) / n, 5)
+        out[f"map@{k}"] = round(sum(map_s) / n, 5)
+    return out

@@ -142,12 +142,18 @@ def retrieve(
     weight_mask_df: DataFrame | None = None,
     strategy: str = "join",
     pad: bool = True,
+    prune: bool = True,
+    with_docs: bool = False,
     query_id_col: str = "query_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Top-k retrieval → (query_id, rank, doc_id, score).
 
     ``weight_mask_df``: optional (doc_id, weight) — missing docs weigh 1.0.
+    ``with_docs=True`` joins the original document columns back on
+    (the reference's positional corpus materialization,
+    ``reference/bm25s/__init__.py:919-932`` — here an equi-join against
+    ``doc_map`` instead of a positional mmap lookup).
     """
     if method not in METHODS:
         raise ValueError(f"Invalid method {method!r}")
@@ -159,11 +165,12 @@ def retrieve(
     if strategy == "sharded":
         from bm25s_spark.shards import retrieve_sharded
 
-        return retrieve_sharded(
+        out = retrieve_sharded(
             index, queries_df, k=k, method=method, idf_method=idf_method,
-            weight_mask_df=weight_mask_df, pad=pad,
+            weight_mask_df=weight_mask_df, pad=pad, prune=prune,
             query_id_col=query_id_col, text_col=text_col,
         )
+        return _maybe_docs(index, out, with_docs)
 
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
     scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df)
@@ -176,11 +183,23 @@ def retrieve(
         .select("query_id", "rank", "doc_id", "score")
     )
     if not pad:
-        return topk
+        return _maybe_docs(index, topk, with_docs)
     # padding needs a count of topk; persist so the scoring job runs once
     topk = topk.persist()
-    return _pad_to_k(index, queries_df, qterms, topk, k, method, idf_method,
-                     query_id_col)
+    out = _pad_to_k(index, queries_df, qterms, topk, k, method, idf_method,
+                    query_id_col)
+    return _maybe_docs(index, out, with_docs)
+
+
+def _maybe_docs(index: BM25Index, results: DataFrame, with_docs: bool) -> DataFrame:
+    if not with_docs:
+        return results
+    if index.doc_map is None:
+        raise ValueError("index was built with keep_doc_map=False; no doc payload to join")
+    return results.join(index.doc_map, "doc_id", "left").select(
+        "query_id", "rank", "doc_id", "score",
+        *[c for c in index.doc_map.columns if c != "doc_id"],
+    )
 
 
 def _pad_to_k(index, queries_df, qterms, topk, k, method, idf_method,

@@ -198,10 +198,16 @@ def retrieve_sharded(
     idf_method: str | None = None,
     weight_mask_df: DataFrame | None = None,
     pad: bool = True,
+    prune: bool = True,
     query_id_col: str = "query_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Scatter-gather top-k over the doc-sharded index."""
+    """Scatter-gather top-k over the doc-sharded index.
+
+    ``prune=True`` enables the TAAT MaxScore pruning inside the kernel
+    (uses the per-(shard, term) block-max impacts; disabled automatically
+    when a weight mask is present).  Result sets are identical up to
+    tie-group membership."""
     idf_method = idf_method or method
     if k > index.num_docs:
         raise ValueError(
@@ -225,7 +231,8 @@ def retrieve_sharded(
     is_cross = idf_method != method
     bc = spark.sparkContext.broadcast(
         (query_ids, per_term, cross, docs_per_shard, k,
-         (method, index.avg_doc_len, index.k1, index.b, index.delta), is_cross)
+         (method, index.avg_doc_len, index.k1, index.b, index.delta),
+         is_cross, prune)
     )
 
     mask_rows = None
@@ -269,7 +276,7 @@ def retrieve_sharded(
 
     def score_partition(batches):
         (query_ids_l, per_term_l, cross_l, dps, k_l,
-         (method_l, avgdl_l, k1_l, b_l, delta_l), is_cross_l) = bc.value
+         (method_l, avgdl_l, k1_l, b_l, delta_l), is_cross_l, prune_l) = bc.value
         nq = len(query_ids_l)
         mask = bc_mask.value
         # per-query term lists within the current shard
@@ -302,21 +309,58 @@ def retrieve_sharded(
                         )
                         - nnoc_mi
                     ).astype(np.float32)
+                ub = float(vals.max()) if vals.size else 0.0
                 for e_q, mult in entries:
-                    per_query[e_q].append((local, vals, mult))
+                    per_query[e_q].append((local, vals, mult, mult * ub))
             rows_q, rows_d, rows_s = [], [], []
             acc = np.zeros(dps, dtype=np.float32)
+            touched = np.zeros(dps, dtype=bool)
+            # pruning is only safe with nonnegative impacts and no doc
+            # weights >1; masks disable it
+            do_prune = prune_l and not mask
             for q_i in range(nq):
                 plists = per_query[q_i]
                 if not plists:
                     continue
                 acc[:] = 0.0
-                for local, vals, mult in plists:
-                    if mult == 1.0:
-                        acc[local] += vals
-                    else:
-                        acc[local] += vals * np.float32(mult)
-                idx = np.nonzero(acc)[0]
+                if do_prune and len(plists) > 1:
+                    # TAAT MaxScore over the shard (the block-max use):
+                    # process terms in descending upper bound; once the
+                    # in-shard kth score exceeds the sum of remaining
+                    # terms' block maxima, docs not yet touched cannot
+                    # enter this shard's top-k → masked adds only.
+                    plists = sorted(plists, key=lambda p: -p[3])
+                    ubs = [p[3] for p in plists]
+                    remaining = np.cumsum(ubs[::-1])[::-1]
+                    touched[:] = False
+                    theta = None
+                    masked_mode = False
+                    for i, (local, vals, mult, _ub) in enumerate(plists):
+                        contrib = vals if mult == 1.0 else vals * np.float32(mult)
+                        if not masked_mode and i > 0:
+                            t_idx = np.nonzero(touched)[0]
+                            if t_idx.size >= k_l:
+                                sc_t = acc[t_idx]
+                                theta = float(
+                                    np.partition(sc_t, -k_l)[-k_l]
+                                )
+                                if theta >= remaining[i]:
+                                    masked_mode = True
+                        if masked_mode:
+                            sel = touched[local]
+                            if sel.any():
+                                acc[local[sel]] += contrib[sel]
+                        else:
+                            acc[local] += contrib
+                            touched[local] = True
+                    idx = np.nonzero(touched)[0]
+                else:
+                    for local, vals, mult, _ub in plists:
+                        if mult == 1.0:
+                            acc[local] += vals
+                        else:
+                            acc[local] += vals * np.float32(mult)
+                    idx = np.nonzero(acc)[0]
                 if idx.size == 0:
                     continue
                 sc = acc[idx]

@@ -1,0 +1,121 @@
+"""Token-stream parity: our UDF must produce byte-identical token lists
+to the reference's functional tokenizer on every fixture doc (SURVEY §7
+hard-part 1 — any divergence silently breaks rank identity), plus the
+dense score-matrix equivalence check (the reference's strongest internal
+oracle shape, tests/__init__.py:139-145 analog)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bm25s_spark.tokenization import make_tokenizer_udf, tokenize
+from bm25s_spark.transcripts import ANIMAL_CORPUS, transcripts_df
+
+from pyspark.sql import functions as F
+
+
+FIXTURE_TEXTS = ANIMAL_CORPUS + [
+    "",                          # empty
+    "the a an and of to",        # all stopwords
+    "a b c",                     # 1-char tokens dropped by regex
+    "Hello, World! it's 2026-08-16... naïve café #tag @user",
+    "שלום עולם מבחן",
+    "你好 世界 测试 文档",
+    "ПРИВЕТ Мир Тест",
+    "merhaba DÜNYA test belgesi",
+    "tabs\tand\nnewlines  and    runs",
+    "numbers 123 42x x42 1 22 333",
+    "hyphen-ated under_score dot.sep",
+    "dup dup dup words words",
+]
+
+
+def _ref_token_strings(ref_bm25s, texts, allow_empty=True):
+    return ref_bm25s.tokenize(
+        texts, stopwords="en", return_ids=False, show_progress=False,
+        allow_empty=allow_empty,
+    )
+
+
+def test_token_stream_parity(spark, ref_bm25s):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURE_TEXTS)], "doc_id long, text string"
+    )
+    ours_rows = tokenize(df, "text").orderBy("doc_id").collect()
+    ours = [list(r["tokens"]) for r in ours_rows]
+    # the reference's default English list == our Lucene-33 list; verify
+    # that premise first so a list drift fails loudly here, not in ranks
+    from bm25s_spark.tokenization import STOPWORDS_EN
+
+    ref_sw = set(ref_bm25s.stopwords.STOPWORDS_EN)
+    assert set(STOPWORDS_EN) == ref_sw, (
+        set(STOPWORDS_EN) ^ ref_sw
+    )
+    ref = _ref_token_strings(ref_bm25s, FIXTURE_TEXTS)
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        assert a == b, (i, FIXTURE_TEXTS[i], a, b)
+
+
+def test_empty_fallback_quirk(spark, ref_bm25s):
+    """Functional reference tokenize: allow_empty=False INSERTS the empty
+    token (reference/bm25s/tokenization.py:654-655 — inverted flag);
+    our ``empty_fallback=True`` matches that behavior."""
+    texts = ["", "the of a"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    ours = [list(r["tokens"]) for r in
+            tokenize(df, "text", empty_fallback=True).orderBy("doc_id").collect()]
+    ref = _ref_token_strings(ref_bm25s, texts, allow_empty=False)
+    assert ours == ref
+    # empty string → [""]; all-stopwords → [] in BOTH (fallback happens
+    # before the stopword filter)
+    assert ours[0] == [""] and ours[1] == []
+
+
+def test_custom_pattern_and_stopwords(spark, ref_bm25s):
+    texts = ["a b see dee", "x-ray alpha beta"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    ours = [list(r["tokens"]) for r in tokenize(
+        df, "text", token_pattern=r"\w+", stopwords=["alpha"]
+    ).orderBy("doc_id").collect()]
+    ref = ref_bm25s.tokenize(
+        texts, token_pattern=r"\w+", stopwords=["alpha"],
+        return_ids=False, show_progress=False,
+    )
+    assert ours == ref
+
+
+def test_dense_score_matrix_parity(spark, ref_bm25s):
+    """Full (query × doc) score matrices match the reference within
+    float32 tolerance — the np.allclose-over-full-matrices oracle the
+    reference uses against rank-bm25 (reference/tests/__init__.py:139-145)."""
+    from bm25s_spark.indexer import SparkBM25
+
+    tdf = transcripts_df(spark, "t1")
+    queries = [
+        ("q0", "cat feline dog bird fish"),
+        ("q1", "does the fish purr like a cat?"),
+        ("q2", "zzqx"),
+        ("q3", ""),
+    ]
+    for method in ("lucene", "bm25l"):
+        engine = SparkBM25(method=method)
+        engine.index(tdf)
+        qdf = spark.createDataFrame(queries, "query_id string, text string")
+        dense = engine.get_scores(qdf, dense=True).collect()
+        ours = np.zeros((len(queries), 4))
+        qidx = {q: i for i, (q, _) in enumerate(queries)}
+        for r in dense:
+            ours[qidx[r["query_id"]], r["doc_id"]] = r["score"]
+        retriever = ref_bm25s.BM25(method=method, k1=1.5, b=0.75, delta=0.5)
+        toks = ref_bm25s.tokenize(ANIMAL_CORPUS, stopwords="en", show_progress=False)
+        retriever.index(toks, show_progress=False)
+        for i, (qid, text) in enumerate(queries):
+            qtoks = ref_bm25s.tokenize([text], stopwords="en", show_progress=False,
+                                       return_ids=False)[0]
+            if len(qtoks) == 0:
+                expected = np.zeros(4, dtype=np.float32)
+            else:
+                expected = retriever.get_scores(qtoks)
+            np.testing.assert_allclose(ours[i], expected, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{method} {qid}")
