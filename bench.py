@@ -145,20 +145,49 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         spark.stop()
 
 
-def run_scaling_workload(cores: int, n_convs: int, turns: int,
-                         n_queries: int) -> dict:
+def run_scaling_workload(cores: int, corpus_path: str, n_queries: int) -> dict:
     """CPU-bound workload for the two-parallelism-level comparison: one
     timed block per phase (build → sharded materialization; batched
-    sharded retrieval), so per-job scheduling overhead cannot swamp the
-    compute being scaled."""
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
-    spark = _spark(cores)
+    sharded retrieval).  Both levels read the SAME pre-written parquet
+    corpus (identical input bytes, no generation jobs inside the timed
+    section), and a small warmup build+query runs first so one-time JVM
+    costs (codegen compilation, JIT, Python worker spawn) — which are
+    serial and identical at every core count — don't pollute the timed
+    throughput.
+
+    Strong-scaling setup: the TASK decomposition is identical at both
+    levels (fixed shuffle partitions ≫ cores, AQE coalescing off, small
+    scan splits) — only the core count varies.  Coarse tasks (1 wave at
+    the high level) would let a single straggler set the stage wall
+    clock; many small tasks let wave scheduling absorb skew at every
+    level, exactly as on a real N- vs 4N-executor cluster."""
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    from bm25s_spark.session import get_spark
+
+    parts = int(os.environ.get("SCALING_PARTS", "128"))
+    spark = get_spark(
+        "bm25s_spark-scaling", cores=cores, shuffle_partitions=parts,
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
+    )
     try:
         from bm25s_spark.indexer import build_index
         from bm25s_spark.shards import ensure_sharded
         from bm25s_spark.transcripts import distributed_transcripts
 
-        corpus = distributed_transcripts(spark, n_convs, turns)
+        # -- warmup (untimed): exercises every codepath end-to-end
+        w = build_index(distributed_transcripts(spark, 500, 4),
+                        order_cols=["conv_id", "turn_idx"], keep_doc_map=False)
+        w.docs_per_shard = 512
+        ensure_sharded(w).count()
+        w.retrieve(_batch_queries(spark, 64), k=5, strategy="sharded",
+                   pad=False).count()
+        w.sharded.unpersist()
+        w.unpersist()
+
+        corpus = spark.read.parquet(corpus_path)
 
         t = time.time()
         idx = build_index(corpus, order_cols=["conv_id", "turn_idx"],
@@ -190,27 +219,55 @@ def run_scaling_workload(cores: int, n_convs: int, turns: int,
         spark.stop()
 
 
-def _scaling_subprocess(cores: int, n_convs: int, turns: int, n_queries: int) -> dict:
+def _scaling_subprocess(cores: int, corpus_path: str, n_queries: int) -> dict:
     """Run one parallelism level in a fresh process (fresh JVM): sessions
     sharing a JVM contaminate each other's measurements (JIT state, GC
-    debris, lingering pools — observed 2× order effects)."""
+    debris, lingering pools — observed 2× order effects).  The process is
+    pinned with ``taskset`` to exactly ``cores`` CPUs so the parallelism
+    level is physically enforced, not scheduler-shared — the single-host
+    stand-in for an N-executor vs 4N-executor cluster."""
     import subprocess
 
+    cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+           str(cores), corpus_path, str(n_queries)]
+    import shutil
+
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scaling-worker",
-         str(cores), str(n_convs), str(turns), str(n_queries)],
-        capture_output=True, text=True, timeout=3000,
+        cmd, capture_output=True, text=True, timeout=3000,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
 
+def _write_scaling_corpus(n_convs: int, turns: int) -> str:
+    """Materialize the deterministic corpus once (full parallelism,
+    untimed) so every scaling worker reads identical parquet bytes."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bm25s_scaling_corpus_{n_convs}x{turns}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from bm25s_spark.transcripts import distributed_transcripts
+
+        spark = _spark(CPUS)
+        try:
+            # 128 files → ≥128 scan splits at every parallelism level
+            distributed_transcripts(spark, n_convs, turns).repartition(
+                128).write.mode("overwrite").parquet(path)
+        finally:
+            spark.stop()
+    return path
+
+
 def main():
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
-        cores, n_convs, turns, n_queries = map(int, sys.argv[i + 1:i + 5])
-        print(json.dumps(run_scaling_workload(cores, n_convs, turns, n_queries)))
+        cores, corpus_path, n_queries = (
+            int(sys.argv[i + 1]), sys.argv[i + 2], int(sys.argv[i + 3]))
+        print(json.dumps(run_scaling_workload(cores, corpus_path, n_queries)))
         return
 
     if "--scaling" in sys.argv:
@@ -229,11 +286,12 @@ def main():
         # processes); min over repeats is the standard noise-robust
         # estimator for fixed work
         os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
-        reps = int(os.environ.get("SCALING_REPS", "2"))
+        reps = int(os.environ.get("SCALING_REPS", "3"))
+        corpus_path = _write_scaling_corpus(n_convs, turns)
         lo_runs, hi_runs = [], []
         for _ in range(reps):
-            lo_runs.append(_scaling_subprocess(n_lo, n_convs, turns, n_queries))
-            hi_runs.append(_scaling_subprocess(n_hi, n_convs, turns, n_queries))
+            lo_runs.append(_scaling_subprocess(n_lo, corpus_path, n_queries))
+            hi_runs.append(_scaling_subprocess(n_hi, corpus_path, n_queries))
         lo = min(lo_runs, key=lambda r: r["build_sec"] + r["query_sec"])
         hi = min(hi_runs, key=lambda r: r["build_sec"] + r["query_sec"])
         lo["build_sec"] = min(r["build_sec"] for r in lo_runs)

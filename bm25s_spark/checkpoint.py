@@ -188,11 +188,9 @@ def build_index_checkpointed(
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
     def s_tf():
-        return (
-            tokenized.select("doc_id", "dl", F.explode("tokens").alias("term"))
-            .groupBy("doc_id", "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
+        from bm25s_spark.indexer import narrow_tf
+
+        return narrow_tf(tokenized)
 
     tf = ck.stage("tf", s_tf)
 

@@ -15,15 +15,15 @@ of DataFrames/tables:
 The build is a pure DataFrame pipeline (SURVEY.md §3.1 lifecycle):
 
 1. tokenize (Arrow pandas UDF, narrow)
-2. ``explode`` → TF per (doc, term) via hash aggregation
-   (reference: per-doc ``Counter``, ``reference/bm25s/scoring.py:238-243``)
-   — doc_id in the grouping key means head terms cause **no** skew here
+2. TF per (doc, term) as a narrow per-row array computation — a doc's
+   tokens sit in one row, so the per-doc ``Counter``
+   (``reference/bm25s/scoring.py:238-243``) is array_distinct + filter
+   counts + explode; ``dl`` rides along.  NO posting-size shuffle.
 3. DF per term via ``count`` (map-side partial aggregation bounds each
    reducer's input at n_partitions rows per term — no skew)
    (reference: ``reference/bm25s/scoring.py:28-57``)
-4. join TF × doc_lens × term_stats + the impact column expressions
-   (reference: ``reference/bm25s/scoring.py:246-309``); AQE skew-join
-   splits any head-term stragglers
+4. join TF × term_stats (vocab-sized → broadcast/AQE) + the impact
+   column expressions (reference: ``reference/bm25s/scoring.py:246-309``)
 
 ``k1/b/delta`` are pinned at index time like the reference
 (``reference/bm25s/__init__.py:144-152``); ``method``/``idf_method`` stay
@@ -103,6 +103,34 @@ class BM25Index:
         save_index(self, path, fmt=fmt)
 
 
+def narrow_tf(tokenized: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """TF per (doc, term) WITHOUT a shuffle → (doc_id, dl, term, tf).
+
+    A doc's tokens already sit in one row, so the reference's per-doc
+    ``Counter`` (``reference/bm25s/scoring.py:238-243``) is a narrow
+    per-row array computation: count each distinct token inside the
+    array and explode the (term, tf) pairs; ``dl`` rides along instead
+    of being joined back from doc_lens.  This removes two posting-size
+    shuffles (the groupBy(doc_id, term) and the doc_lens join) from the
+    build — the only remaining big shuffle is the sharded groupBy, i.e.
+    the index layout itself.  O(distinct × len) per doc: trivial for
+    turn-sized texts vs any shuffle.
+    """
+    toks = F.col(tokens_col)
+    tf_pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
+        ),
+    )
+    return tokenized.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(tf_pairs).alias("p"),
+    ).select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+
+
 def build_index(
     docs: DataFrame,
     text_col: str = "text",
@@ -158,15 +186,10 @@ def build_index(
     ).collect()[0]
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
-    # TF per (doc, term): reference/bm25s/scoring.py:238-243 (Counter)
-    occurrences = tokenized.select(
-        "doc_id", F.explode("tokens").alias("term")
-    )
-    tf = occurrences.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    tf = narrow_tf(tokenized)
 
-    # DF per term: reference/bm25s/scoring.py:28-57
+    # DF per term: reference/bm25s/scoring.py:28-57 — map-side partial
+    # aggregation bounds the shuffle at one row per term per partition
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     # vocab with the empty-token patch (reference/bm25s/__init__.py:562-564):
@@ -194,10 +217,7 @@ def build_index(
     # the reference's storage dtype (reference/bm25s/scoring.py:265).
     # term_stats is vocab-sized → broadcast when small; Catalyst/AQE
     # picks the strategy.
-    postings = (
-        tf.join(doc_lens, "doc_id")
-        .join(term_stats.select("term", "term_id", "df"), "term")
-    )
+    postings = tf.join(term_stats.select("term", "term_id", "df"), "term")
     for m in METHODS:
         postings = postings.withColumn(
             IMPACT_COLS[m],

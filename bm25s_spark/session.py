@@ -15,12 +15,14 @@ def get_spark(
     app_name: str = "bm25s_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     cores: local parallelism (defaults to $SPARK_GRAFT_CPUS or 32).
     shuffle_partitions: defaults to max(cores, 32) — small enough for
     local tests, and on a real cluster AQE coalesces anyway.
+    extra_conf: per-caller config overrides (applied last).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -46,6 +48,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, str(val))
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark

@@ -260,11 +260,18 @@ def retrieve_sharded(
     terms_df = spark.createDataFrame(
         [(t,) for t in per_term], "term string"
     )
+    # one task ≈ one shard: explicit numPartitions (AQE won't coalesce an
+    # explicit repartition) sized to the shard count so the kernel gets
+    # fine-grained tasks — wave scheduling absorbs shard-to-shard skew
+    # instead of one straggler task setting the stage's wall clock
+    n_shards = (index.num_docs + docs_per_shard - 1) // docs_per_shard
+    default_par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(default_par, min(n_shards, 4096))
     needed = (
         needed.join(F.broadcast(terms_df), "term", "left_semi")
         # co-locate each shard's rows and make them contiguous so the
         # kernel can stream shard-by-shard across Arrow batch boundaries
-        .repartition("shard_id")
+        .repartition(n_parts, "shard_id")
         .sortWithinPartitions("shard_id")
     )
 

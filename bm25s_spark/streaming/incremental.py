@@ -81,19 +81,14 @@ class IncrementalIndexer:
             self._udf(F.col("text")).alias("tokens"),
         ).withColumn("dl", F.size("tokens")).persist()
 
+        from bm25s_spark.indexer import narrow_tf
+
         known_vocab = self.vocab()
-        occurrences = toks.select(
-            "doc_id", "dl", F.explode("tokens").alias("term")
-        )
+        tf = narrow_tf(toks)
         uv = self.update_vocab
         if uv in (False, "never") and known_vocab is not None:
             # drop-unknown-terms mode: unseen terms never enter the index
-            occurrences = occurrences.join(
-                F.broadcast(known_vocab), "term", "left_semi"
-            )
-        tf = occurrences.groupBy("doc_id", "dl", "term").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
+            tf = tf.join(F.broadcast(known_vocab), "term", "left_semi")
         tf.write.mode("append").parquet(self._p("raw_postings"))
         toks.select("doc_id", "dl").write.mode("append").parquet(self._p("doc_lens"))
 
