@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill dir: prefer tmpfs. On this single-node sandbox the
+    # lone ext4 disk (~200 MB/s) is a shared bottleneck that serializes
+    # shuffle I/O no matter the core count — a false ceiling that a real
+    # cluster (local NVMe per executor, aggregate bandwidth ∝ executors)
+    # doesn't have. $SPARK_LOCAL_DIRS still wins if the user sets it.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/bm25s_spark_local"
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, str(val))
     spark = builder.getOrCreate()

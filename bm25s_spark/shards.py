@@ -54,7 +54,7 @@ from pyspark.sql.types import (
 from bm25s_spark import scoring
 from bm25s_spark.indexer import IMPACT_COLS, BM25Index
 from bm25s_spark.scoring import METHODS, METHODS_REQUIRING_NNOC, METHOD_SLUGS
-from bm25s_spark.retrieval import tokenize_queries, _nnoc_per_query
+from bm25s_spark.retrieval import tokenize_queries
 
 
 SHARD_SCHEMA_FIELDS = [
@@ -223,10 +223,6 @@ def retrieve_sharded(
         .select("query_id", "term", "mult", "df")
         .collect()
     )
-    all_query_ids = [
-        r["query_id"]
-        for r in queries_df.select(F.col(query_id_col).alias("query_id")).distinct().collect()
-    ]
     query_ids, per_term, cross, slug = _query_payload(index, qrows, method, idf_method)
     is_cross = idf_method != method
     bc = spark.sparkContext.broadcast(
@@ -320,6 +316,12 @@ def retrieve_sharded(
                 for e_q, mult in entries:
                     per_query[e_q].append((local, vals, mult, mult * ub))
             rows_q, rows_d, rows_s = [], [], []
+            # invariant: acc == 0 and touched == False between queries —
+            # only the ≤|candidates| written positions are reset at the
+            # end of each query, not the whole dps-sized vectors (a full
+            # memset + full-array nonzero per (query, shard) is pure
+            # memory-bandwidth waste, the resource that stops scaling
+            # first on a many-core host)
             acc = np.zeros(dps, dtype=np.float32)
             touched = np.zeros(dps, dtype=bool)
             # pruning is only safe with nonnegative impacts and no doc
@@ -329,7 +331,6 @@ def retrieve_sharded(
                 plists = per_query[q_i]
                 if not plists:
                     continue
-                acc[:] = 0.0
                 if do_prune and len(plists) > 1:
                     # TAAT MaxScore over the shard (the block-max use):
                     # process terms in descending upper bound; once the
@@ -339,7 +340,6 @@ def retrieve_sharded(
                     plists = sorted(plists, key=lambda p: -p[3])
                     ubs = [p[3] for p in plists]
                     remaining = np.cumsum(ubs[::-1])[::-1]
-                    touched[:] = False
                     theta = None
                     masked_mode = False
                     for i, (local, vals, mult, _ub) in enumerate(plists):
@@ -360,17 +360,20 @@ def retrieve_sharded(
                         else:
                             acc[local] += contrib
                             touched[local] = True
-                    idx = np.nonzero(touched)[0]
                 else:
                     for local, vals, mult, _ub in plists:
                         if mult == 1.0:
                             acc[local] += vals
                         else:
                             acc[local] += vals * np.float32(mult)
-                    idx = np.nonzero(acc)[0]
+                        touched[local] = True
+                idx = np.nonzero(touched)[0]
                 if idx.size == 0:
                     continue
-                sc = acc[idx]
+                sc = acc[idx]  # fancy indexing copies
+                # restore the invariant for the next query
+                acc[idx] = 0.0
+                touched[idx] = False
                 if mask:
                     w = np.array(
                         [mask.get(base + int(i), 1.0) for i in idx],
@@ -425,12 +428,36 @@ def retrieve_sharded(
     )
     merged = candidates.join(F.broadcast(qid_df), "q_idx").drop("q_idx")
 
-    nnoc = _nnoc_per_query(index, qterms, method, idf_method)
-    merged = (
-        merged.join(F.broadcast(nnoc), "query_id", "left")
-        .withColumn("score", F.col("score") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
-        .drop("nnoc_sum")
-    )
+    # nnoc add-back (reference/bm25s/__init__.py:614-618): computed
+    # driver-side from the already-collected qrows — no second
+    # query-tokenization job, and no join at all for methods without a
+    # nonoccurrence term (robertson/lucene/atire)
+    if method in METHODS_REQUIRING_NNOC:
+        nnoc_sums: dict[str, float] = {}
+        for r in qrows:
+            dfv = float(r["df"])
+            v = (
+                scoring.nnoc_value(
+                    method, idf_method, dfv, index.num_docs,
+                    index.avg_doc_len, index.k1, index.b, index.delta,
+                )
+                if dfv > 0 else 0.0
+            )
+            nnoc_sums[r["query_id"]] = (
+                nnoc_sums.get(r["query_id"], 0.0) + float(r["mult"]) * v
+            )
+        nnoc = spark.createDataFrame(
+            [(q, s) for q, s in nnoc_sums.items()] or [("", 0.0)],
+            "query_id string, nnoc_sum double",
+        )
+        merged = (
+            merged.join(F.broadcast(nnoc), "query_id", "left")
+            .withColumn(
+                "score",
+                F.col("score") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)),
+            )
+            .drop("nnoc_sum")
+        )
 
     final_schema = StructType([
         StructField("query_id", StringType(), False),
