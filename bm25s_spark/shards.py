@@ -74,76 +74,121 @@ SHARD_SCHEMA_FIELDS = [
     for m in METHODS
 ]
 SHARD_SCHEMA = StructType(SHARD_SCHEMA_FIELDS)
-
-
-def _field_getter(field_name: str):
-    """Single-arg lambda factory for F.transform (a two-arg lambda would
-    receive the array index as its second argument). Downcasts impacts to
-    float32 — the sharded/saved layout uses the reference's storage dtype
-    (reference/bm25s/scoring.py:265)."""
-    return lambda s: s[field_name].cast("float")
-
-
-def _field_getter_raw(field_name: str):
-    return lambda s: s[field_name]
+# assembly output: numeric fields only (term/df joined back afterwards)
+ASSEMBLE_SCHEMA = StructType(
+    [f for f in SHARD_SCHEMA_FIELDS if f.name not in ("term", "df")]
+)
 
 
 def build_sharded_postings(index: BM25Index, docs_per_shard: int | None = None) -> DataFrame:
     """Flat postings → blocked (shard_id, term) rows with delta-encoded
     doc gaps and per-variant impact arrays + block maxes.
 
-    One shuffle: ``groupBy(shard_id, term)`` with ``sort_array(collect_list)``
-    — the distributed equivalent of the reference's COO→CSC conversion
-    (``reference/bm25s/scoring.py:371-432``), bounded per group by
-    ``docs_per_shard`` so head terms cannot skew a reducer.
+    One shuffle of compact flat rows hash-partitioned on
+    ``(shard_id, term_id)``, then a Tungsten sort within partitions and
+    an Arrow/numpy group-assembly pass in ``mapInPandas`` — the
+    distributed equivalent of the reference's COO→CSC conversion
+    (``reference/bm25s/scoring.py:371-432``).  An earlier
+    ``groupBy().agg(sort_array(collect_list(struct(...))))`` version was
+    correct but allocation-bound: millions of per-posting JVM row objects
+    put the build on the GC, the resource that scales worst with cores.
+    Group size is bounded by ``docs_per_shard``, so head terms cannot
+    skew a task (and the assembly's carry buffer stays small).
     """
     if docs_per_shard is None:
         docs_per_shard = index.docs_per_shard
+    spark = index.spark
     p = index.postings
-    # float32 before the shuffle: halves collect_list bytes and matches
-    # the reference's storage dtype; tf/dl ride along as small ints so any
-    # method × idf_method cross-combination stays exactly computable
-    struct_cols = [F.col("doc_id").cast("long").alias("doc_id")] + [
-        F.col(IMPACT_COLS[m]).cast("float").alias(IMPACT_COLS[m]) for m in METHODS
-    ] + [
+    # float32 before the shuffle: halves shuffle bytes and matches the
+    # reference's storage dtype; tf/dl ride along as small ints so any
+    # method × idf_method cross-combination stays exactly computable.
+    # NUMERIC COLUMNS ONLY through the Arrow pass — per-posting strings
+    # (term) would cost one Python object per posting in the pandas
+    # conversion; term/df are joined back onto the vocab-sized output.
+    flat = p.withColumn(
+        "shard_id", (F.col("doc_id") / docs_per_shard).cast("long")
+    ).select(
+        "shard_id", "term_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
         F.col("tf").cast("int").alias("tf"),
         F.col("dl").cast("int").alias("dl"),
-    ]
-    grouped = (
-        p.withColumn("shard_id", (F.col("doc_id") / docs_per_shard).cast("long"))
-        .groupBy("shard_id", "term_id", "term", "df")
-        .agg(F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("plist"))
+        *[F.col(IMPACT_COLS[m]).cast("float").alias(f"imp_{METHOD_SLUGS[m]}")
+          for m in METHODS],
     )
-    local = F.transform(
-        F.col("plist"), lambda s: (s["doc_id"] % docs_per_shard).cast("int")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    flat = flat.repartition(n_parts, "shard_id", "term_id").sortWithinPartitions(
+        "shard_id", "term_id", "doc_id"
     )
-    # delta encode via shift+zip: O(n) per list (an element_at(local, i)
-    # inside the lambda would re-evaluate the whole array per element →
-    # O(n²) on head-term lists)
-    shifted = F.concat(
-        F.array(F.lit(0)), F.slice(local, 1, F.greatest(F.size(local) - 1, F.lit(0)))
-    )
-    gaps = F.zip_with(local, shifted, lambda a, b: a - b)
-    out = grouped.select(
-        "shard_id", "term_id", "term", "df",
-        F.size("plist").cast("int").alias("n_postings"),
-        gaps.alias("doc_gaps"),
-        F.transform(F.col("plist"), _field_getter_raw("tf")).alias("tfs"),
-        F.transform(F.col("plist"), _field_getter_raw("dl")).alias("dls"),
-        *[
-            F.transform(F.col("plist"), _field_getter(IMPACT_COLS[m])).alias(
-                f"impacts_{METHOD_SLUGS[m]}"
-            )
-            for m in METHODS
-        ],
-        *[
-            F.array_max(
-                F.transform(F.col("plist"), _field_getter(IMPACT_COLS[m]))
-            ).alias(f"max_impact_{METHOD_SLUGS[m]}")
-            for m in METHODS
-        ],
-    )
-    return out
+    slugs = [METHOD_SLUGS[m] for m in METHODS]
+    dps = docs_per_shard
+
+    def assemble(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            sid = pdf["shard_id"].values
+            tid = pdf["term_id"].values
+            change = np.flatnonzero(
+                (sid[1:] != sid[:-1]) | (tid[1:] != tid[:-1])
+            ) + 1
+            if change.size == 0:
+                carry = pdf  # one (possibly incomplete) group: hold it
+                continue
+            last = int(change[-1])
+            carry = pdf.iloc[last:].copy()
+            out = _emit_groups(pdf.iloc[:last],
+                               np.concatenate(([0], change[:-1], [last])),
+                               slugs, dps)
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = _emit_groups(carry, np.array([0, len(carry)]), slugs, dps)
+            if out is not None:
+                yield out
+
+    assembled = flat.mapInPandas(assemble, ASSEMBLE_SCHEMA)
+    # vocab-sized join puts term/df back on the ~(shards × terms) output
+    return assembled.join(
+        F.broadcast(index.term_stats.select("term_id", "term", "df")), "term_id"
+    ).select([f.name for f in SHARD_SCHEMA_FIELDS])
+
+
+def _emit_groups(pdf: pd.DataFrame, bounds: np.ndarray, slugs, dps: int) -> pd.DataFrame | None:
+    """Assemble one output row per (shard_id, term_id) group; ``bounds``
+    holds group start offsets plus the final end offset."""
+    if len(pdf) == 0:
+        return None
+    doc = pdf["doc_id"].values
+    local = (doc % dps).astype(np.int32)
+    starts, ends = bounds[:-1], bounds[1:]
+    heads = starts  # first row index of each group
+    imp_cols = {s: pdf[f"imp_{s}"].values for s in slugs}
+    tfs = pdf["tf"].values
+    dls = pdf["dl"].values
+    rows: dict[str, list] = {
+        "shard_id": pdf["shard_id"].values[heads],
+        "term_id": pdf["term_id"].values[heads],
+        "n_postings": (ends - starts).astype(np.int32),
+        "doc_gaps": [], "tfs": [], "dls": [],
+    }
+    for s in slugs:
+        rows[f"impacts_{s}"] = []
+        rows[f"max_impact_{s}"] = []
+    for a, b in zip(starts, ends):
+        loc = local[a:b]
+        rows["doc_gaps"].append(np.diff(loc, prepend=np.int32(0)))
+        rows["tfs"].append(tfs[a:b])
+        rows["dls"].append(dls[a:b])
+        for s in slugs:
+            arr = imp_cols[s][a:b]
+            rows[f"impacts_{s}"].append(arr)
+            rows[f"max_impact_{s}"].append(np.float32(arr.max()))
+    return pd.DataFrame(rows)
 
 
 def ensure_sharded(index: BM25Index) -> DataFrame:
