@@ -144,14 +144,86 @@ def _gate_topk(spark: SparkSession, sf_dir: str, method: str,
     )
 
 
+def _gate_topk_sharded(spark: SparkSession, sf_dir: str, method: str,
+                       mask: bool = False) -> DataFrame:
+    """Same gate semantics, but through the *sharded scatter-gather
+    kernel* (mapInPandas scatter-add + block-max pruning + final merge)
+    with ``exact=True`` — float64 impacts recomputed from (tf, dl) so
+    the kernel path is hash-comparable against the double-precision
+    DuckDB oracle.  Retrieves 2k then re-ranks by (round(score,4), doc_id)
+    so FP noise below the rounding granularity cannot flip the
+    comparison at the top-k boundary."""
+    from bm25s_spark.retrieval import retrieve
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    mask_df = None
+    if mask:
+        mask_df = idx.doc_lens.select(
+            "doc_id", (F.col("doc_id") % 2).cast("double").alias("weight")
+        )
+    res = retrieve(
+        idx, qdf, k=2 * TOPK, method=method, weight_mask_df=mask_df,
+        strategy="sharded", exact=True, round_to=4, pad=False,
+    )
+    rounded = res.withColumn("score", F.round(F.col("score"), 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _gate_topk_pretokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene top-k over an index built from a *pre-tokenized* corpus
+    (reference ``index()`` accepts token lists,
+    ``reference/bm25s/__init__.py:517-560``): tokenize first with the
+    standalone tokenizer, then build from the tokens column — must equal
+    the text-path build against the same oracle."""
+    from bm25s_spark.indexer import build_index_from_tokens
+    from bm25s_spark.retrieval import score_all
+    from bm25s_spark.tokenization import tokenize
+
+    key = (os.path.abspath(sf_dir), "pretok")
+    if key not in _INDEX_CACHE:
+        tdf = tokenize(_transcripts(spark, sf_dir))
+        idx = build_index_from_tokens(
+            tdf, order_cols=["conv_id", "turn_idx"]
+        ).persist()
+        _INDEX_CACHE[key] = idx
+    idx = _INDEX_CACHE[key]
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    scores = score_all(idx, qdf, method="lucene")
+    rounded = scores.withColumn("score", F.round(F.col("score"), 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def _bm25_oracle_sql(method: str, idf_method: str | None = None,
-                     mask: bool = False) -> str:
+                     mask: bool = False, shard_round: bool = False) -> str:
     idf_method = idf_method or method
     nnoc_f = _NNOC_FACTOR[method]
     idf = _IDF_SQL[idf_method]
     tfc = _TFC_SQL[method]
     nnoc_expr = f"({idf} * {nnoc_f})" if nnoc_f else "0.0"
     weight = "(r.doc_id % 2)" if mask else "1.0"
+    # the sharded kernel's gate mode rounds the accumulated (masked) raw
+    # score BEFORE the per-query nnoc add-back (which the final merge
+    # adds in full precision, then the gate rounds once more) — mirror
+    # that double-rounding exactly
+    if shard_round:
+        score_expr = f"round(round({weight} * r.raw, 4) + coalesce(ns.ns, 0.0), 4)"
+    else:
+        score_expr = f"round({weight} * r.raw + coalesce(ns.ns, 0.0), 4)"
     return f"""
 WITH docs AS (
   SELECT doc_id, lower(text) AS t FROM documents
@@ -207,7 +279,7 @@ ns AS (
 ),
 scored AS (
   SELECT r.query_id, r.doc_id,
-         round({weight} * r.raw + coalesce(ns.ns, 0.0), 4) AS score
+         {score_expr} AS score
   FROM raw r LEFT JOIN ns USING (query_id)
 ),
 ranked AS (
@@ -270,6 +342,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_weight_mask"] = (
         lambda spark, sf: _gate_topk(spark, sf, "lucene", mask=True)
     )
+    # the scale path itself (sharded mapInPandas kernel, block-max
+    # pruning, distributed weight mask, final merge) against the same
+    # double-precision oracle
+    q["bm25_topk_lucene_sharded"] = (
+        lambda spark, sf: _gate_topk_sharded(spark, sf, "lucene")
+    )
+    q["bm25_topk_bm25plus_sharded"] = (
+        lambda spark, sf: _gate_topk_sharded(spark, sf, "bm25+")
+    )
+    q["bm25_topk_weight_mask_sharded"] = (
+        lambda spark, sf: _gate_topk_sharded(spark, sf, "lucene", mask=True)
+    )
+    q["bm25_topk_lucene_pretokenized"] = _gate_topk_pretokenized
 
     # ---- index internals ----
     def term_stats(spark, sf):
@@ -337,10 +422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_signatures(
         _documents(spark, sf), bits=16
     )
-    # simhash near-dup pairs: approximate banding — rows-only check
+    # simhash near-dup pairs: the banded join is fully deterministic, so
+    # it gets a full DuckDB oracle (banding + hamming twin)
     q["dedup_simhash_pairs"] = lambda spark, sf: dedup.simhash_near_duplicates(
         _documents(spark, sf), max_hamming=3, bits=48, bands=4
-    )
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
     # ---- similarity search ----
     def knn_brute(spark, sf):
@@ -414,6 +500,12 @@ def oracle_sql() -> dict[str, str]:
         o[f"bm25_topk_{_SLUG[m]}"] = _bm25_oracle_sql(m)
     o["bm25_topk_atire_robertson"] = _bm25_oracle_sql("atire", "robertson")
     o["bm25_topk_weight_mask"] = _bm25_oracle_sql("lucene", mask=True)
+    o["bm25_topk_lucene_sharded"] = _bm25_oracle_sql("lucene", shard_round=True)
+    o["bm25_topk_bm25plus_sharded"] = _bm25_oracle_sql("bm25+", shard_round=True)
+    o["bm25_topk_weight_mask_sharded"] = _bm25_oracle_sql(
+        "lucene", mask=True, shard_round=True
+    )
+    o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
 
     o["term_stats_idf"] = f"""
 WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -525,6 +617,41 @@ hashed AS (
 ),
 votes AS (SELECT doc_id, {bit_votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({bit_pack} AS BIGINT) AS simhash FROM votes
+"""
+
+    bit_votes48 = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(48)
+    )
+    bit_pack48 = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(48)
+    )
+    # banding: bits=48, bands=4 → 12-bit chunks; pairs agreeing on ≥1
+    # chunk with hamming(sig_a, sig_b) ≤ 3 — the exact twin of
+    # bm25s_spark/operators/dedup.py simhash_near_duplicates
+    o["dedup_simhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('7:' || tok), 1, 12)) AS BIGINT) AS h FROM toks
+),
+votes AS (SELECT doc_id, {bit_votes48} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({bit_pack48} AS BIGINT) AS simhash FROM votes),
+chunks AS (
+  SELECT s.doc_id, s.simhash, b.band,
+         (s.simhash >> (b.band * 12)) & 4095 AS chunk
+  FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
 """
 
     o["knn_cosine_brute"] = """

@@ -156,6 +156,12 @@ def build_index_checkpointed(
                 k: (sorted(v) if isinstance(v, (set, frozenset)) else v)
                 for k, v in tok_kwargs.items()
             },
+            # column mapping is part of stage identity: the same corpus
+            # under a different text/doc-id/order mapping must not reuse
+            # doc_ids/tokenized stages built under the old mapping
+            "text_col": text_col,
+            "doc_id_col": doc_id_col,
+            "order_cols": order_cols,
             "docs_per_shard": docs_per_shard,
             "version": 1,
         },

@@ -40,13 +40,17 @@ def evaluate(results_df: DataFrame, qrels_df: DataFrame,
     runs = _collect_runs(results_df)
     qrels = _collect_qrels(qrels_df)
     out: dict[str, float] = {}
-    qids = [q for q in qrels if qrels[q]]
+    # pytrec_eval (the reference's evaluator) counts only rel>0 judgments
+    # toward num_rel and skips queries with no positive judgment — qrels
+    # files may carry explicit 0-graded rows
+    qids = [q for q in qrels if any(g > 0 for g in qrels[q].values())]
     if not qids:
         return {f"{m}@{k}": 0.0 for k in k_values for m in ("ndcg", "recall", "p", "map")}
     for k in k_values:
         ndcg_s, rec_s, p_s, map_s = [], [], [], []
         for q in qids:
             rel = qrels[q]
+            n_rel = sum(1 for g in rel.values() if g > 0)
             ranked = [doc for doc, _ in runs.get(q, [])][:k]
             gains = [rel.get(d, 0) for d in ranked]
             dcg = sum(g / math.log2(i + 2) for i, g in enumerate(gains))
@@ -54,14 +58,14 @@ def evaluate(results_df: DataFrame, qrels_df: DataFrame,
             idcg = sum(g / math.log2(i + 2) for i, g in enumerate(ideal))
             ndcg_s.append(dcg / idcg if idcg > 0 else 0.0)
             hits = sum(1 for d in ranked if rel.get(d, 0) > 0)
-            rec_s.append(hits / len(rel))
+            rec_s.append(hits / n_rel)
             p_s.append(hits / k)
             ap, seen = 0.0, 0
             for i, d in enumerate(ranked):
                 if rel.get(d, 0) > 0:
                     seen += 1
                     ap += seen / (i + 1)
-            map_s.append(ap / min(len(rel), k))
+            map_s.append(ap / min(n_rel, k))
         n = len(qids)
         out[f"ndcg@{k}"] = round(sum(ndcg_s) / n, 5)
         out[f"recall@{k}"] = round(sum(rec_s) / n, 5)

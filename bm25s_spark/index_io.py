@@ -99,18 +99,27 @@ def _getter(name):
     return lambda s: s[name]
 
 
-def save_index(index: BM25Index, path: str, fmt: str = "parquet",
-               include_term_ordered: bool = True) -> None:
-    from bm25s_spark.shards import ensure_sharded
+def iceberg_session_conf(catalog: str = "local",
+                         warehouse: str = "/tmp/iceberg_warehouse") -> dict:
+    """SparkSession config for a local hadoop-catalog Iceberg setup.
 
-    if fmt == "iceberg":
-        raise NotImplementedError(
-            "Iceberg catalog not configured in this environment; the write "
-            "path is identical modulo .format('iceberg').saveAsTable — "
-            "use fmt='parquet' locally."
-        )
-    os.makedirs(path, exist_ok=True)
-    params = {
+    Pass as ``get_spark(extra_conf=iceberg_session_conf())``.  Requires
+    the ``iceberg-spark-runtime`` jar on the classpath (ship via
+    ``spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<ver>``
+    on a cluster; this sandbox has no jar and no network, so the write
+    path is exercised by a composition unit test instead).
+    """
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def _params_dict(index: BM25Index) -> dict:
+    return {
         "version": FORMAT_VERSION,
         "num_docs": index.num_docs,
         "avg_doc_len": index.avg_doc_len,
@@ -120,6 +129,76 @@ def save_index(index: BM25Index, path: str, fmt: str = "parquet",
         "docs_per_shard": index.docs_per_shard,
         "tokenizer": index.tokenizer_kwargs,
     }
+
+
+def _iceberg_write(df: DataFrame, table: str, partition_col: str | None = None):
+    w = df.writeTo(table).using("iceberg")
+    if partition_col:
+        w = w.partitionedBy(F.col(partition_col))
+    w.createOrReplace()
+
+
+def save_index_iceberg(index: BM25Index, prefix: str,
+                       include_term_ordered: bool = True) -> None:
+    """Write the index as Iceberg tables ``<prefix>_{params, term_stats,
+    doc_lens, doc_map, postings_sharded, postings_terms}`` where
+    ``prefix`` is a fully-qualified table name (``catalog.db.name``).
+
+    Same tables as the parquet layout; params become a 2-column KV table
+    (Iceberg has no side-car JSON).  The sharded layout is
+    ``partitionedBy(shard_bucket)`` so query-time shard pruning becomes
+    Iceberg partition pruning.
+    """
+    from bm25s_spark.shards import ensure_sharded
+
+    spark = index.spark
+    params_rows = [(k, json.dumps(v)) for k, v in _params_dict(index).items()]
+    _iceberg_write(
+        spark.createDataFrame(params_rows, "key string, value string"),
+        f"{prefix}_params",
+    )
+    _iceberg_write(index.term_stats, f"{prefix}_term_stats")
+    _iceberg_write(index.doc_lens, f"{prefix}_doc_lens")
+    if index.doc_map is not None:
+        _iceberg_write(index.doc_map, f"{prefix}_doc_map")
+    sharded = ensure_sharded(index).withColumn(
+        "shard_bucket", F.col("shard_id") % _SHARD_BUCKETS
+    )
+    _iceberg_write(sharded, f"{prefix}_postings_sharded", "shard_bucket")
+    if include_term_ordered:
+        _iceberg_write(
+            salted_term_postings(index)
+            .repartitionByRange(32, "term")
+            .sortWithinPartitions("term"),
+            f"{prefix}_postings_terms",
+        )
+
+
+def load_index_iceberg(spark: SparkSession, prefix: str) -> BM25Index:
+    """Load an index saved by ``save_index_iceberg`` (lazy scans)."""
+    params = {
+        r["key"]: json.loads(r["value"])
+        for r in spark.read.table(f"{prefix}_params").collect()
+    }
+    term_stats = spark.read.table(f"{prefix}_term_stats")
+    doc_lens = spark.read.table(f"{prefix}_doc_lens")
+    try:
+        doc_map = spark.read.table(f"{prefix}_doc_map")
+    except Exception:
+        doc_map = None
+    sharded = spark.read.table(f"{prefix}_postings_sharded").drop("shard_bucket")
+    return _reassemble_index(spark, params, term_stats, doc_lens, doc_map, sharded)
+
+
+def save_index(index: BM25Index, path: str, fmt: str = "parquet",
+               include_term_ordered: bool = True) -> None:
+    from bm25s_spark.shards import ensure_sharded
+
+    if fmt == "iceberg":
+        # path is a fully-qualified table prefix in this mode
+        return save_index_iceberg(index, path, include_term_ordered)
+    os.makedirs(path, exist_ok=True)
+    params = _params_dict(index)
     with open(os.path.join(path, "params.json"), "w") as f:
         json.dump(params, f, indent=2)
     _write(index.term_stats, os.path.join(path, "term_stats"), fmt)
@@ -144,10 +223,10 @@ def save_index(index: BM25Index, path: str, fmt: str = "parquet",
 
 
 def load_index(spark: SparkSession, path: str, fmt: str = "parquet") -> BM25Index:
+    if fmt == "iceberg":
+        return load_index_iceberg(spark, path)
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
-    if params.get("version") != FORMAT_VERSION:
-        raise ValueError(f"unsupported index version {params.get('version')}")
     term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
     doc_lens = spark.read.parquet(os.path.join(path, "doc_lens"))
     doc_map = None
@@ -155,6 +234,14 @@ def load_index(spark: SparkSession, path: str, fmt: str = "parquet") -> BM25Inde
     if os.path.isdir(dm_path):
         doc_map = spark.read.parquet(dm_path)
     sharded = spark.read.parquet(os.path.join(path, "postings_sharded")).drop("shard_bucket")
+    return _reassemble_index(spark, params, term_stats, doc_lens, doc_map, sharded)
+
+
+def _reassemble_index(spark: SparkSession, params: dict, term_stats: DataFrame,
+                      doc_lens: DataFrame, doc_map: DataFrame | None,
+                      sharded: DataFrame) -> BM25Index:
+    if params.get("version") != FORMAT_VERSION:
+        raise ValueError(f"unsupported index version {params.get('version')}")
 
     # reconstruct the flat postings view lazily from the sharded layout
     # (doc_gaps → absolute ids); used only by the join strategy / cross

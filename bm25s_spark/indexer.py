@@ -175,6 +175,22 @@ def build_index(
         "doc_id", udf(F.col(text_col)).alias("tokens")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    doc_map = base if keep_doc_map else None
+    return _index_from_tokenized(
+        spark, tokenized, doc_map, k1, b, delta, tok_kwargs
+    )
+
+
+def _index_from_tokenized(
+    spark: SparkSession,
+    tokenized: DataFrame,
+    doc_map: DataFrame | None,
+    k1: float,
+    b: float,
+    delta: float,
+    tok_kwargs: dict,
+) -> BM25Index:
+    """Shared back half of the build: (doc_id, tokens) → BM25Index."""
     doc_lens = tokenized.select(
         "doc_id", F.size("tokens").alias("dl")
     ).persist()
@@ -187,7 +203,24 @@ def build_index(
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
     tf = narrow_tf(tokenized)
+    return _index_from_tf(
+        spark, tf, doc_lens, doc_map, num_docs, avgdl, k1, b, delta, tok_kwargs
+    )
 
+
+def _index_from_tf(
+    spark: SparkSession,
+    tf: DataFrame,
+    doc_lens: DataFrame,
+    doc_map: DataFrame | None,
+    num_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    delta: float,
+    tok_kwargs: dict,
+) -> BM25Index:
+    """(doc_id, dl, term, tf) rows → the eager index tables."""
     # DF per term: reference/bm25s/scoring.py:28-57 — map-side partial
     # aggregation bounds the shuffle at one row per term per partition
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -228,8 +261,6 @@ def build_index(
             ).cast("double"),
         )
 
-    doc_map = base.drop("tokens") if keep_doc_map else None
-
     return BM25Index(
         spark=spark,
         postings=postings,
@@ -242,6 +273,97 @@ def build_index(
         b=b,
         delta=delta,
         tokenizer_kwargs=tok_kwargs,
+    )
+
+
+def build_index_from_tokens(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    doc_id_col: str | None = None,
+    order_cols: list[str] | None = None,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    delta: float = DEFAULT_DELTA,
+    keep_doc_map: bool = True,
+    query_tokenizer_kwargs: dict | None = None,
+) -> BM25Index:
+    """Build from a *pre-tokenized* corpus: (…, tokens: array<string>).
+
+    The reference's ``index()`` accepts already-tokenized input —
+    token-string lists, ``Tokenized`` tuples, or id lists
+    (``reference/bm25s/__init__.py:517-560``) — so users with an existing
+    tokenization pipeline can reuse it.  Tokens are taken verbatim (no
+    lowercasing/stopwords/stemming applied).
+
+    ``query_tokenizer_kwargs``: tokenizer config applied to *query text*
+    at retrieve time (defaults to the standard config); pass the config
+    that produced the corpus tokens for consistent retrieval.
+    """
+    spark = docs.sparkSession
+    if doc_id_col is not None:
+        base = docs.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    else:
+        base = assign_doc_ids(docs, order_cols)
+    tokenized = base.select(
+        "doc_id", F.col(tokens_col).alias("tokens")
+    ).persist()
+    doc_map = base.drop(tokens_col) if keep_doc_map else None
+    return _index_from_tokenized(
+        spark, tokenized, doc_map, k1, b, delta,
+        dict(query_tokenizer_kwargs or {}),
+    )
+
+
+def build_index_from_token_ids(
+    ids_df: DataFrame,
+    vocab_df: DataFrame,
+    ids_col: str = "token_ids",
+    doc_id_col: str | None = None,
+    order_cols: list[str] | None = None,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    delta: float = DEFAULT_DELTA,
+    keep_doc_map: bool = True,
+    query_tokenizer_kwargs: dict | None = None,
+) -> BM25Index:
+    """Build from integer token ids + a vocab table — the reference's
+    ``Tokenized(ids, vocab)`` input (``reference/bm25s/__init__.py:517-547``).
+
+    ``ids_df``: (…, token_ids: array<int>); ``vocab_df``: (term, term_id).
+    TF is computed from the exploded ids (one groupBy on (doc_id, id) —
+    bounded by per-doc distinct terms) and the vocab join is vocab-sized
+    (broadcast), so no token-array rebuild is needed.
+    """
+    spark = ids_df.sparkSession
+    if doc_id_col is not None:
+        base = ids_df.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    else:
+        base = assign_doc_ids(ids_df, order_cols)
+    base = base.persist()
+    doc_lens = base.select("doc_id", F.size(ids_col).alias("dl")).persist()
+    agg = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+    tf = (
+        base.select(
+            "doc_id", F.size(ids_col).alias("dl"),
+            F.explode(ids_col).alias("tid"),
+        )
+        .groupBy("doc_id", "dl", "tid")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(
+            F.broadcast(
+                vocab_df.select(F.col("term_id").alias("tid"), "term")
+            ),
+            "tid",
+        )
+        .select("doc_id", "dl", "term", "tf")
+    )
+    doc_map = base.drop(ids_col) if keep_doc_map else None
+    return _index_from_tf(
+        spark, tf, doc_lens, doc_map, num_docs, avgdl, k1, b, delta,
+        dict(query_tokenizer_kwargs or {}),
     )
 
 

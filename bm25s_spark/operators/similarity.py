@@ -13,9 +13,13 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def _dot(a, b):
@@ -77,23 +81,37 @@ def brute_force_knn(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return rng.standard_normal((n_planes, dim))
 
 
-def _bucket_expr(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id from fixed hyperplanes, as a column expression."""
-    bits = []
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(_dot(vec_col, arr) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+def _bucket_arrays_udf(planes_all: np.ndarray):
+    """``planes_all``: (n_tables, n_planes, dim) float64 → pandas UDF
+    mapping an embedding column to the ``n_tables`` sign-bit bucket ids.
+
+    One Arrow-batched ``X @ planes.T`` matmul per batch against the
+    closure-shipped NumPy plane matrix.  The earlier version inlined
+    dim × n_planes × n_tables ``F.lit`` nodes into the Catalyst plan —
+    fine at 64 dims, a multi-MB plan (minutes of analysis) at a 768-dim
+    production embedding column.  The plane matrix is a few hundred KB
+    at worst, well inside task-closure budget.
+    """
+    n_tables, n_planes, _dim = planes_all.shape
+    flat = planes_all.reshape(n_tables * n_planes, -1)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def compute(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in s])
+            bits = (x @ flat.T) >= 0.0
+            b = bits.reshape(len(s), n_tables, n_planes).astype(np.int64) @ weights
+            yield pd.Series(list(b.astype(np.int32)))
+
+    return F.pandas_udf(compute, ArrayType(IntegerType()))
 
 
 def lsh_knn(
@@ -124,31 +142,27 @@ def lsh_knn(
     q0 = query_df.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
-    c_tables, q_tables = [], []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        c_tables.append(
-            c.withColumn("bucket", _bucket_expr(F.col("cvec"), planes))
-            .withColumn("table", F.lit(t))
-        )
-        qt = q0.withColumn("bucket0", _bucket_expr(F.col("qvec"), planes))
-        probes = [F.col("bucket0")]
-        if multiprobe >= 1:
-            probes += [
-                F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-            ]
-        q_tables.append(
-            qt.select(
-                "query_id", "qvec",
-                F.explode(F.array(*probes)).alias("bucket"),
-            ).withColumn("table", F.lit(t))
-        )
-    c_all = c_tables[0]
-    for x in c_tables[1:]:
-        c_all = c_all.unionByName(x)
-    q_all = q_tables[0]
-    for x in q_tables[1:]:
-        q_all = q_all.unionByName(x)
+    planes_all = np.stack(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    udf = _bucket_arrays_udf(planes_all)
+    # one corpus pass hashes all tables at once (the per-table union of
+    # the literal-plane version rescanned the corpus n_tables times)
+    c_all = c.withColumn("bkts", udf(F.col("cvec"))).select(
+        "vec_id", "cvec", F.posexplode("bkts").alias("table", "bucket")
+    )
+    qt = q0.withColumn("bkts", udf(F.col("qvec"))).select(
+        "query_id", "qvec", F.posexplode("bkts").alias("table", "bucket0")
+    )
+    probes = [F.col("bucket0")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    q_all = qt.select(
+        "query_id", "qvec", "table",
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
     cand = (
         F.broadcast(q_all).join(c_all, ["table", "bucket"])
         .select("query_id", "qvec", "vec_id", "cvec")
@@ -179,8 +193,10 @@ def cosine_near_duplicates(
     LSH bucket (vectors this similar collide with high probability)."""
     planes_df = emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     dim = len(emb_df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucketed = planes_df.withColumn("bucket", _bucket_expr(F.col("v"), planes))
+    udf = _bucket_arrays_udf(_hyperplanes(dim, n_planes, seed)[None, :, :])
+    bucketed = planes_df.withColumn(
+        "bucket", F.element_at(udf(F.col("v")), 1)
+    )
     pairs = (
         bucketed.alias("a").join(bucketed.alias("b"), "bucket")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))

@@ -143,6 +143,9 @@ def retrieve(
     strategy: str = "join",
     pad: bool = True,
     prune: bool = True,
+    exact: bool = False,
+    round_to: int | None = None,
+    query_chunk_size: int = 16384,
     with_docs: bool = False,
     query_id_col: str = "query_id",
     text_col: str = "text",
@@ -168,6 +171,7 @@ def retrieve(
         out = retrieve_sharded(
             index, queries_df, k=k, method=method, idf_method=idf_method,
             weight_mask_df=weight_mask_df, pad=pad, prune=prune,
+            exact=exact, round_to=round_to, query_chunk_size=query_chunk_size,
             query_id_col=query_id_col, text_col=text_col,
         )
         return _maybe_docs(index, out, with_docs)

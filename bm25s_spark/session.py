@@ -68,16 +68,28 @@ def _ship_package(spark: SparkSession) -> None:
     """Ship ``bm25s_spark`` to executors as a zip (the ``spark-submit
     --py-files`` deployment path) so UDF closures deserialize no matter
     where the driver was launched from."""
+    import hashlib
     import pathlib
     import tempfile
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    zip_path = pathlib.Path(tempfile.gettempdir()) / f"bm25s_spark-{abs(hash(str(pkg_dir)))}.zip"
+    # key the cached zip by a content digest, not the path hash: a stale
+    # zip surviving across edits would silently run outdated UDF code on
+    # executors
+    digest = hashlib.md5()
+    sources = sorted(pkg_dir.rglob("*.py"))
+    for py in sources:
+        digest.update(str(py.relative_to(pkg_dir)).encode())
+        digest.update(py.read_bytes())
+    zip_path = (
+        pathlib.Path(tempfile.gettempdir())
+        / f"bm25s_spark-{digest.hexdigest()[:16]}.zip"
+    )
     if not zip_path.exists():
         tmp = zip_path.with_suffix(".tmp")
         with zipfile.ZipFile(tmp, "w") as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
+            for py in sources:
                 zf.write(py, f"bm25s_spark/{py.relative_to(pkg_dir)}")
         tmp.rename(zip_path)
     try:

@@ -197,21 +197,20 @@ def ensure_sharded(index: BM25Index) -> DataFrame:
     return index.sharded
 
 
-def _query_payload(index: BM25Index, qterms_rows, method: str, idf_method: str):
-    """Driver-side broadcast payload.
+def _query_payload(index: BM25Index, qterms_rows, method: str, idf_method: str,
+                   qidx: dict, exact: bool = False):
+    """Driver-side broadcast payload for one chunk of queries.
 
-    qterms_rows: collected (query_id, term, mult, df) for in-vocab terms.
-    Returns (ordered query ids, {term: [(q_idx, mult)]}, {term:
-    cross_info}).  ``cross_info`` is None for the standard combos (the
-    stored eager impact is used verbatim); for ``idf_method != method``
-    it carries ``(idf_i, nnoc_mi)`` so the kernel recomputes the exact
-    impact ``idf_i·tfc_m(tf, dl) − nnoc_mi`` from the stored tf/dl arrays
-    (no rescale approximation — robust even when the stored variant's idf
-    is zero, e.g. robertson's clamp or atire with df=N).
+    qterms_rows: collected (query_id, term, mult, df) for in-vocab terms
+    of this chunk; ``qidx`` maps query_id → *global* query index.
+    Returns ({term: [(q_idx, mult)]}, {term: cross_info}).  ``cross_info``
+    is None for the standard combos (the stored eager impact is used
+    verbatim); for ``idf_method != method`` — or ``exact=True`` — it
+    carries ``(idf_i, nnoc_mi)`` so the kernel recomputes the exact
+    float64 impact ``idf_i·tfc_m(tf, dl) − nnoc_mi`` from the stored
+    tf/dl arrays (no rescale approximation — robust even when the stored
+    variant's idf is zero, e.g. robertson's clamp or atire with df=N).
     """
-    slug = METHOD_SLUGS[method]
-    query_ids = sorted({r["query_id"] for r in qterms_rows})
-    qidx = {q: i for i, q in enumerate(query_ids)}
     n, avgdl = index.num_docs, index.avg_doc_len
     k1, b, delta = index.k1, index.b, index.delta
     per_term: dict[str, list[tuple[int, float]]] = {}
@@ -223,7 +222,7 @@ def _query_payload(index: BM25Index, qterms_rows, method: str, idf_method: str):
             continue  # the "" patch token: no postings, contributes via nnoc only
         term = r["term"]
         if term not in cross:
-            if idf_method == method:
+            if idf_method == method and not exact:
                 cross[term] = None
             else:
                 idf_i = scoring.idf_value(idf_method, df, n)
@@ -232,7 +231,40 @@ def _query_payload(index: BM25Index, qterms_rows, method: str, idf_method: str):
                 )
                 cross[term] = (idf_i, nnoc_mi)
         per_term.setdefault(term, []).append((qidx[r["query_id"]], mult))
-    return query_ids, per_term, cross, slug
+    return per_term, cross
+
+
+def _mask_shard_rows(weight_mask_df: DataFrame, docs_per_shard: int) -> DataFrame:
+    """(doc_id, weight) → one row per shard with aligned (locals, weights)
+    arrays, union-compatible with the kernel's input rows (``is_mask``
+    marks them; ``doc_gaps`` carries raw locals, ``imps`` the weights).
+
+    This replaces a driver-side ``collect()`` of the mask: the mask is
+    O(num_docs), so at cluster scale it must stay distributed.  Each
+    group is bounded by ``docs_per_shard`` — the same skew bound as the
+    postings layout — and the join to the kernel input is just a union +
+    the existing shard_id repartition (mask rows co-locate with their
+    shard's postings for free).
+    """
+    pairs = weight_mask_df.select(
+        (F.col("doc_id") / docs_per_shard).cast("long").alias("shard_id"),
+        F.struct(
+            (F.col("doc_id") % docs_per_shard).cast("int").alias("local"),
+            F.col("weight").cast("float").alias("weight"),
+        ).alias("lw"),
+    )
+    grouped = pairs.groupBy("shard_id").agg(
+        F.sort_array(F.collect_list("lw")).alias("lws")
+    )
+    return grouped.select(
+        "shard_id",
+        F.lit(None).cast("string").alias("term"),
+        F.transform("lws", lambda s: s["local"]).alias("doc_gaps"),
+        F.lit(None).cast("array<int>").alias("tfs"),
+        F.lit(None).cast("array<int>").alias("dls"),
+        F.transform("lws", lambda s: s["weight"]).alias("imps"),
+        F.lit(True).alias("is_mask"),
+    )
 
 
 def retrieve_sharded(
@@ -244,6 +276,9 @@ def retrieve_sharded(
     weight_mask_df: DataFrame | None = None,
     pad: bool = True,
     prune: bool = True,
+    exact: bool = False,
+    round_to: int | None = None,
+    query_chunk_size: int = 16384,
     query_id_col: str = "query_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -252,7 +287,21 @@ def retrieve_sharded(
     ``prune=True`` enables the TAAT MaxScore pruning inside the kernel
     (uses the per-(shard, term) block-max impacts; disabled automatically
     when a weight mask is present).  Result sets are identical up to
-    tie-group membership."""
+    tie-group membership.
+
+    ``exact=True`` recomputes every impact in float64 from the stored
+    (tf, dl) arrays instead of reading the float32 eager impacts — used
+    by the correctness gate to compare the kernel path against a
+    double-precision oracle bit-stably.  ``round_to`` (gate mode) rounds
+    scores to that many decimals *before* the local top-k and breaks
+    ties doc_id-ascending, so the kernel's candidate cut agrees exactly
+    with an oracle ranking on rounded scores.
+
+    ``query_chunk_size`` bounds the driver-side broadcast: batches larger
+    than this are streamed through the kernel in chunks (one postings
+    pass per chunk) and the candidate sets unioned, keeping driver memory
+    flat for 10^6-query jobs.
+    """
     idf_method = idf_method or method
     if k > index.num_docs:
         raise ValueError(
@@ -261,6 +310,7 @@ def retrieve_sharded(
     spark = index.spark
     sharded = ensure_sharded(index)
     docs_per_shard = index.docs_per_shard
+    qid_type = queries_df.schema[query_id_col].dataType
 
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
     qrows = (
@@ -268,39 +318,30 @@ def retrieve_sharded(
         .select("query_id", "term", "mult", "df")
         .collect()
     )
-    query_ids, per_term, cross, slug = _query_payload(index, qrows, method, idf_method)
-    is_cross = idf_method != method
-    bc = spark.sparkContext.broadcast(
-        (query_ids, per_term, cross, docs_per_shard, k,
-         (method, index.avg_doc_len, index.k1, index.b, index.delta),
-         is_cross, prune)
-    )
-
-    mask_rows = None
-    if weight_mask_df is not None:
-        mask_rows = {
-            r["doc_id"]: float(r["weight"]) for r in weight_mask_df.collect()
-        }
-    bc_mask = spark.sparkContext.broadcast(mask_rows)
+    slug = METHOD_SLUGS[method]
+    is_cross = idf_method != method or exact
+    query_ids = sorted({r["query_id"] for r in qrows})
+    qidx = {q: i for i, q in enumerate(query_ids)}
+    has_mask = weight_mask_df is not None
 
     imp_col = f"impacts_{slug}"
     if is_cross:
-        needed = sharded.select(
+        base_needed = sharded.select(
             "shard_id", "term", "doc_gaps", "tfs", "dls",
             F.col(imp_col).alias("imps"),
         )
     else:
-        needed = sharded.select(
+        base_needed = sharded.select(
             "shard_id", "term", "doc_gaps",
             F.lit(None).cast("array<int>").alias("tfs"),
             F.lit(None).cast("array<int>").alias("dls"),
             F.col(imp_col).alias("imps"),
         )
-    # only shards containing query terms matter; prune with a broadcast
-    # semi join on term before the scan-heavy kernel
-    terms_df = spark.createDataFrame(
-        [(t,) for t in per_term], "term string"
+    mask_rows_df = (
+        _mask_shard_rows(weight_mask_df, docs_per_shard).persist()
+        if has_mask else None
     )
+
     # one task ≈ one shard: explicit numPartitions (AQE won't coalesce an
     # explicit repartition) sized to the shard count so the kernel gets
     # fine-grained tasks — wave scheduling absorbs shard-to-shard skew
@@ -308,13 +349,6 @@ def retrieve_sharded(
     n_shards = (index.num_docs + docs_per_shard - 1) // docs_per_shard
     default_par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(default_par, min(n_shards, 4096))
-    needed = (
-        needed.join(F.broadcast(terms_df), "term", "left_semi")
-        # co-locate each shard's rows and make them contiguous so the
-        # kernel can stream shard-by-shard across Arrow batch boundaries
-        .repartition(n_parts, "shard_id")
-        .sortWithinPartitions("shard_id")
-    )
 
     out_schema = StructType([
         StructField("q_idx", IntegerType(), False),
@@ -322,154 +356,232 @@ def retrieve_sharded(
         StructField("score", DoubleType(), False),
     ])
 
-    def score_partition(batches):
-        (query_ids_l, per_term_l, cross_l, dps, k_l,
-         (method_l, avgdl_l, k1_l, b_l, delta_l), is_cross_l, prune_l) = bc.value
-        nq = len(query_ids_l)
-        mask = bc_mask.value
-        # per-query term lists within the current shard
-        cur_shard = None
-        cur_rows: list[tuple[str, np.ndarray, np.ndarray]] = []
+    def run_chunk(chunk_rows) -> DataFrame:
+        per_term, cross = _query_payload(
+            index, chunk_rows, method, idf_method, qidx, exact=exact
+        )
+        bc = spark.sparkContext.broadcast(
+            (per_term, cross, docs_per_shard, k,
+             (method, index.avg_doc_len, index.k1, index.b, index.delta),
+             prune, has_mask, round_to)
+        )
+        # only shards containing query terms matter; prune with a
+        # broadcast semi join on term before the scan-heavy kernel
+        terms_df = spark.createDataFrame([(t,) for t in per_term], "term string")
+        needed = base_needed.join(
+            F.broadcast(terms_df), "term", "left_semi"
+        ).withColumn("is_mask", F.lit(False))
+        if mask_rows_df is not None:
+            needed = needed.unionByName(mask_rows_df)
+        needed = (
+            # co-locate each shard's rows and make them contiguous so the
+            # kernel can stream shard-by-shard across Arrow batch
+            # boundaries; mask rows land with their shard's postings
+            needed.repartition(n_parts, "shard_id")
+            .sortWithinPartitions("shard_id")
+        )
+        return needed.mapInPandas(_make_kernel(bc, out_schema), out_schema)
 
-        def flush(shard_id, rows):
-            """Score one complete shard: NumPy scatter-add per query into a
-            dense float32 vector of the shard's doc range (the reference
-            kernel, bm25s/__init__.py:272-324, bounded per shard), then
-            argpartition local top-k (bm25s/selection.py:14-37)."""
-            if not rows:
-                return None
-            base = shard_id * dps
-            # invert to per-query posting lists once (not per query scan)
-            per_query: list[list] = [[] for _ in range(nq)]
-            for term, gaps, vals, tfs, dls in rows:
-                entries = per_term_l.get(term)
-                if not entries:
-                    continue
-                local = np.cumsum(gaps, dtype=np.int64)
-                info = cross_l.get(term)
-                if info is not None:
-                    # exact cross method×idf_method impact from tf/dl
-                    idf_i, nnoc_mi = info
-                    vals = (
-                        idf_i
-                        * scoring.tfc_numpy(
-                            method_l, tfs, dls, avgdl_l, k1_l, b_l, delta_l
+    def _make_kernel(bc, _schema):
+        def score_partition(batches):
+            (per_term_l, cross_l, dps, k_l,
+             (method_l, avgdl_l, k1_l, b_l, delta_l),
+             prune_l, has_mask_l, round_l) = bc.value
+            # per-query term lists within the current shard
+            cur_shard = None
+            cur_rows: list[tuple[str, np.ndarray, np.ndarray]] = []
+            cur_mask: tuple[np.ndarray, np.ndarray] | None = None
+
+            def flush(shard_id, rows, mask_lw):
+                """Score one complete shard: NumPy scatter-add per query
+                into a dense float32 vector of the shard's doc range (the
+                reference kernel, bm25s/__init__.py:272-324, bounded per
+                shard), then argpartition local top-k
+                (bm25s/selection.py:14-37).  ``mask_lw``: optional
+                (locals, weights) arrays — the shard's slice of the doc
+                weight mask, pre-joined into the layout (never collected
+                to the driver)."""
+                if not rows:
+                    return None
+                base = shard_id * dps
+                shard_w = None
+                if mask_lw is not None:
+                    shard_w = np.ones(dps, dtype=np.float32)
+                    shard_w[mask_lw[0]] = mask_lw[1]
+                # invert to per-query posting lists once (not per query
+                # scan); keyed by global q_idx — only queries touching
+                # this shard allocate anything
+                per_query: dict[int, list] = {}
+                for term, gaps, vals, tfs, dls in rows:
+                    entries = per_term_l.get(term)
+                    if not entries:
+                        continue
+                    local = np.cumsum(gaps, dtype=np.int64)
+                    info = cross_l.get(term)
+                    if info is not None:
+                        # exact (cross or float64-gate) impact from tf/dl
+                        idf_i, nnoc_mi = info
+                        vals = (
+                            idf_i
+                            * scoring.tfc_numpy(
+                                method_l, tfs, dls, avgdl_l, k1_l, b_l, delta_l
+                            )
+                            - nnoc_mi
                         )
-                        - nnoc_mi
-                    ).astype(np.float32)
-                ub = float(vals.max()) if vals.size else 0.0
-                for e_q, mult in entries:
-                    per_query[e_q].append((local, vals, mult, mult * ub))
-            rows_q, rows_d, rows_s = [], [], []
-            # invariant: acc == 0 and touched == False between queries —
-            # only the ≤|candidates| written positions are reset at the
-            # end of each query, not the whole dps-sized vectors (a full
-            # memset + full-array nonzero per (query, shard) is pure
-            # memory-bandwidth waste, the resource that stops scaling
-            # first on a many-core host)
-            acc = np.zeros(dps, dtype=np.float32)
-            touched = np.zeros(dps, dtype=bool)
-            # pruning is only safe with nonnegative impacts and no doc
-            # weights >1; masks disable it
-            do_prune = prune_l and not mask
-            for q_i in range(nq):
-                plists = per_query[q_i]
-                if not plists:
-                    continue
-                if do_prune and len(plists) > 1:
-                    # TAAT MaxScore over the shard (the block-max use):
-                    # process terms in descending upper bound; once the
-                    # in-shard kth score exceeds the sum of remaining
-                    # terms' block maxima, docs not yet touched cannot
-                    # enter this shard's top-k → masked adds only.
-                    plists = sorted(plists, key=lambda p: -p[3])
-                    ubs = [p[3] for p in plists]
-                    remaining = np.cumsum(ubs[::-1])[::-1]
-                    theta = None
-                    masked_mode = False
-                    for i, (local, vals, mult, _ub) in enumerate(plists):
-                        contrib = vals if mult == 1.0 else vals * np.float32(mult)
-                        if not masked_mode and i > 0:
-                            t_idx = np.nonzero(touched)[0]
-                            if t_idx.size >= k_l:
-                                sc_t = acc[t_idx]
-                                theta = float(
-                                    np.partition(sc_t, -k_l)[-k_l]
-                                )
-                                if theta >= remaining[i]:
-                                    masked_mode = True
-                        if masked_mode:
-                            sel = touched[local]
-                            if sel.any():
-                                acc[local[sel]] += contrib[sel]
-                        else:
-                            acc[local] += contrib
+                        if not exact:
+                            vals = vals.astype(np.float32)
+                    ub = float(vals.max()) if vals.size else 0.0
+                    for e_q, mult in entries:
+                        per_query.setdefault(e_q, []).append(
+                            (local, vals, mult, mult * ub)
+                        )
+                rows_q, rows_d, rows_s = [], [], []
+                # invariant: acc == 0 and touched == False between
+                # queries — only the ≤|candidates| written positions are
+                # reset at the end of each query, not the whole dps-sized
+                # vectors (a full memset + full-array nonzero per
+                # (query, shard) is pure memory-bandwidth waste, the
+                # resource that stops scaling first on a many-core host)
+                acc = np.zeros(dps, dtype=np.float64 if exact else np.float32)
+                touched = np.zeros(dps, dtype=bool)
+                # pruning is only safe with nonnegative impacts and no
+                # doc weights >1; masks disable it
+                do_prune = prune_l and not has_mask_l
+                for q_i, plists in per_query.items():
+                    if do_prune and len(plists) > 1:
+                        # TAAT MaxScore over the shard (the block-max
+                        # use): process terms in descending upper bound;
+                        # once the in-shard kth score exceeds the sum of
+                        # remaining terms' block maxima, docs not yet
+                        # touched cannot enter this shard's top-k →
+                        # masked adds only.
+                        plists = sorted(plists, key=lambda p: -p[3])
+                        ubs = [p[3] for p in plists]
+                        remaining = np.cumsum(ubs[::-1])[::-1]
+                        theta = None
+                        masked_mode = False
+                        for i, (local, vals, mult, _ub) in enumerate(plists):
+                            contrib = vals if mult == 1.0 else vals * np.float32(mult)
+                            if not masked_mode and i > 0:
+                                t_idx = np.nonzero(touched)[0]
+                                if t_idx.size >= k_l:
+                                    sc_t = acc[t_idx]
+                                    theta = float(
+                                        np.partition(sc_t, -k_l)[-k_l]
+                                    )
+                                    if theta >= remaining[i]:
+                                        masked_mode = True
+                            if masked_mode:
+                                sel = touched[local]
+                                if sel.any():
+                                    acc[local[sel]] += contrib[sel]
+                            else:
+                                acc[local] += contrib
+                                touched[local] = True
+                    else:
+                        for local, vals, mult, _ub in plists:
+                            if mult == 1.0:
+                                acc[local] += vals
+                            else:
+                                acc[local] += vals * np.float32(mult)
                             touched[local] = True
-                else:
-                    for local, vals, mult, _ub in plists:
-                        if mult == 1.0:
-                            acc[local] += vals
-                        else:
-                            acc[local] += vals * np.float32(mult)
-                        touched[local] = True
-                idx = np.nonzero(touched)[0]
-                if idx.size == 0:
-                    continue
-                sc = acc[idx]  # fancy indexing copies
-                # restore the invariant for the next query
-                acc[idx] = 0.0
-                touched[idx] = False
-                if mask:
-                    w = np.array(
-                        [mask.get(base + int(i), 1.0) for i in idx],
-                        dtype=np.float32,
-                    )
-                    sc = sc * w
-                kk = min(k_l, sc.shape[0])
-                if kk < sc.shape[0]:
-                    part = np.argpartition(sc, -kk)[-kk:]
-                else:
-                    part = np.arange(sc.shape[0])
-                rows_q.append(np.full(part.shape[0], q_i, dtype=np.int32))
-                rows_d.append(base + idx[part].astype(np.int64))
-                rows_s.append(sc[part].astype(np.float64))
-            if not rows_q:
-                return None
-            return pd.DataFrame({
-                "q_idx": np.concatenate(rows_q),
-                "doc_id": np.concatenate(rows_d),
-                "score": np.concatenate(rows_s),
-            })
+                    idx = np.nonzero(touched)[0]
+                    if idx.size == 0:
+                        continue
+                    sc = acc[idx]  # fancy indexing copies
+                    # restore the invariant for the next query
+                    acc[idx] = 0.0
+                    touched[idx] = False
+                    if shard_w is not None:
+                        # vectorized slice of the pre-joined mask — the
+                        # reference multiplies the dense score vector by
+                        # the mask before the nnoc add-back
+                        # (reference/bm25s/__init__.py:610-612)
+                        sc = sc * shard_w[idx]
+                    kk = min(k_l, sc.shape[0])
+                    if round_l is not None:
+                        # gate mode: oracle-equivalent selection — round
+                        # first, break ties doc_id-ascending (idx is
+                        # already ascending, so a stable descending sort
+                        # of -sc preserves it)
+                        sc = np.round(sc, round_l)
+                        part = np.argsort(-sc, kind="stable")[:kk]
+                    elif kk < sc.shape[0]:
+                        part = np.argpartition(sc, -kk)[-kk:]
+                    else:
+                        part = np.arange(sc.shape[0])
+                    rows_q.append(np.full(part.shape[0], q_i, dtype=np.int32))
+                    rows_d.append(base + idx[part].astype(np.int64))
+                    rows_s.append(sc[part].astype(np.float64))
+                if not rows_q:
+                    return None
+                return pd.DataFrame({
+                    "q_idx": np.concatenate(rows_q),
+                    "doc_id": np.concatenate(rows_d),
+                    "score": np.concatenate(rows_s),
+                })
 
-        for pdf in batches:
-            for shard_id, term, gaps, vals, tfs, dls in zip(
-                pdf["shard_id"].values, pdf["term"].values,
-                pdf["doc_gaps"].values, pdf["imps"].values,
-                pdf["tfs"].values, pdf["dls"].values,
-            ):
-                if cur_shard is not None and shard_id != cur_shard:
-                    out = flush(int(cur_shard), cur_rows)
-                    if out is not None:
-                        yield out
-                    cur_rows = []
-                cur_shard = shard_id
-                cur_rows.append((
-                    term,
-                    np.asarray(gaps, dtype=np.int64),
-                    np.asarray(vals, dtype=np.float32),
-                    None if tfs is None else np.asarray(tfs, dtype=np.int64),
-                    None if dls is None else np.asarray(dls, dtype=np.int64),
-                ))
-        if cur_shard is not None:
-            out = flush(int(cur_shard), cur_rows)
-            if out is not None:
-                yield out
+            for pdf in batches:
+                for shard_id, term, gaps, vals, tfs, dls, is_mask in zip(
+                    pdf["shard_id"].values, pdf["term"].values,
+                    pdf["doc_gaps"].values, pdf["imps"].values,
+                    pdf["tfs"].values, pdf["dls"].values,
+                    pdf["is_mask"].values,
+                ):
+                    if cur_shard is not None and shard_id != cur_shard:
+                        out = flush(int(cur_shard), cur_rows, cur_mask)
+                        if out is not None:
+                            yield out
+                        cur_rows = []
+                        cur_mask = None
+                    cur_shard = shard_id
+                    if is_mask:
+                        cur_mask = (
+                            np.asarray(gaps, dtype=np.int64),
+                            np.asarray(vals, dtype=np.float32),
+                        )
+                        continue
+                    cur_rows.append((
+                        term,
+                        np.asarray(gaps, dtype=np.int64),
+                        np.asarray(
+                            vals, dtype=np.float64 if exact else np.float32
+                        ),
+                        None if tfs is None else np.asarray(tfs, dtype=np.int64),
+                        None if dls is None else np.asarray(dls, dtype=np.int64),
+                    ))
+            if cur_shard is not None:
+                out = flush(int(cur_shard), cur_rows, cur_mask)
+                if out is not None:
+                    yield out
 
-    candidates = needed.mapInPandas(score_partition, out_schema)
+        return score_partition
 
-    # final exact merge: ≤ shards×k candidates per query — tiny
+    # chunk the query batch: each chunk is one bounded broadcast + one
+    # kernel pass; candidates union (driver memory stays flat however
+    # large the query batch is)
+    if len(query_ids) <= query_chunk_size:
+        candidates = run_chunk(qrows)
+    else:
+        chunk_of = {q: qidx[q] // query_chunk_size for q in query_ids}
+        n_chunks = qidx[query_ids[-1]] // query_chunk_size + 1
+        buckets: list[list] = [[] for _ in range(n_chunks)]
+        for r in qrows:
+            buckets[chunk_of[r["query_id"]]].append(r)
+        candidates = None
+        for rows_c in buckets:
+            part = run_chunk(rows_c)
+            candidates = part if candidates is None else candidates.unionByName(part)
+
+    # final exact merge: ≤ shards×k candidates per query — tiny.
+    # query ids keep their native type (string, int, …): schema is built
+    # from the queries_df column type, never forced to string
+    qid_schema = StructType([
+        StructField("q_idx", IntegerType(), False),
+        StructField("query_id", qid_type, False),
+    ])
     qid_df = spark.createDataFrame(
-        [(i, q) for i, q in enumerate(query_ids)], "q_idx int, query_id string"
+        [(i, q) for i, q in enumerate(query_ids)], qid_schema
     )
     merged = candidates.join(F.broadcast(qid_df), "q_idx").drop("q_idx")
 
@@ -478,7 +590,7 @@ def retrieve_sharded(
     # query-tokenization job, and no join at all for methods without a
     # nonoccurrence term (robertson/lucene/atire)
     if method in METHODS_REQUIRING_NNOC:
-        nnoc_sums: dict[str, float] = {}
+        nnoc_sums: dict = {}
         for r in qrows:
             dfv = float(r["df"])
             v = (
@@ -491,27 +603,31 @@ def retrieve_sharded(
             nnoc_sums[r["query_id"]] = (
                 nnoc_sums.get(r["query_id"], 0.0) + float(r["mult"]) * v
             )
-        nnoc = spark.createDataFrame(
-            [(q, s) for q, s in nnoc_sums.items()] or [("", 0.0)],
-            "query_id string, nnoc_sum double",
-        )
-        merged = (
-            merged.join(F.broadcast(nnoc), "query_id", "left")
-            .withColumn(
-                "score",
-                F.col("score") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)),
+        if nnoc_sums:
+            nnoc_schema = StructType([
+                StructField("query_id", qid_type, False),
+                StructField("nnoc_sum", DoubleType(), False),
+            ])
+            nnoc = spark.createDataFrame(
+                [(q, s) for q, s in nnoc_sums.items()], nnoc_schema
             )
-            .drop("nnoc_sum")
-        )
+            merged = (
+                merged.join(F.broadcast(nnoc), "query_id", "left")
+                .withColumn(
+                    "score",
+                    F.col("score") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)),
+                )
+                .drop("nnoc_sum")
+            )
 
     final_schema = StructType([
-        StructField("query_id", StringType(), False),
+        StructField("query_id", qid_type, False),
         StructField("rank", IntegerType(), False),
         StructField("doc_id", LongType(), False),
         StructField("score", DoubleType(), False),
     ])
 
-    def final_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def final_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # the reference's numpy top-k routine on the candidate set for tie
         # parity (reference/bm25s/selection.py:14-37): argpartition then
         # descending argsort of the k-partition

@@ -86,13 +86,20 @@ class IncrementalIndexer:
         known_vocab = self.vocab()
         tf = narrow_tf(toks)
         uv = self.update_vocab
-        if uv in (False, "never") and known_vocab is not None:
-            # drop-unknown-terms mode: unseen terms never enter the index
-            tf = tf.join(F.broadcast(known_vocab), "term", "left_semi")
+        # reference semantics (reference/bm25s/tokenization.py:273-365):
+        # a batch that does not update the vocab drops every out-of-vocab
+        # term — including the degenerate "never with an empty vocab"
+        # case, where everything is dropped
+        updates_vocab = uv is True or (uv == "if_empty" and known_vocab is None)
+        if not updates_vocab:
+            vocab_df = known_vocab if known_vocab is not None else (
+                self.spark.createDataFrame([], "term string")
+            )
+            tf = tf.join(F.broadcast(vocab_df), "term", "left_semi")
         tf.write.mode("append").parquet(self._p("raw_postings"))
         toks.select("doc_id", "dl").write.mode("append").parquet(self._p("doc_lens"))
 
-        if uv is True or (uv == "if_empty" and known_vocab is None) or known_vocab is None:
+        if updates_vocab:
             new_terms = tf.select("term").distinct()
             if known_vocab is not None:
                 new_terms = new_terms.join(known_vocab, "term", "left_anti")

@@ -51,19 +51,36 @@ STOPWORDS_EN: frozenset[str] = frozenset(
 DEFAULT_TOKEN_PATTERN = r"(?u)\b\w\w+\b"
 
 
+# reference language-name aliases (reference/bm25s/tokenization.py:524-560)
+_LANG_ALIASES = {
+    "english": "en", "english_plus": "en_plus", "german": "de",
+    "dutch": "nl", "french": "fr", "spanish": "es", "portuguese": "pt",
+    "italian": "it", "russian": "ru", "swedish": "sv", "norwegian": "no",
+    "chinese": "zh", "turkish": "tr", "korean": "ko",
+}
+
+
 def resolve_stopwords(stopwords: str | Iterable[str] | None) -> frozenset[str]:
-    """Accepts "en"/"english", an iterable of words, or None/"" (no filtering)."""
+    """Resolve a stopword spec to a frozenset.
+
+    Accepts the 14 language names/codes the reference supports plus
+    ``en_plus`` (``reference/bm25s/tokenization.py:524-560`` /
+    ``stopwords.py:1-3471`` — public NLTK / stopwords-iso lists), an
+    explicit iterable of words, or None/"" (no filtering)."""
     if stopwords is None:
         return frozenset()
     if isinstance(stopwords, str):
         key = stopwords.lower()
-        if key in ("en", "english"):
-            return STOPWORDS_EN
         if key in ("", "none"):
             return frozenset()
+        key = _LANG_ALIASES.get(key, key)
+        from bm25s_spark.stopword_data import STOPWORD_SETS
+
+        if key in STOPWORD_SETS:
+            return STOPWORD_SETS[key]
         raise ValueError(
-            f"Unknown stopword set {stopwords!r}; pass an explicit list for "
-            "non-English languages."
+            f"Unknown stopword set {stopwords!r}; supported: "
+            f"{sorted(STOPWORD_SETS)} (or pass an explicit list)."
         )
     return frozenset(stopwords)
 
@@ -71,9 +88,12 @@ def resolve_stopwords(stopwords: str | Iterable[str] | None) -> frozenset[str]:
 def load_stemmer(stemmer: str | Callable | None):
     """Resolve a stemmer spec to a list[str]->list[str] callable, or None.
 
-    Accepts a language name (uses PyStemmer when installed — gated behind
-    import-try since it is not available in every environment), a callable
-    (``stemWords``-style or plain), or None.
+    Accepts a language name, a callable (``stemWords``-style or plain),
+    or None.  ``"english"`` (the reference's recommended configuration,
+    ``reference/bm25s/tokenization.py:675-699``) always resolves to the
+    vendored pure-Python Snowball implementation so behavior does not
+    depend on whether PyStemmer is installed; other languages use
+    PyStemmer when available (gated behind import-try).
     """
     if stemmer is None:
         return None
@@ -81,13 +101,18 @@ def load_stemmer(stemmer: str | Callable | None):
         if hasattr(stemmer, "stemWords"):
             return stemmer.stemWords
         return stemmer
+    if stemmer.lower() in ("en", "english", "porter2", "snowball"):
+        from bm25s_spark.stemmer import SnowballEnglishStemmer
+
+        return SnowballEnglishStemmer().stemWords
     try:
         import Stemmer  # type: ignore
 
         return Stemmer.Stemmer(stemmer).stemWords
     except ImportError as exc:
         raise ImportError(
-            "PyStemmer is not installed; pass stemmer=None or a callable."
+            f"PyStemmer is not installed (needed for language {stemmer!r}); "
+            "pass stemmer='english', None, or a callable."
         ) from exc
 
 

@@ -103,3 +103,58 @@ def test_checkpoint_resume_identity(spark, tmp_path):
         tdf, ckdir, corpus_tag="t2", docs_per_shard=512, k1=1.2
     )
     assert all(not s.resumed for s in ck4.log)
+
+
+def test_iceberg_write_composition(spark, monkeypatch):
+    """The Iceberg branch composes the correct writeTo calls (no catalog
+    / runtime jar in this environment, so the DataFrameWriterV2 chain is
+    recorded instead of executed; on a cluster the same calls run
+    against a real catalog — see index_io.iceberg_session_conf)."""
+    from bm25s_spark.index_io import iceberg_session_conf, save_index
+    from bm25s_spark.transcripts import transcripts_df
+
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, table):
+            self.table = table
+            self.fmt = None
+            self.partition = None
+
+        def using(self, fmt):
+            self.fmt = fmt
+            return self
+
+        def partitionedBy(self, col):
+            self.partition = str(col)
+            return self
+
+        def createOrReplace(self):
+            calls.append((self.table, self.fmt, self.partition))
+
+    engine = SparkBM25()
+    idx = engine.index(transcripts_df(spark, "t1"))
+    # patch the concrete runtime DataFrame class (pyspark 4 subclasses
+    # the public pyspark.sql.DataFrame)
+    monkeypatch.setattr(
+        type(idx.term_stats), "writeTo", lambda self, table: FakeWriter(table)
+    )
+    save_index(idx, "local.db.myindex", fmt="iceberg")
+
+    tables = {t: (f, p) for t, f, p in calls}
+    expected = {
+        "local.db.myindex_params",
+        "local.db.myindex_term_stats",
+        "local.db.myindex_doc_lens",
+        "local.db.myindex_doc_map",
+        "local.db.myindex_postings_sharded",
+        "local.db.myindex_postings_terms",
+    }
+    assert set(tables) == expected
+    assert all(f == "iceberg" for f, _ in tables.values())
+    assert tables["local.db.myindex_postings_sharded"][1] is not None  # partitionedBy(shard_bucket)
+    assert "shard_bucket" in tables["local.db.myindex_postings_sharded"][1]
+
+    conf = iceberg_session_conf("cat", "/tmp/wh")
+    assert conf["spark.sql.catalog.cat.type"] == "hadoop"
+    assert conf["spark.sql.catalog.cat.warehouse"] == "/tmp/wh"

@@ -158,8 +158,10 @@ def test_incremental_vocab_modes(spark, tmp_path):
     b2 = spark.createDataFrame(
         [("c1", 0, "user", "beta delta epsilon", "", None)], schema
     )
-    # update_vocab=never: batch-2 terms outside batch-1 vocab are dropped
-    inc = IncrementalIndexer(spark, str(tmp_path / "nv"), update_vocab="never")
+    # update_vocab=if_empty: batch 1 bootstraps the vocab, later batches'
+    # out-of-vocab terms are dropped (reference streaming_tokenize modes,
+    # reference/bm25s/tokenization.py:273-365)
+    inc = IncrementalIndexer(spark, str(tmp_path / "nv"), update_vocab="if_empty")
     inc.process_batch(b1, 0)
     inc.process_batch(b2, 1)
     vocab = {r["term"] for r in inc.vocab().collect()}
@@ -167,6 +169,12 @@ def test_incremental_vocab_modes(spark, tmp_path):
     terms = {r["term"] for r in
              spark.read.parquet(str(tmp_path / "nv" / "raw_postings")).collect()}
     assert "delta" not in terms and "beta" in terms
+    # update_vocab=never with no existing vocab: everything is OOV and
+    # dropped — the reference's strict 'never' semantics
+    inc0 = IncrementalIndexer(spark, str(tmp_path / "strict"), update_vocab="never")
+    inc0.process_batch(b1, 0)
+    assert inc0.vocab() is None
+    assert spark.read.parquet(str(tmp_path / "strict" / "raw_postings")).count() == 0
     # update_vocab=True: vocab grows
     inc2 = IncrementalIndexer(spark, str(tmp_path / "uv"), update_vocab=True)
     inc2.process_batch(b1, 0)

@@ -68,3 +68,49 @@ def test_determinism_across_partitions(spark):
         engine.index(tdf.repartition(nparts))
         results.append(_normalize(_rows(engine.retrieve(qdf, k=10))))
     assert results[0] == results[1]
+
+
+def test_chunked_query_batches(spark):
+    """A query batch streamed through the kernel in chunks must equal the
+    single-broadcast run (chunking only bounds driver/broadcast memory)."""
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = [r["text"] for r in tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    queries = queries_for(texts, 50, seed=13)
+    engine = SparkBM25()
+    idx = engine.index(tdf)
+    idx.docs_per_shard = 512
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    one = _normalize(_rows(engine.retrieve(qdf, k=5, strategy="sharded")))
+    chunked = _normalize(_rows(engine.retrieve(
+        qdf, k=5, strategy="sharded", query_chunk_size=7
+    )))
+    assert one == chunked
+
+
+def test_sharded_weight_mask_golden(spark, ref_bm25s):
+    """Distributed (pre-joined) weight mask through the kernel matches
+    the reference's weight_mask retrieval exactly
+    (reference/bm25s/__init__.py:610-618)."""
+    import numpy as np
+
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = [r["text"] for r in tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    queries = queries_for(texts, 10, seed=21)
+    engine = SparkBM25()
+    idx = engine.index(tdf)
+    idx.docs_per_shard = 256
+    n = idx.num_docs
+    rng = np.random.default_rng(4)
+    weights = rng.choice([0.0, 0.5, 1.0, 2.0], size=n)
+    mask_df = spark.createDataFrame(
+        [(int(i), float(w)) for i, w in enumerate(weights)],
+        "doc_id long, weight double",
+    )
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    ours = _rows(engine.retrieve(
+        qdf, k=8, strategy="sharded", weight_mask_df=mask_df
+    ))
+    docs, scores = ref_topk(
+        ref_bm25s, texts, [q[1] for q in queries], 8, weight_mask=weights
+    )
+    assert_rank_identical(ours, docs, scores)

@@ -1,0 +1,180 @@
+"""Stemming end-to-end: the vendored Snowball English (Porter2)
+implementation against published algorithm vectors, token-stream parity
+with the reference tokenizer driven by the *same* stemmer callable
+(reference/bm25s/tokenization.py:675-699), and full retrieval parity
+with stemming enabled."""
+
+from __future__ import annotations
+
+import pytest
+
+from bm25s_spark.stemmer import SnowballEnglishStemmer, stem
+from bm25s_spark.tokenization import tokenize
+from bm25s_spark.transcripts import ANIMAL_CORPUS, transcripts_df
+
+from tests.conftest import assert_rank_identical
+
+
+# vectors from the published Snowball English sample vocabulary
+# (https://snowballstem.org/algorithms/english/stemmer.html) plus the
+# spec's inline examples
+VECTORS = [
+    # spec inline examples
+    ("ties", "tie"), ("cries", "cri"), ("gas", "gas"), ("this", "this"),
+    ("gaps", "gap"), ("kiwis", "kiwi"), ("agreed", "agre"),
+    ("sses", "ss"),
+    # exceptional forms
+    ("skis", "ski"), ("skies", "sky"), ("dying", "die"), ("lying", "lie"),
+    ("tying", "tie"), ("idly", "idl"), ("gently", "gentl"), ("ugly", "ugli"),
+    ("early", "earli"), ("only", "onli"), ("singly", "singl"),
+    ("sky", "sky"), ("news", "news"), ("atlas", "atlas"), ("bias", "bias"),
+    ("cosmos", "cosmos"), ("andes", "andes"),
+    # exception2 (stop after step 1a)
+    ("inning", "inning"), ("innings", "inning"), ("proceed", "proceed"),
+    ("exceed", "exceed"), ("succeed", "succeed"), ("canning", "canning"),
+    ("herring", "herring"), ("earring", "earring"), ("outing", "outing"),
+    # sample vocabulary column
+    ("consign", "consign"), ("consigned", "consign"),
+    ("consigning", "consign"), ("consignment", "consign"),
+    ("consist", "consist"), ("consisted", "consist"),
+    ("consistency", "consist"), ("consistent", "consist"),
+    ("consistently", "consist"), ("consisting", "consist"),
+    ("consists", "consist"), ("consolation", "consol"),
+    ("consolations", "consol"), ("consolatory", "consolatori"),
+    ("console", "consol"), ("consoled", "consol"), ("consoles", "consol"),
+    ("consolidate", "consolid"), ("consolidated", "consolid"),
+    ("consolidating", "consolid"), ("consoling", "consol"),
+    ("consolingly", "consol"), ("consols", "consol"),
+    ("consonant", "conson"), ("consort", "consort"),
+    ("consorted", "consort"), ("consorting", "consort"),
+    ("conspicuous", "conspicu"), ("conspicuously", "conspicu"),
+    ("conspiracy", "conspiraci"), ("conspirator", "conspir"),
+    ("conspirators", "conspir"), ("conspire", "conspir"),
+    ("conspired", "conspir"), ("conspiring", "conspir"),
+    ("constable", "constabl"), ("constables", "constabl"),
+    ("knack", "knack"), ("knackeries", "knackeri"), ("knacks", "knack"),
+    ("knag", "knag"), ("knave", "knave"), ("knaves", "knave"),
+    ("knavish", "knavish"), ("kneaded", "knead"), ("kneading", "knead"),
+    ("knee", "knee"), ("kneel", "kneel"), ("kneeled", "kneel"),
+    ("kneeling", "kneel"), ("kneels", "kneel"), ("knees", "knee"),
+    ("knell", "knell"), ("knelt", "knelt"), ("knew", "knew"),
+    ("knife", "knife"), ("knight", "knight"), ("knightly", "knight"),
+    ("knights", "knight"), ("knit", "knit"), ("knits", "knit"),
+    ("knitted", "knit"), ("knitting", "knit"), ("knives", "knive"),
+    ("knob", "knob"), ("knobs", "knob"), ("knock", "knock"),
+    ("knocked", "knock"), ("knocker", "knocker"), ("knockers", "knocker"),
+    ("knocking", "knock"), ("knocks", "knock"), ("knot", "knot"),
+    ("knots", "knot"),
+    # algorithm mechanics
+    ("hopping", "hop"), ("hoping", "hope"), ("hoped", "hope"),
+    ("generously", "generous"), ("generate", "generat"),
+    ("generic", "generic"), ("communication", "communic"),
+    ("arsenal", "arsenal"),
+    ("happy", "happi"), ("cry", "cri"), ("by", "by"), ("say", "say"),
+    ("luxuriated", "luxuri"),
+    ("rational", "ration"), ("sensational", "sensat"),
+    ("activate", "activ"), ("activeness", "activ"),
+    ("goodness", "good"), ("hopefulness", "hope"),
+    ("ion", "ion"), ("a", "a"), ("be", "be"), ("", ""),
+]
+
+
+@pytest.mark.parametrize("word,expected", VECTORS)
+def test_porter2_vectors(word, expected):
+    assert stem(word) == expected, word
+
+
+def test_stemwords_surface():
+    st = SnowballEnglishStemmer()
+    assert st.stemWords(["knitting", "consoles"]) == ["knit", "consol"]
+    assert st.stemWord("knitting") == "knit"
+
+
+def test_token_stream_parity_stemmed(spark, ref_bm25s):
+    """Our tokenizer with stemmer='english' must produce byte-identical
+    token streams to the reference's tokenize() driven by the same
+    Snowball callable (the reference accepts any object with stemWords,
+    reference/bm25s/tokenization.py:675-699)."""
+    texts = ANIMAL_CORPUS + [
+        "Knights were knitting generously in the consolidated arsenal",
+        "she cries; he agreed; they are dying to be tying knots early",
+        "",
+        "the of a and",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ours = [
+        list(r["tokens"])
+        for r in tokenize(df, "text", stemmer="english").orderBy("doc_id").collect()
+    ]
+    ref = ref_bm25s.tokenize(
+        texts, stopwords="en", stemmer=SnowballEnglishStemmer(),
+        return_ids=False, show_progress=False,
+    )
+    assert ours == ref
+
+
+@pytest.mark.parametrize("method", ["lucene", "bm25l"])
+def test_retrieval_parity_stemmed(spark, ref_bm25s, method):
+    """End-to-end: index + retrieve with stemming on both engines."""
+    import numpy as np
+
+    from bm25s_spark.indexer import SparkBM25
+    from bm25s_spark.transcripts import queries_for
+
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = [
+        r["text"]
+        for r in tdf.orderBy("conv_id", "turn_idx").select("text").collect()
+    ]
+    queries = queries_for(texts, 15, seed=3)
+    engine = SparkBM25(method=method)
+    engine.index(tdf, stemmer="english")
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    ours = [r.asDict() for r in engine.retrieve(qdf, k=10).collect()]
+
+    retriever = ref_bm25s.BM25(method=method, k1=1.5, b=0.75, delta=0.5)
+    corpus_tokens = ref_bm25s.tokenize(
+        texts, stopwords="en", stemmer=SnowballEnglishStemmer(),
+        show_progress=False,
+    )
+    retriever.index(corpus_tokens, show_progress=False)
+    query_tokens = ref_bm25s.tokenize(
+        [q[1] for q in queries], stopwords="en",
+        stemmer=SnowballEnglishStemmer(), show_progress=False,
+    )
+    docs, scores = retriever.retrieve(
+        query_tokens, k=10, show_progress=False, n_threads=0
+    )
+    assert_rank_identical(ours, docs, scores)
+
+
+def test_sharded_retrieval_stemmed(spark, ref_bm25s):
+    """The sharded kernel with a stemmed index agrees with the join
+    strategy (stemming changes the vocab, not the kernel contract)."""
+    from bm25s_spark.indexer import SparkBM25
+    from bm25s_spark.transcripts import queries_for
+
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = [
+        r["text"]
+        for r in tdf.orderBy("conv_id", "turn_idx").select("text").collect()
+    ]
+    queries = queries_for(texts, 8, seed=11)
+    engine = SparkBM25()
+    idx = engine.index(tdf, stemmer="english")
+    idx.docs_per_shard = 256
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+
+    def norm(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], round(r["score"], 4))
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    a = norm([r.asDict() for r in engine.retrieve(qdf, k=5, strategy="join").collect()])
+    b = norm([r.asDict() for r in engine.retrieve(qdf, k=5, strategy="sharded").collect()])
+    assert a == b

@@ -119,3 +119,49 @@ def test_dense_score_matrix_parity(spark, ref_bm25s):
                 expected = retriever.get_scores(qtoks)
             np.testing.assert_allclose(ours[i], expected, rtol=1e-4, atol=1e-5,
                                        err_msg=f"{method} {qid}")
+
+
+LANGS = [
+    "en", "en_plus", "de", "nl", "fr", "es", "pt", "it", "ru", "sv",
+    "no", "zh", "tr", "ko",
+]
+
+
+@pytest.mark.parametrize("lang", LANGS)
+def test_multilang_stopword_parity(lang, spark, ref_bm25s):
+    """Every language set must match the reference's word-for-word (the
+    reference ships 14 public NLTK / stopwords-iso lists,
+    reference/bm25s/stopwords.py:1-3471), and the token streams produced
+    under each must be identical."""
+    from bm25s_spark.tokenization import resolve_stopwords
+
+    ref_list = ref_bm25s.tokenization._infer_stopwords(lang)
+    assert resolve_stopwords(lang) == frozenset(ref_list), lang
+
+    # a text carrying a sample of the language's stopwords + content words
+    sample = sorted(ref_list)[::7][:20]
+    texts = [
+        " ".join(sample + ["Quantum", "particle", "spectrum"]),
+        " ".join(sample[:5]) + " database QUERY engine",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ours = [
+        list(r["tokens"])
+        for r in tokenize(df, "text", stopwords=lang).orderBy("doc_id").collect()
+    ]
+    ref = ref_bm25s.tokenize(
+        texts, stopwords=lang, return_ids=False, show_progress=False
+    )
+    assert ours == ref, lang
+
+
+def test_full_language_alias_names(spark, ref_bm25s):
+    from bm25s_spark.tokenization import resolve_stopwords
+
+    for alias, code in [
+        ("german", "de"), ("french", "fr"), ("english_plus", "en_plus"),
+        ("korean", "ko"), ("NORWEGIAN", "no"),
+    ]:
+        assert resolve_stopwords(alias) == resolve_stopwords(code)
