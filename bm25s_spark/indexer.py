@@ -103,7 +103,9 @@ class BM25Index:
         save_index(self, path, fmt=fmt)
 
 
-def narrow_tf(tokenized: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+def narrow_tf(tokenized: DataFrame, tokens_col: str = "tokens",
+              max_narrow_len: int = 4096,
+              max_doc_len: int | None = None) -> DataFrame:
     """TF per (doc, term) WITHOUT a shuffle → (doc_id, dl, term, tf).
 
     A doc's tokens already sit in one row, so the reference's per-doc
@@ -113,10 +115,24 @@ def narrow_tf(tokenized: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     of being joined back from doc_lens.  This removes two posting-size
     shuffles (the groupBy(doc_id, term) and the doc_lens join) from the
     build — the only remaining big shuffle is the sharded groupBy, i.e.
-    the index layout itself.  O(distinct × len) per doc: trivial for
-    turn-sized texts vs any shuffle.
+    the index layout itself.
+
+    The narrow computation is O(distinct × len) per doc — trivial for
+    turn-sized texts vs any shuffle, but quadratic-ish for megadocs, so
+    docs longer than ``max_narrow_len`` take the classic
+    explode → groupBy path instead (a shuffle bounded by the megadoc
+    slice only; both branches read the same persisted tokenized stage).
+    When the caller already knows the corpus max doc length
+    (``max_doc_len``, free from the stats agg) and it fits the narrow
+    path, the two-branch union — which would scan the cached tokens
+    twice per downstream job, a measured ~25% flat-build tax — is
+    skipped entirely.
     """
     toks = F.col(tokens_col)
+    if max_doc_len is not None and max_doc_len <= max_narrow_len:
+        short = tokenized
+    else:
+        short = tokenized.where(F.size(toks) <= max_narrow_len)
     tf_pairs = F.transform(
         F.array_distinct(toks),
         lambda t: F.struct(
@@ -124,11 +140,22 @@ def narrow_tf(tokenized: DataFrame, tokens_col: str = "tokens") -> DataFrame:
             F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
         ),
     )
-    return tokenized.select(
+    narrow = short.select(
         "doc_id",
         F.size(toks).alias("dl"),
         F.explode(tf_pairs).alias("p"),
     ).select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+    if max_doc_len is not None and max_doc_len <= max_narrow_len:
+        return narrow
+    long_docs = tokenized.where(F.size(toks) > max_narrow_len)
+    wide = (
+        long_docs.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return narrow.unionByName(wide)
 
 
 def build_index(
@@ -195,14 +222,17 @@ def _index_from_tokenized(
         "doc_id", F.size("tokens").alias("dl")
     ).persist()
 
-    # one tiny action for the two global scalars (reference does the same
-    # single pass for avg_doc_len, reference/bm25s/__init__.py:357)
+    # one tiny action for the global scalars (reference does the same
+    # single pass for avg_doc_len, reference/bm25s/__init__.py:357);
+    # max(dl) rides along for free and lets narrow_tf skip the megadoc
+    # union branch when the corpus has no megadocs
     agg = doc_lens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+        F.max("dl").alias("maxdl"),
     ).collect()[0]
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
-    tf = narrow_tf(tokenized)
+    tf = narrow_tf(tokenized, max_doc_len=int(agg["maxdl"] or 0))
     return _index_from_tf(
         spark, tf, doc_lens, doc_map, num_docs, avgdl, k1, b, delta, tok_kwargs
     )

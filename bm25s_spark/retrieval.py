@@ -53,11 +53,22 @@ def tokenize_queries(index: BM25Index, queries_df: DataFrame,
                      text_col: str = "text") -> DataFrame:
     """queries(query_id, text) → (query_id, term, mult) using the *same*
     tokenizer configuration the index was built with (update_vocab=never:
-    unseen terms simply won't join)."""
-    udf = make_tokenizer_udf(**index.tokenizer_kwargs)
+    unseen terms simply won't join).
+
+    Pre-tokenized queries are accepted too (the reference's ``retrieve``
+    takes token lists / ``Tokenized``, ``reference/bm25s/__init__.py:
+    759-803``): if ``text_col`` is already ``array<string>`` it is
+    exploded verbatim, no tokenizer run."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(queries_df.schema[text_col].dataType, ArrayType):
+        token_col = F.col(text_col)
+    else:
+        udf = make_tokenizer_udf(**index.tokenizer_kwargs)
+        token_col = udf(F.col(text_col))
     toks = queries_df.select(
         F.col(query_id_col).alias("query_id"),
-        F.explode(udf(F.col(text_col))).alias("term"),
+        F.explode(token_col).alias("term"),
     )
     return toks.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("mult"))
 

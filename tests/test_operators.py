@@ -181,3 +181,88 @@ def test_incremental_vocab_modes(spark, tmp_path):
     inc2.process_batch(b2, 1)
     vocab2 = {r["term"] for r in inc2.vocab().collect()}
     assert {"alpha", "beta", "gamma", "delta", "epsilon"} <= vocab2
+
+
+def test_pretokenized_paths(spark):
+    """Index built from pre-tokenized input (token arrays, or token ids +
+    vocab — reference __init__.py:517-560) must equal the text-path build."""
+    from pyspark.sql import functions as F
+
+    from bm25s_spark.indexer import (
+        build_index, build_index_from_token_ids, build_index_from_tokens,
+    )
+    from bm25s_spark.tokenization import tokenize
+    from bm25s_spark.transcripts import queries_for, transcripts_df
+
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = [r["text"] for r in
+             tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    queries = queries_for(texts, 10, seed=9)
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+
+    def norm(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], round(r["score"], 4))
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    idx_text = build_index(tdf, order_cols=["conv_id", "turn_idx"])
+    base = norm(idx_text.retrieve(qdf, k=8))
+
+    tok_df = tokenize(tdf)
+    idx_tok = build_index_from_tokens(
+        tok_df, order_cols=["conv_id", "turn_idx"],
+        query_tokenizer_kwargs=dict(stopwords="en"),
+    )
+    assert idx_tok.num_docs == idx_text.num_docs
+    assert abs(idx_tok.avg_doc_len - idx_text.avg_doc_len) < 1e-9
+    assert norm(idx_tok.retrieve(qdf, k=8)) == base
+
+    # token-ids + vocab input
+    vocab = idx_text.term_stats.select("term", "term_id").where(F.col("term") != "")
+    ids_df = (
+        tok_df.select(
+            "conv_id", "turn_idx", F.posexplode_outer("tokens").alias("pos", "term")
+        )
+        .join(vocab, "term", "left")
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("term_id").alias("tid")))
+            ).alias("ps")
+        )
+        .select(
+            "conv_id", "turn_idx",
+            F.filter(
+                F.transform("ps", lambda s: s["tid"]), lambda x: x.isNotNull()
+            ).alias("token_ids"),
+        )
+    )
+    idx_ids = build_index_from_token_ids(
+        ids_df, vocab, order_cols=["conv_id", "turn_idx"],
+        query_tokenizer_kwargs=dict(stopwords="en"),
+    )
+    assert idx_ids.num_docs == idx_text.num_docs
+    assert norm(idx_ids.retrieve(qdf, k=8)) == base
+
+
+def test_pretokenized_queries(spark):
+    """retrieve() accepts pre-tokenized queries (array<string> text col),
+    matching the text-query path (reference __init__.py:759-803)."""
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.tokenization import make_tokenizer_udf
+    from bm25s_spark.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, "t1")
+    idx = build_index(tdf, order_cols=["conv_id", "turn_idx"])
+    qdf = spark.createDataFrame(
+        [("q0", "the cat is a feline"), ("q1", "dog bird fish")],
+        "query_id string, text string",
+    )
+    udf = make_tokenizer_udf(stopwords="en")
+    qtok = qdf.select("query_id", udf(F.col("text")).alias("text"))
+    a = sorted(tuple(r) for r in idx.retrieve(qdf, k=2).collect())
+    b = sorted(tuple(r) for r in idx.retrieve(qtok, k=2).collect())
+    assert a == b

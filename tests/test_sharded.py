@@ -114,3 +114,26 @@ def test_sharded_weight_mask_golden(spark, ref_bm25s):
         ref_bm25s, texts, [q[1] for q in queries], 8, weight_mask=weights
     )
     assert_rank_identical(ours, docs, scores)
+
+
+def test_narrow_tf_megadoc_fallback(spark):
+    """Docs beyond the narrow-TF length cutoff take the explode+groupBy
+    path; TF output is identical either way."""
+    from pyspark.sql import functions as F
+
+    from bm25s_spark.indexer import narrow_tf
+
+    rows = [
+        (0, ["a", "b", "a", "c"]),
+        (1, ["x"] * 50 + ["y"] * 30),          # megadoc under tiny cutoff
+        (2, []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {
+        (r["doc_id"], r["term"]): (r["dl"], r["tf"])
+        for r in narrow_tf(df, max_narrow_len=10).collect()
+    }
+    assert got == {
+        (0, "a"): (4, 2), (0, "b"): (4, 1), (0, "c"): (4, 1),
+        (1, "x"): (80, 50), (1, "y"): (80, 30),
+    }
