@@ -145,7 +145,7 @@ def _gate_topk(spark: SparkSession, sf_dir: str, method: str,
 
 
 def _gate_topk_sharded(spark: SparkSession, sf_dir: str, method: str,
-                       mask: bool = False) -> DataFrame:
+                       mask: bool = False, chunk: int = 16384) -> DataFrame:
     """Same gate semantics, but through the *sharded scatter-gather
     kernel* (mapInPandas scatter-add + block-max pruning + final merge)
     with ``exact=True`` — float64 impacts recomputed from (tf, dl) so
@@ -165,6 +165,7 @@ def _gate_topk_sharded(spark: SparkSession, sf_dir: str, method: str,
     res = retrieve(
         idx, qdf, k=2 * TOPK, method=method, weight_mask_df=mask_df,
         strategy="sharded", exact=True, round_to=4, pad=False,
+        query_chunk_size=chunk,
     )
     rounded = res.withColumn("score", F.round(F.col("score"), 4))
     w = Window.partitionBy("query_id").orderBy(
@@ -354,6 +355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_weight_mask_sharded"] = (
         lambda spark, sf: _gate_topk_sharded(spark, sf, "lucene", mask=True)
     )
+    # chunked query streaming (3 queries per kernel pass) must be
+    # indistinguishable from the single-broadcast run
+    q["bm25_topk_lucene_sharded_chunked"] = (
+        lambda spark, sf: _gate_topk_sharded(spark, sf, "lucene", chunk=3)
+    )
     q["bm25_topk_lucene_pretokenized"] = _gate_topk_pretokenized
 
     # ---- index internals ----
@@ -504,6 +510,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_bm25plus_sharded"] = _bm25_oracle_sql("bm25+", shard_round=True)
     o["bm25_topk_weight_mask_sharded"] = _bm25_oracle_sql(
         "lucene", mask=True, shard_round=True
+    )
+    o["bm25_topk_lucene_sharded_chunked"] = _bm25_oracle_sql(
+        "lucene", shard_round=True
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
 

@@ -293,7 +293,58 @@ def _write_scaling_corpus(n_convs: int, turns: int) -> str:
     return path
 
 
+def run_bigbatch(cores: int, corpus_path: str) -> dict:
+    """Driver-memory-flatness evidence for chunked query batches: the
+    same index serves an 8,192-query batch (single broadcast) and a
+    100k-query batch (streamed through the kernel in 16k chunks); QPS
+    should be within ~10% and driver RSS must not grow with batch size."""
+    import resource
+
+    spark = _spark(cores)
+    try:
+        from bm25s_spark.indexer import build_index
+        from bm25s_spark.shards import ensure_sharded
+
+        corpus = spark.read.parquet(corpus_path)
+        idx = build_index(corpus, order_cols=["conv_id", "turn_idx"],
+                          keep_doc_map=False)
+        idx.docs_per_shard = max(2048, idx.num_docs // 128)
+        ensure_sharded(idx).count()
+
+        def rss_mb() -> float:
+            return round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            )
+
+        out = {"n_docs": idx.num_docs, "cores": cores}
+        for n in (8192, 100_000):
+            t = time.time()
+            idx.retrieve(_batch_queries(spark, n), k=10, strategy="sharded",
+                         pad=False).count()
+            dt = time.time() - t
+            out[f"q{n}_sec"] = round(dt, 2)
+            out[f"q{n}_qps"] = round(n / dt, 2)
+            out[f"q{n}_driver_rss_mb"] = rss_mb()
+        out["qps_ratio_100k_vs_8k"] = round(
+            out["q100000_qps"] / out["q8192_qps"], 3
+        )
+        return out
+    finally:
+        spark.stop()
+
+
 def main():
+    if "--bigbatch" in sys.argv:
+        n_convs = int(os.environ.get("SCALING_CONVS", "50000"))
+        turns = int(os.environ.get("SCALING_TURNS", "20"))
+        os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+        corpus_path = _write_scaling_corpus(n_convs, turns)
+        print(json.dumps({
+            "metric": "chunked query-batch QPS + driver RSS (8k vs 100k queries)",
+            **run_bigbatch(CPUS, corpus_path),
+        }))
+        return
+
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
         cores, corpus_path, n_queries = (

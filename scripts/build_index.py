@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--stopwords", default="en")
     ap.add_argument("--stemmer", default=None)
     ap.add_argument("--docs-per-shard", type=int, default=65536)
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
+                    help="iceberg: --output is a catalog.db.name table prefix")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -62,7 +64,7 @@ def main(argv=None):
         )
         index.docs_per_shard = args.docs_per_shard
 
-    save_index(index, args.output)
+    save_index(index, args.output, fmt=args.format)
     print(json.dumps({
         "num_docs": index.num_docs,
         "avg_doc_len": index.avg_doc_len,

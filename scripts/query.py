@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--method", default="lucene")
     ap.add_argument("--idf-method", default=None)
     ap.add_argument("--strategy", default="sharded", choices=["join", "sharded"])
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
+                    help="iceberg: --index is a catalog.db.name table prefix")
     ap.add_argument("--output", default=None)
     args = ap.parse_args(argv)
     if not args.queries and not args.text:
@@ -37,7 +39,7 @@ def main(argv=None):
     spark = SparkSession.builder.appName("bm25s_spark-query").getOrCreate()
     from bm25s_spark.index_io import load_index
 
-    index = load_index(spark, args.index)
+    index = load_index(spark, args.index, fmt=args.format)
     if args.queries:
         qdf = spark.read.parquet(args.queries)
     else:
