@@ -112,7 +112,12 @@ def _nnoc_per_query(index: BM25Index, qterms: DataFrame,
                 index.k1, index.b, index.delta,
             ),
         ).otherwise(F.lit(0.0))
-    joined = qterms.join(ts, "term", "left")  # keep OOV rows: they add 0
+    # inner join: OOV terms contribute 0, and every consumer left-joins
+    # this aggregate with coalesce(nnoc_sum, 0) — so dropping all-OOV
+    # queries here is equivalent AND keeps the join broadcastable from
+    # the tiny qterms side (a left-outer from qterms could only
+    # broadcast the vocab-sized term_stats)
+    joined = F.broadcast(qterms).join(ts, "term")
     return joined.groupBy("query_id").agg(
         F.sum(
             F.coalesce(F.col("mult") * nnoc, F.lit(0.0))
@@ -136,9 +141,12 @@ def _matched_scores(index: BM25Index, qterms: DataFrame,
             "doc_id",
             "left",
         ).withColumn("raw", F.col("raw") * F.coalesce(F.col("_w"), F.lit(1.0))).drop("_w")
+    # nnoc is one row per query — always broadcast (statistics on a
+    # derived aggregate won't tell Catalyst it's tiny, and a sort-merge
+    # join here would shuffle the whole candidate set by query_id)
     nnoc = _nnoc_per_query(index, qterms, method, idf_method)
     return (
-        matched.join(nnoc, "query_id", "left")
+        matched.join(F.broadcast(nnoc), "query_id", "left")
         .withColumn("score", F.col("raw") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
         .select("query_id", "doc_id", "score")
     )

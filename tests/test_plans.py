@@ -1,0 +1,105 @@
+"""Physical-plan assertions: the properties that make the engine hold at
+scale must be visible in `explain` output, so a regression that silently
+turns a broadcast into a sort-merge join, or un-pushes a parquet filter,
+fails here instead of in a cluster bill.
+
+Spark is pinned (4.x) so matching plan strings is stable enough; every
+assertion targets a coarse, semantically-meaningful marker (join
+strategy, PushedFilters, ReadSchema), not exact operator layout.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25s_spark.indexer import SparkBM25, build_index
+from bm25s_spark.transcripts import transcripts_df
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return build_index(transcripts_df(spark, "t2"),
+                       order_cols=["conv_id", "turn_idx"]).persist()
+
+
+def test_join_strategy_broadcasts_queries(spark, idx):
+    """The join-strategy scorer must broadcast the (tiny) query-term side
+    — a shuffled/sort-merge join over postings × qterms would shuffle the
+    whole postings table per query batch."""
+    qdf = spark.createDataFrame(
+        [("q0", "telemetry checkpoint shuffle")], "query_id string, text string"
+    )
+    plan = _plan(idx.retrieve(qdf, k=5, strategy="join", pad=False))
+    assert "BroadcastHashJoin" in plan
+    # every join in this plan is query-sized on one side; any SMJ means a
+    # broadcast hint regressed (the nnoc join did exactly this once)
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_filter_pushdown(spark):
+    """Filters and projections over the source tables must reach the
+    parquet scan (PushedFilters / pruned ReadSchema)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q = docs.where(F.col("doc_id") < 100).select("doc_id")
+    plan = _plan(q)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThan(doc_id,100)" in m.group(1), plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "text" not in rs.group(1), "projection not pruned"
+
+
+def test_sharded_kernel_prunes_terms_before_scan(spark, idx):
+    """The sharded path must semi-join the postings on the query terms
+    BEFORE the Python kernel (only shards×terms touched by the batch are
+    scanned), and the final candidate merge must broadcast the tiny
+    q_idx→query_id map."""
+    from bm25s_spark.shards import ensure_sharded, retrieve_sharded
+
+    idx.docs_per_shard = 256
+    ensure_sharded(idx)
+    qdf = spark.createDataFrame(
+        [("q0", "telemetry checkpoint")], "query_id string, text string"
+    )
+    plan = _plan(retrieve_sharded(idx, qdf, k=5, pad=False))
+    assert "LeftSemi" in plan, "term pruning semi-join missing"
+    assert "MapInPandas" in plan          # the scatter-add kernel
+    assert "FlatMapGroupsInPandas" in plan  # the final exact merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_impact_expressions_are_jvm_side(spark, idx):
+    """BM25 impact arithmetic must be JVM column expressions — the only
+    Python in the postings lineage is the Arrow-batched tokenizer UDF,
+    never row-at-a-time BatchEvalPython.  (WholeStageCodegen spans aren't
+    visible through an unexecuted AdaptiveSparkPlan, so the assertion is
+    on the absence of Python nodes.)"""
+    plan = _plan(idx.postings)
+    assert "BatchEvalPython" not in plan
+    import re
+
+    arrow_nodes = re.findall(r"ArrowEvalPython \[([^\]]*)\]", plan)
+    assert all("tokenize" in a for a in arrow_nodes) or len(arrow_nodes) <= 1
+
+
+def test_retrieve_has_no_python_row_udfs(spark, idx):
+    """The whole join-strategy retrieval plan may contain Arrow-batched
+    Python (the tokenizer UDF) but never row-at-a-time BatchEvalPython."""
+    qdf = spark.createDataFrame(
+        [("q0", "spark shuffle")], "query_id string, text string"
+    )
+    plan = _plan(idx.retrieve(qdf, k=5, strategy="join", pad=False))
+    assert "BatchEvalPython" not in plan
