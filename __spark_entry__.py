@@ -461,6 +461,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_cosine_lsh"] = knn_lsh
 
+    # IVF coarse quantizer (approximate by construction — rows-only;
+    # recall asserted vs brute force in pytest)
+    def knn_ivf(spark, sf):
+        emb = _embeddings(spark, sf)
+        qv = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        return similarity.ivf_knn(emb, qv, k=5, n_centroids=16, n_probe=4)
+
+    q["knn_cosine_ivf"] = knn_ivf
+
     # ---- text analysis ----
     q["text_token_stats"] = lambda spark, sf: with_token_stats(
         _documents(spark, sf)

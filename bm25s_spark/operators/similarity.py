@@ -181,6 +181,117 @@ def lsh_knn(
     )
 
 
+def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int,
+                      iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (Lloyd
+    iterations over L2-normalized vectors; empty clusters re-seeded from
+    the farthest points).  The sample is bounded (driver-safe); the
+    resulting centroid matrix is what gets broadcast."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n = x.shape[0]
+    k = min(n_centroids, n)
+    cent = x[rng.permutation(n)[:k]].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:
+                # re-seed from the point worst-served by its centroid
+                worst = int(np.argmin(sims[np.arange(n), assign]))
+                cent[c] = x[worst]
+            else:
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _centroid_assign_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: embedding → the ``n_probe`` nearest centroid ids
+    (cosine), via one Arrow-batched matmul against the broadcast
+    centroid matrix."""
+    cent = centroids.astype(np.float64)
+
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in s])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cent.T
+            p = min(n_probe, cent.shape[0])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            # order probes best-first (stable output)
+            rows = []
+            for i in range(top.shape[0]):
+                t = top[i]
+                rows.append(t[np.argsort(-sims[i, t])].astype(np.int32))
+            yield pd.Series(rows)
+
+    return F.pandas_udf(assign, ArrayType(IntegerType()))
+
+
+def ivf_knn(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the classic coarse
+    quantizer: k-means centroids partition the corpus into cells; each
+    query probes its ``n_probe`` nearest cells and re-scores candidates
+    exactly.
+
+    Scale shape: training is a bounded driver-side sample; assignment is
+    one Arrow matmul pass over the corpus (the cell id is a perfect
+    write-partition / cluster-key for the corpus table, so at 100 TB the
+    probe join prunes partitions instead of scanning); the probe join
+    key is the cell id, so each query touches ~``n_probe/n_centroids``
+    of the data.  Deterministic for a fixed seed.
+    """
+    c = emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    q0 = query_df.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    sample_rows = (
+        c.orderBy("vec_id").limit(train_sample).select("cvec").collect()
+    )
+    sample = np.array([np.asarray(r["cvec"], dtype=np.float64) for r in sample_rows])
+    cent = _kmeans_centroids(sample, n_centroids, seed)
+
+    c_cells = c.withColumn(
+        "cell", F.element_at(_centroid_assign_udf(cent, 1)(F.col("cvec")), 1)
+    )
+    q_cells = q0.withColumn(
+        "cells", _centroid_assign_udf(cent, n_probe)(F.col("qvec"))
+    ).select("query_id", "qvec", F.explode("cells").alias("cell"))
+
+    cand = (
+        F.broadcast(q_cells).join(c_cells, "cell")
+        .select("query_id", "qvec", "vec_id", "cvec")
+        .withColumn(
+            "cosine",
+            (_dot(F.col("qvec"), F.col("cvec"))
+             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def cosine_near_duplicates(
     emb_df: DataFrame,
     threshold: float = 0.95,

@@ -266,3 +266,70 @@ def test_pretokenized_queries(spark):
     a = sorted(tuple(r) for r in idx.retrieve(qdf, k=2).collect())
     b = sorted(tuple(r) for r in idx.retrieve(qtok, k=2).collect())
     assert a == b
+
+
+def test_incremental_streaming_attach(spark, tmp_path):
+    """The actual writeStream wiring: a parquet file source streamed with
+    availableNow through attach() must produce the same index tables as
+    direct process_batch calls."""
+    from bm25s_spark.streaming.incremental import IncrementalIndexer
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    rows = [
+        ("c0", 0, "user", "streams are tables in disguise", "", None),
+        ("c0", 1, "assistant", "tables are streams at rest", "", None),
+        ("c1", 0, "user", "exactly once is a lie told twice", "", None),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    inc = IncrementalIndexer(spark, str(tmp_path / "inc"))
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = inc.attach(stream, checkpoint=str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    idx = inc.to_index()
+    assert idx.num_docs == 3
+    qdf = spark.createDataFrame(
+        [("q0", "streams tables")], "query_id string, text string"
+    )
+    res = idx.retrieve(qdf, k=2).collect()
+    assert [r["doc_id"] for r in sorted(res, key=lambda r: r["rank"])][0] in (0, 1)
+    # restart with the same checkpoint: availableNow re-trigger must be a
+    # no-op (no new files), not a double ingest
+    q2 = inc.attach(spark.readStream.schema(schema).parquet(src),
+                    checkpoint=str(tmp_path / "ckpt"), trigger_once=True)
+    q2.awaitTermination(120)
+    assert inc.to_index().num_docs == 3
+
+
+def test_ivf_knn_recall(spark):
+    """IVF coarse quantizer: recall vs brute force at modest n_probe, and
+    full recall when probing every cell; deterministic across runs."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_knn(emb, qv, k=5)
+    b = {}
+    for r in brute.collect():
+        b.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    approx = similarity.ivf_knn(emb, qv, k=5, n_centroids=16, n_probe=4)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(q, set()) & b[q]) / len(b[q]) for q in b]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    # probing all cells == exact
+    full = similarity.ivf_knn(emb, qv, k=5, n_centroids=16, n_probe=16)
+    f = {}
+    for r in full.collect():
+        f.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert f == b
+
+    again = {tuple(r) for r in similarity.ivf_knn(
+        emb, qv, k=5, n_centroids=16, n_probe=4).collect()}
+    assert again == {tuple(r) for r in approx.collect()}
