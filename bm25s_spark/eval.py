@@ -46,6 +46,18 @@ def evaluate(results_df: DataFrame, qrels_df: DataFrame,
     qids = [q for q in qrels if any(g > 0 for g in qrels[q].values())]
     if not qids:
         return {f"{m}@{k}": 0.0 for k in k_values for m in ("ndcg", "recall", "p", "map")}
+    # MRR (pytrec_eval recip_rank): rank of the first positive hit over
+    # the full run, not truncated per k
+    mrr_s = []
+    for q in qids:
+        rel = qrels[q]
+        rr = 0.0
+        for i, (d, _) in enumerate(runs.get(q, [])):
+            if rel.get(d, 0) > 0:
+                rr = 1.0 / (i + 1)
+                break
+        mrr_s.append(rr)
+    out["mrr"] = round(sum(mrr_s) / len(qids), 5)
     for k in k_values:
         ndcg_s, rec_s, p_s, map_s = [], [], [], []
         for q in qids:

@@ -300,3 +300,26 @@ def _slugs():
     from bm25s_spark.scoring import METHOD_SLUGS, METHODS
 
     return [METHOD_SLUGS[m] for m in METHODS]
+
+
+def read_term_postings(spark: SparkSession, path: str,
+                       terms: list[str] | None = None,
+                       fmt: str = "parquet") -> DataFrame:
+    """Random access into the term-ordered postings layout
+    (``postings_terms``) — the distributed analog of slicing the
+    reference's CSC ``indptr[t]:indptr[t+1]`` for one term
+    (``reference/bm25s/__init__.py:432-438``).
+
+    The layout is written range-partitioned and sorted by ``term``
+    (``save_index``), so a ``term IN (...)`` predicate reaches the
+    parquet scan as a pushed filter and parquet row-group min/max
+    statistics skip every file outside the terms' ranges: a lookup
+    touches O(terms) row groups, not the index.
+    """
+    if fmt == "iceberg":
+        df = spark.read.table(f"{path}_postings_terms")
+    else:
+        df = spark.read.parquet(os.path.join(path, "postings_terms"))
+    if terms is not None:
+        df = df.where(F.col("term").isin(list(terms)))
+    return df

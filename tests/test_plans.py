@@ -103,3 +103,26 @@ def test_retrieve_has_no_python_row_udfs(spark, idx):
     )
     plan = _plan(idx.retrieve(qdf, k=5, strategy="join", pad=False))
     assert "BatchEvalPython" not in plan
+
+
+def test_term_postings_lookup_pushdown(spark, idx, tmp_path_factory):
+    """The term-ordered layout must serve single-term lookups with the
+    filter pushed to the parquet scan (file/row-group skipping), and the
+    returned posting list must match the flat postings."""
+    from bm25s_spark.index_io import read_term_postings, save_index
+
+    path = str(tmp_path_factory.mktemp("idx"))
+    save_index(idx, path)
+    lookup = read_term_postings(spark, path, ["telemetry"])
+    plan = _plan(lookup)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "term" in m.group(1), plan
+
+    row = lookup.collect()
+    assert len(row) == 1
+    got = sorted(row[0]["doc_ids"])
+    expect = sorted(
+        r["doc_id"]
+        for r in idx.postings.where(F.col("term") == "telemetry").collect()
+    )
+    assert got == expect and len(got) == row[0]["df"]

@@ -81,3 +81,12 @@ def test_eval_metrics(spark):
     assert m["recall@3"] == 0.5     # q1 2/2, q2 0/1
     assert 0 < m["ndcg@3"] < 1
     assert m["map@1"] == 0.5
+    assert m["mrr"] == 0.5          # q1 first hit at rank 1, q2 none
+    # zero-graded qrels rows must not count as relevant (pytrec_eval
+    # counts only rel>0 toward num_rel)
+    qrels0 = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 12, 0), ("q2", 99, 1)],
+        "query_id string, doc_id long, score int",
+    )
+    m0 = evaluate(results, qrels0, k_values=(3,))
+    assert m0["recall@3"] == 0.5    # q1 1/1 (doc 12 not relevant), q2 0/1
