@@ -18,10 +18,21 @@ citations into the reference repo (read-only at ``/root/reference``).
 
 from bm25s_spark.tokenization import tokenize, make_tokenizer_udf, STOPWORDS_EN
 from bm25s_spark.scoring import METHODS, idf_expr, tfc_expr, nnoc_value
-from bm25s_spark.indexer import SparkBM25, BM25Index
+from bm25s_spark.indexer import (
+    SparkBM25,
+    BM25Index,
+    build_index,
+    build_index_from_token_ids,
+    build_index_from_tokens,
+)
+from bm25s_spark.index_io import (
+    load_index,
+    read_term_postings,
+    save_index,
+)
 from bm25s_spark.session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "tokenize",
@@ -33,5 +44,11 @@ __all__ = [
     "nnoc_value",
     "SparkBM25",
     "BM25Index",
+    "build_index",
+    "build_index_from_tokens",
+    "build_index_from_token_ids",
+    "save_index",
+    "load_index",
+    "read_term_postings",
     "get_spark",
 ]

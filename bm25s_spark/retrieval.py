@@ -171,11 +171,18 @@ def retrieve(
 ) -> DataFrame:
     """Top-k retrieval → (query_id, rank, doc_id, score).
 
-    ``weight_mask_df``: optional (doc_id, weight) — missing docs weigh 1.0.
+    ``weight_mask_df``: optional (doc_id, weight) — missing docs weigh 1.0
+    (sharded strategy pre-joins it into the shard layout; never collected).
     ``with_docs=True`` joins the original document columns back on
     (the reference's positional corpus materialization,
     ``reference/bm25s/__init__.py:919-932`` — here an equi-join against
     ``doc_map`` instead of a positional mmap lookup).
+    ``queries_df`` may carry pre-tokenized queries: an ``array<string>``
+    ``text_col`` is used verbatim (reference token-list queries,
+    ``reference/bm25s/__init__.py:759-803``).
+    Sharded-strategy extras: ``exact`` (float64 impacts recomputed from
+    tf/dl), ``round_to`` (gate-mode rounding before local top-k),
+    ``query_chunk_size`` (bounded per-chunk broadcast for huge batches).
     """
     if method not in METHODS:
         raise ValueError(f"Invalid method {method!r}")
