@@ -79,6 +79,21 @@ _SLUG = {"robertson": "robertson", "lucene": "lucene", "atire": "atire",
 _INDEX_CACHE: dict = {}
 
 
+def _rounded_topk(scores: DataFrame) -> DataFrame:
+    """The gate's stable ordering, shared by every BM25 entry: rank by
+    (round(score,4) desc, doc_id asc) so FP noise below the rounding
+    granularity can never flip the cross-engine comparison."""
+    rounded = scores.withColumn("score", F.round(F.col("score"), 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -133,15 +148,7 @@ def _gate_topk(spark: SparkSession, sf_dir: str, method: str,
         )
     scores = score_all(idx, qdf, method=method, idf_method=idf_method,
                        weight_mask_df=mask_df)
-    rounded = scores.withColumn("score", F.round(F.col("score"), 4))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        rounded.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    return _rounded_topk(scores)
 
 
 def _gate_topk_sharded(spark: SparkSession, sf_dir: str, method: str,
@@ -162,20 +169,18 @@ def _gate_topk_sharded(spark: SparkSession, sf_dir: str, method: str,
         mask_df = idx.doc_lens.select(
             "doc_id", (F.col("doc_id") % 2).cast("double").alias("weight")
         )
+    # prune=False: MaxScore's theta ≥ remaining cutoff can drop docs whose
+    # exact score TIES the in-shard kth bound — on the gate's tiny-vocab
+    # corpora (many bit-identical impacts) that can evict the low-doc_id
+    # tie members the oracle's (rounded score, doc_id) order puts in its
+    # top-k.  Pruning equivalence has its own unrounded pytest
+    # (tests/test_pruning_loaders_eval.py); the gate needs determinism.
     res = retrieve(
         idx, qdf, k=2 * TOPK, method=method, weight_mask_df=mask_df,
-        strategy="sharded", exact=True, round_to=4, pad=False,
+        strategy="sharded", exact=True, round_to=4, pad=False, prune=False,
         query_chunk_size=chunk,
     )
-    rounded = res.withColumn("score", F.round(F.col("score"), 4))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        rounded.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    return _rounded_topk(res)
 
 
 def _gate_topk_pretokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,15 +203,7 @@ def _gate_topk_pretokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _INDEX_CACHE[key]
     qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
     scores = score_all(idx, qdf, method="lucene")
-    rounded = scores.withColumn("score", F.round(F.col("score"), 4))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        rounded.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    return _rounded_topk(scores)
 
 
 def _bm25_oracle_sql(method: str, idf_method: str | None = None,

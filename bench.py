@@ -298,8 +298,6 @@ def run_bigbatch(cores: int, corpus_path: str) -> dict:
     same index serves an 8,192-query batch (single broadcast) and a
     100k-query batch (streamed through the kernel in 16k chunks); QPS
     should be within ~10% and driver RSS must not grow with batch size."""
-    import resource
-
     spark = _spark(cores)
     try:
         from bm25s_spark.indexer import build_index
@@ -312,9 +310,14 @@ def run_bigbatch(cores: int, corpus_path: str) -> dict:
         ensure_sharded(idx).count()
 
         def rss_mb() -> float:
-            return round(
-                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
-            )
+            # CURRENT VmRSS, not ru_maxrss: the high-water mark is
+            # monotone and would hide per-batch growth below the
+            # build-time peak
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return round(int(line.split()[1]) / 1024, 1)
+            return 0.0
 
         out = {"n_docs": idx.num_docs, "cores": cores}
         for n in (8192, 100_000):

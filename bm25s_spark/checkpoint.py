@@ -190,13 +190,18 @@ def build_index_checkpointed(
     )
     doc_lens = tokenized.select("doc_id", "dl")
 
-    agg = doc_lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    agg = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+        F.max("dl").alias("maxdl"),
+    ).collect()[0]
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
     def s_tf():
         from bm25s_spark.indexer import narrow_tf
 
-        return narrow_tf(tokenized)
+        # max(dl) is already known from the stats agg: skip the megadoc
+        # union branch (double tokenized scan) when nothing needs it
+        return narrow_tf(tokenized, max_doc_len=int(agg["maxdl"] or 0))
 
     tf = ck.stage("tf", s_tf)
 

@@ -45,7 +45,9 @@ def evaluate(results_df: DataFrame, qrels_df: DataFrame,
     # files may carry explicit 0-graded rows
     qids = [q for q in qrels if any(g > 0 for g in qrels[q].values())]
     if not qids:
-        return {f"{m}@{k}": 0.0 for k in k_values for m in ("ndcg", "recall", "p", "map")}
+        out = {f"{m}@{k}": 0.0 for k in k_values for m in ("ndcg", "recall", "p", "map")}
+        out["mrr"] = 0.0
+        return out
     # MRR (pytrec_eval recip_rank): rank of the first positive hit over
     # the full run, not truncated per k
     mrr_s = []
@@ -77,7 +79,9 @@ def evaluate(results_df: DataFrame, qrels_df: DataFrame,
                 if rel.get(d, 0) > 0:
                     seen += 1
                     ap += seen / (i + 1)
-            map_s.append(ap / min(n_rel, k))
+            # trec_eval/pytrec_eval map_cut_k divides by the FULL relevant
+            # count, not min(n_rel, k)
+            map_s.append(ap / n_rel)
         n = len(qids)
         out[f"ndcg@{k}"] = round(sum(ndcg_s) / n, 5)
         out[f"recall@{k}"] = round(sum(rec_s) / n, 5)

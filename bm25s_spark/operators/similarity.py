@@ -265,6 +265,18 @@ def ivf_knn(
     sample_rows = (
         c.orderBy("vec_id").limit(train_sample).select("cvec").collect()
     )
+    if not sample_rows:
+        # empty corpus → empty result with the same schema as the
+        # non-empty case (types derived from the inputs)
+        return (
+            q0.join(c, F.lit(False))
+            .select(
+                "query_id",
+                F.lit(1).cast("int").alias("rank"),
+                "vec_id",
+                F.lit(0.0).cast("double").alias("cosine"),
+            )
+        )
     sample = np.array([np.asarray(r["cvec"], dtype=np.float64) for r in sample_rows])
     cent = _kmeans_centroids(sample, n_centroids, seed)
 

@@ -197,30 +197,34 @@ def ensure_sharded(index: BM25Index) -> DataFrame:
     return index.sharded
 
 
-def _query_payload(index: BM25Index, qterms_rows, method: str, idf_method: str,
-                   qidx: dict, exact: bool = False):
+def _query_payload(index: BM25Index, qpdf: pd.DataFrame, method: str,
+                   idf_method: str, qidx: dict, exact: bool = False):
     """Driver-side broadcast payload for one chunk of queries.
 
-    qterms_rows: collected (query_id, term, mult, df) for in-vocab terms
-    of this chunk; ``qidx`` maps query_id → *global* query index.
-    Returns ({term: [(q_idx, mult)]}, {term: cross_info}).  ``cross_info``
-    is None for the standard combos (the stored eager impact is used
-    verbatim); for ``idf_method != method`` — or ``exact=True`` — it
-    carries ``(idf_i, nnoc_mi)`` so the kernel recomputes the exact
-    float64 impact ``idf_i·tfc_m(tf, dl) − nnoc_mi`` from the stored
-    tf/dl arrays (no rescale approximation — robust even when the stored
-    variant's idf is zero, e.g. robertson's clamp or atire with df=N).
+    ``qpdf``: pandas frame of (query_id, term, mult, df) for the chunk's
+    in-vocab terms (an Arrow ``toPandas`` slice — columnar, ~10× denser
+    than collected Row objects); ``qidx`` maps query_id → *global* query
+    index.  Returns ({term: [(q_idx, mult)]}, {term: cross_info}).
+    ``cross_info`` is None for the standard combos (the stored eager
+    impact is used verbatim); for ``idf_method != method`` — or
+    ``exact=True`` — it carries ``(idf_i, nnoc_mi)`` so the kernel
+    recomputes the exact float64 impact ``idf_i·tfc_m(tf, dl) − nnoc_mi``
+    from the stored tf/dl arrays (no rescale approximation — robust even
+    when the stored variant's idf is zero, e.g. robertson's clamp or
+    atire with df=N).
     """
     n, avgdl = index.num_docs, index.avg_doc_len
     k1, b, delta = index.k1, index.b, index.delta
     per_term: dict[str, list[tuple[int, float]]] = {}
     cross: dict[str, tuple[float, float] | None] = {}
-    for r in qterms_rows:
-        mult = float(r["mult"])
-        df = float(r["df"])
+    for qid, term, mult, df in zip(
+        qpdf["query_id"].values, qpdf["term"].values,
+        qpdf["mult"].values, qpdf["df"].values,
+    ):
+        mult = float(mult)
+        df = float(df)
         if df <= 0:
             continue  # the "" patch token: no postings, contributes via nnoc only
-        term = r["term"]
         if term not in cross:
             if idf_method == method and not exact:
                 cross[term] = None
@@ -230,7 +234,7 @@ def _query_payload(index: BM25Index, qterms_rows, method: str, idf_method: str,
                     method, idf_method, df, n, avgdl, k1, b, delta
                 )
                 cross[term] = (idf_i, nnoc_mi)
-        per_term.setdefault(term, []).append((qidx[r["query_id"]], mult))
+        per_term.setdefault(term, []).append((qidx[qid], mult))
     return per_term, cross
 
 
@@ -313,14 +317,17 @@ def retrieve_sharded(
     qid_type = queries_df.schema[query_id_col].dataType
 
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
-    qrows = (
+    # Arrow toPandas, not collect(): the driver holds one compact
+    # columnar frame of (query_id, term, mult, df) — ~10× denser than
+    # per-row Python objects for big query batches
+    qpdf = (
         qterms.join(index.term_stats.select("term", "df"), "term")
         .select("query_id", "term", "mult", "df")
-        .collect()
+        .toPandas()
     )
     slug = METHOD_SLUGS[method]
     is_cross = idf_method != method or exact
-    query_ids = sorted({r["query_id"] for r in qrows})
+    query_ids = sorted(pd.unique(qpdf["query_id"]).tolist())
     qidx = {q: i for i, q in enumerate(query_ids)}
     has_mask = weight_mask_df is not None
 
@@ -356,9 +363,9 @@ def retrieve_sharded(
         StructField("score", DoubleType(), False),
     ])
 
-    def run_chunk(chunk_rows) -> DataFrame:
+    def run_chunk(chunk_pdf: pd.DataFrame) -> DataFrame:
         per_term, cross = _query_payload(
-            index, chunk_rows, method, idf_method, qidx, exact=exact
+            index, chunk_pdf, method, idf_method, qidx, exact=exact
         )
         bc = spark.sparkContext.broadcast(
             (per_term, cross, docs_per_shard, k,
@@ -558,19 +565,16 @@ def retrieve_sharded(
         return score_partition
 
     # chunk the query batch: each chunk is one bounded broadcast + one
-    # kernel pass; candidates union (driver memory stays flat however
-    # large the query batch is)
+    # kernel pass; candidates union — broadcast memory is bounded by the
+    # chunk size however large the query batch is
     if len(query_ids) <= query_chunk_size:
-        candidates = run_chunk(qrows)
+        candidates = run_chunk(qpdf)
     else:
-        chunk_of = {q: qidx[q] // query_chunk_size for q in query_ids}
-        n_chunks = qidx[query_ids[-1]] // query_chunk_size + 1
-        buckets: list[list] = [[] for _ in range(n_chunks)]
-        for r in qrows:
-            buckets[chunk_of[r["query_id"]]].append(r)
+        chunk_col = qpdf["query_id"].map(qidx) // query_chunk_size
+        n_chunks = (len(query_ids) + query_chunk_size - 1) // query_chunk_size
         candidates = None
-        for rows_c in buckets:
-            part = run_chunk(rows_c)
+        for ci in range(n_chunks):
+            part = run_chunk(qpdf[chunk_col == ci])
             candidates = part if candidates is None else candidates.unionByName(part)
 
     # final exact merge: ≤ shards×k candidates per query — tiny.
@@ -591,8 +595,10 @@ def retrieve_sharded(
     # nonoccurrence term (robertson/lucene/atire)
     if method in METHODS_REQUIRING_NNOC:
         nnoc_sums: dict = {}
-        for r in qrows:
-            dfv = float(r["df"])
+        for qid, mult, dfv in zip(
+            qpdf["query_id"].values, qpdf["mult"].values, qpdf["df"].values
+        ):
+            dfv = float(dfv)
             v = (
                 scoring.nnoc_value(
                     method, idf_method, dfv, index.num_docs,
@@ -600,16 +606,18 @@ def retrieve_sharded(
                 )
                 if dfv > 0 else 0.0
             )
-            nnoc_sums[r["query_id"]] = (
-                nnoc_sums.get(r["query_id"], 0.0) + float(r["mult"]) * v
-            )
+            nnoc_sums[qid] = nnoc_sums.get(qid, 0.0) + float(mult) * v
         if nnoc_sums:
             nnoc_schema = StructType([
                 StructField("query_id", qid_type, False),
                 StructField("nnoc_sum", DoubleType(), False),
             ])
             nnoc = spark.createDataFrame(
-                [(q, s) for q, s in nnoc_sums.items()], nnoc_schema
+                [
+                    (q.item() if hasattr(q, "item") else q, s)
+                    for q, s in nnoc_sums.items()
+                ],
+                nnoc_schema,
             )
             merged = (
                 merged.join(F.broadcast(nnoc), "query_id", "left")

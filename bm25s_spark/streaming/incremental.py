@@ -84,7 +84,10 @@ class IncrementalIndexer:
         from bm25s_spark.indexer import narrow_tf
 
         known_vocab = self.vocab()
-        tf = narrow_tf(toks)
+        # one tiny agg on the persisted batch: lets narrow_tf skip the
+        # megadoc union branch for turn-sized micro-batches
+        mx = toks.agg(F.max("dl").alias("m")).collect()[0]["m"]
+        tf = narrow_tf(toks, max_doc_len=int(mx or 0))
         uv = self.update_vocab
         # reference semantics (reference/bm25s/tokenization.py:273-365):
         # a batch that does not update the vocab drops every out-of-vocab

@@ -80,7 +80,10 @@ def test_eval_metrics(spark):
     assert m["p@1"] == 0.5          # q1 hit at 1, q2 miss
     assert m["recall@3"] == 0.5     # q1 2/2, q2 0/1
     assert 0 < m["ndcg@3"] < 1
-    assert m["map@1"] == 0.5
+    # trec_eval map_cut divides by the FULL n_rel (2 for q1), not
+    # min(n_rel, k): q1 AP@1 = 1/2, q2 = 0 → mean 0.25
+    assert m["map@1"] == 0.25
+    assert m["map@3"] == round((1.0 + 2 / 3) / 2 / 2, 5)  # q1 hits at 1,3
     assert m["mrr"] == 0.5          # q1 first hit at rank 1, q2 none
     # zero-graded qrels rows must not count as relevant (pytrec_eval
     # counts only rel>0 toward num_rel)
