@@ -191,6 +191,14 @@ def retrieve(
         raise ValueError(
             f"k={k} is larger than the number of documents ({index.num_docs})"
         )
+    if strategy != "sharded" and (exact or round_to is not None):
+        # these flags only exist on the sharded kernel; silently ignoring
+        # them would hand back unrounded float scores to a caller that
+        # asked for the gate contract
+        raise ValueError(
+            f"exact/round_to are only supported by strategy='sharded' "
+            f"(got strategy={strategy!r})"
+        )
     if strategy == "sharded":
         from bm25s_spark.shards import retrieve_sharded
 

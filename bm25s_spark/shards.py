@@ -301,15 +301,34 @@ def retrieve_sharded(
     ties doc_id-ascending, so the kernel's candidate cut agrees exactly
     with an oracle ranking on rounded scores.
 
-    ``query_chunk_size`` bounds the driver-side broadcast: batches larger
-    than this are streamed through the kernel in chunks (one postings
-    pass per chunk) and the candidate sets unioned, keeping driver memory
-    flat for 10^6-query jobs.
+    ``query_chunk_size`` bounds the driver-side state per kernel pass:
+    batches larger than this are streamed through the kernel in chunks —
+    each chunk pulls *only its own* (query_id, term, mult, df) metadata
+    to the driver (Arrow ``toPandas`` on a chunk filter), broadcasts it,
+    materializes its candidate set (``localCheckpoint``), and destroys
+    its broadcast before the next chunk starts.  Driver peak is therefore
+    O(chunk) for the metadata and broadcasts; the only O(batch)
+    driver-side structures left are the sorted query-id list (ids only —
+    the reference holds the full query set in RAM,
+    ``reference/bm25s/__init__.py:759-803``) and the per-query nnoc sums.
+    Single-chunk batches keep the fully-lazy plan (one job); there the
+    chunk broadcast lives as long as the returned DataFrame — spill-able
+    by the JVM block manager, freed when the result goes out of scope.
     """
     idf_method = idf_method or method
     if k > index.num_docs:
         raise ValueError(
             f"k={k} is larger than the number of documents ({index.num_docs})"
+        )
+    if round_to is not None and prune:
+        # MaxScore's theta ≥ remaining cutoff runs on unrounded scores:
+        # a doc whose *rounded* score ties the in-shard kth bound could
+        # be evicted, breaking round_to's oracle-stable tie contract.
+        # The kernel also forces this off as a belt-and-braces guard.
+        raise ValueError(
+            "round_to (gate mode) requires prune=False: MaxScore pruning "
+            "on unrounded scores can evict docs that tie the kth rounded "
+            "score."
         )
     spark = index.spark
     sharded = ensure_sharded(index)
@@ -317,17 +336,28 @@ def retrieve_sharded(
     qid_type = queries_df.schema[query_id_col].dataType
 
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
-    # Arrow toPandas, not collect(): the driver holds one compact
-    # columnar frame of (query_id, term, mult, df) — ~10× denser than
-    # per-row Python objects for big query batches
-    qpdf = (
+    qstats = (
         qterms.join(index.term_stats.select("term", "df"), "term")
         .select("query_id", "term", "mult", "df")
-        .toPandas()
     )
+    # cheap batch-size probe on the *query* side only (no tokenization,
+    # no index scan) to pick the driver-memory strategy
+    n_q_probe = queries_df.select(query_id_col).distinct().count()
+    if n_q_probe <= query_chunk_size:
+        # Arrow toPandas, not collect(): the driver holds one compact
+        # columnar frame of (query_id, term, mult, df) — ~10× denser
+        # than per-row Python objects
+        qpdf = qstats.toPandas()
+        query_ids = sorted(pd.unique(qpdf["query_id"]).tolist())
+    else:
+        qpdf = None
+        qstats = qstats.persist()
+        query_ids = [
+            r[0]
+            for r in qstats.select("query_id").distinct().orderBy("query_id").collect()
+        ]
     slug = METHOD_SLUGS[method]
     is_cross = idf_method != method or exact
-    query_ids = sorted(pd.unique(qpdf["query_id"]).tolist())
     qidx = {q: i for i, q in enumerate(query_ids)}
     has_mask = weight_mask_df is not None
 
@@ -363,7 +393,7 @@ def retrieve_sharded(
         StructField("score", DoubleType(), False),
     ])
 
-    def run_chunk(chunk_pdf: pd.DataFrame) -> DataFrame:
+    def run_chunk(chunk_pdf: pd.DataFrame):
         per_term, cross = _query_payload(
             index, chunk_pdf, method, idf_method, qidx, exact=exact
         )
@@ -387,7 +417,7 @@ def retrieve_sharded(
             needed.repartition(n_parts, "shard_id")
             .sortWithinPartitions("shard_id")
         )
-        return needed.mapInPandas(_make_kernel(bc, out_schema), out_schema)
+        return needed.mapInPandas(_make_kernel(bc, out_schema), out_schema), bc
 
     def _make_kernel(bc, _schema):
         def score_partition(batches):
@@ -452,8 +482,11 @@ def retrieve_sharded(
                 acc = np.zeros(dps, dtype=np.float64 if exact else np.float32)
                 touched = np.zeros(dps, dtype=bool)
                 # pruning is only safe with nonnegative impacts and no
-                # doc weights >1; masks disable it
-                do_prune = prune_l and not has_mask_l
+                # doc weights >1; masks disable it.  round_to (gate
+                # mode) also disables it: MaxScore's cutoff runs on
+                # unrounded scores, so it could evict a doc whose
+                # *rounded* score ties the in-shard kth bound
+                do_prune = prune_l and not has_mask_l and round_l is None
                 for q_i, plists in per_query.items():
                     if do_prune and len(plists) > 1:
                         # TAAT MaxScore over the shard (the block-max
@@ -564,20 +597,6 @@ def retrieve_sharded(
 
         return score_partition
 
-    # chunk the query batch: each chunk is one bounded broadcast + one
-    # kernel pass; candidates union — broadcast memory is bounded by the
-    # chunk size however large the query batch is
-    if len(query_ids) <= query_chunk_size:
-        candidates = run_chunk(qpdf)
-    else:
-        chunk_col = qpdf["query_id"].map(qidx) // query_chunk_size
-        n_chunks = (len(query_ids) + query_chunk_size - 1) // query_chunk_size
-        candidates = None
-        for ci in range(n_chunks):
-            part = run_chunk(qpdf[chunk_col == ci])
-            candidates = part if candidates is None else candidates.unionByName(part)
-
-    # final exact merge: ≤ shards×k candidates per query — tiny.
     # query ids keep their native type (string, int, …): schema is built
     # from the queries_df column type, never forced to string
     qid_schema = StructType([
@@ -587,16 +606,18 @@ def retrieve_sharded(
     qid_df = spark.createDataFrame(
         [(i, q) for i, q in enumerate(query_ids)], qid_schema
     )
-    merged = candidates.join(F.broadcast(qid_df), "q_idx").drop("q_idx")
 
-    # nnoc add-back (reference/bm25s/__init__.py:614-618): computed
-    # driver-side from the already-collected qrows — no second
+    # per-query nnoc sums (reference/bm25s/__init__.py:614-618) are
+    # accumulated driver-side chunk by chunk — no second
     # query-tokenization job, and no join at all for methods without a
     # nonoccurrence term (robertson/lucene/atire)
-    if method in METHODS_REQUIRING_NNOC:
-        nnoc_sums: dict = {}
+    nnoc_sums: dict = {}
+
+    def accum_nnoc(pdf: pd.DataFrame) -> None:
+        if method not in METHODS_REQUIRING_NNOC:
+            return
         for qid, mult, dfv in zip(
-            qpdf["query_id"].values, qpdf["mult"].values, qpdf["df"].values
+            pdf["query_id"].values, pdf["mult"].values, pdf["df"].values
         ):
             dfv = float(dfv)
             v = (
@@ -607,6 +628,47 @@ def retrieve_sharded(
                 if dfv > 0 else 0.0
             )
             nnoc_sums[qid] = nnoc_sums.get(qid, 0.0) + float(mult) * v
+
+    # chunk the query batch: each chunk is one bounded metadata pull +
+    # one bounded broadcast + one kernel pass, materialized before the
+    # next chunk starts so per-chunk broadcasts can be destroyed eagerly
+    if qpdf is not None:
+        accum_nnoc(qpdf)
+        # single chunk: fully lazy (one job); the broadcast lives as
+        # long as the returned plan does
+        candidates, _bc = run_chunk(qpdf)
+    else:
+        n_chunks = (len(query_ids) + query_chunk_size - 1) // query_chunk_size
+        chunked = qstats.join(F.broadcast(qid_df), "query_id").withColumn(
+            "_chunk", (F.col("q_idx") / query_chunk_size).cast("int")
+        )
+        candidates = None
+        for ci in range(n_chunks):
+            # pull ONLY this chunk's (query_id, term, mult, df) rows —
+            # driver metadata peak is O(chunk), not O(batch)
+            cpdf = (
+                chunked.where(F.col("_chunk") == ci)
+                .select("query_id", "term", "mult", "df")
+                .toPandas()
+            )
+            accum_nnoc(cpdf)
+            part, bc = run_chunk(cpdf)
+            # materialize this chunk's candidates (≤ shards×k rows per
+            # query — tiny) so its broadcast can be destroyed NOW; the
+            # lazy-union version kept every chunk's broadcast referenced
+            # until the final action, accumulating ~the full batch in
+            # the driver/block manager for 10^6-query jobs
+            part = part.localCheckpoint(eager=True)
+            bc.destroy()
+            candidates = part if candidates is None else candidates.unionByName(part)
+        qstats.unpersist()
+        if mask_rows_df is not None:
+            mask_rows_df.unpersist()
+
+    # final exact merge: ≤ shards×k candidates per query — tiny
+    merged = candidates.join(F.broadcast(qid_df), "q_idx").drop("q_idx")
+
+    if method in METHODS_REQUIRING_NNOC:
         if nnoc_sums:
             nnoc_schema = StructType([
                 StructField("query_id", qid_type, False),
@@ -641,11 +703,19 @@ def retrieve_sharded(
         # descending argsort of the k-partition
         sc = pdf["score"].to_numpy()
         kk = min(k, sc.shape[0])
-        if kk < sc.shape[0]:
-            part = np.argpartition(sc, -kk)[-kk:]
+        if round_to is not None:
+            # gate mode: candidate row order after the shuffle is
+            # arbitrary, so a rounded tie group spanning the k boundary
+            # needs the oracle's full (score desc, doc_id asc) order —
+            # lexsort mirrors the per-shard stable selection
+            rs = np.round(sc, round_to)
+            order = np.lexsort((pdf["doc_id"].to_numpy(), -rs))[:kk]
         else:
-            part = np.arange(sc.shape[0])
-        order = part[np.argsort(-sc[part], kind="stable")]
+            if kk < sc.shape[0]:
+                part = np.argpartition(sc, -kk)[-kk:]
+            else:
+                part = np.arange(sc.shape[0])
+            order = part[np.argsort(-sc[part], kind="stable")]
         return pd.DataFrame({
             "query_id": np.full(kk, key[0]),
             "rank": np.arange(1, kk + 1, dtype=np.int32),
