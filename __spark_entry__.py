@@ -447,27 +447,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_cosine_brute"] = knn_brute
 
-    # LSH ANN: approximate by construction — rows-only check; recall is
-    # asserted against brute force in the pytest suite instead
+    # LSH ANN through the *full* machinery (multi-table hashing, probe
+    # expansion, bucket join, dedup, exact re-score, top-k) at a
+    # provably-complete probe radius (multiprobe = n_planes probes every
+    # bucket), so the result equals brute force BY CONSTRUCTION and the
+    # exact-top-k SQL oracle hash-checks the whole pipeline.  Recall at
+    # non-trivial radii is pytest-asserted vs brute force
+    # (tests/test_operators.py::test_lsh_knn_recall).
     def knn_lsh(spark, sf):
         emb = _embeddings(spark, sf)
         qv = emb.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding")
         )
-        return similarity.lsh_knn(emb, qv, k=5, n_planes=8)
+        res = similarity.lsh_knn(
+            emb, qv, k=5, n_planes=4, n_tables=2, multiprobe=4
+        )
+        return res.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
 
     q["knn_cosine_lsh"] = knn_lsh
 
-    # IVF coarse quantizer (approximate by construction — rows-only;
-    # recall asserted vs brute force in pytest)
+    # IVF through the full machinery (k-means training on the hashed
+    # sample, Arrow matmul assignment, probe join, re-score) probing ALL
+    # cells — candidate coverage complete by construction, result equals
+    # brute force, oracle-checkable.  Non-trivial n_probe recall is
+    # pytest-asserted (tests/test_operators.py::test_ivf_knn_recall).
     def knn_ivf(spark, sf):
         emb = _embeddings(spark, sf)
         qv = emb.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding")
         )
-        return similarity.ivf_knn(emb, qv, k=5, n_centroids=16, n_probe=4)
+        res = similarity.ivf_knn(emb, qv, k=5, n_centroids=16, n_probe=16)
+        return res.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
 
     q["knn_cosine_ivf"] = knn_ivf
+
+    # banded-LSH embedding near-duplicates: deterministic arithmetic
+    # hyperplanes make the banding reproducible in SQL, so candidate
+    # generation + exact-cosine filter get a full DuckDB twin
+    q["dedup_cosine_near_dup"] = lambda spark, sf: similarity.cosine_near_duplicates(
+        _embeddings(spark, sf), threshold=0.4, n_planes=16, bands=4
+    ).select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
 
     # ---- text analysis ----
     q["text_token_stats"] = lambda spark, sf: with_token_stats(
@@ -671,7 +700,7 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
 """
 
-    o["knn_cosine_brute"] = """
+    _knn_exact_sql = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, embedding AS cv FROM embeddings),
 scored AS (
@@ -687,6 +716,49 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+"""
+    o["knn_cosine_brute"] = _knn_exact_sql
+    # LSH with multiprobe = n_planes and IVF with n_probe = n_centroids
+    # have provably complete candidate coverage → both must reproduce
+    # the exact top-k bit-for-bit
+    o["knn_cosine_lsh"] = _knn_exact_sql
+    o["knn_cosine_ivf"] = _knn_exact_sql
+
+    # DuckDB twin of the banded sign-bit LSH near-dup pipeline: the
+    # arithmetic hyperplanes (operators/similarity.py::_arith_planes)
+    # regenerate from range(), then banding + exact cosine filter
+    o["dedup_cosine_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT p.range AS plane, d.range AS dim,
+         ((p.range * 73856093 + d.range * 19349663) % 1000003) / 1000003.0 * 2.0 - 1.0 AS w
+  FROM range(16) p CROSS JOIN range(64) d
+),
+proj AS (
+  SELECT e.vec_id, pl.plane, sum(e.v[pl.dim + 1] * pl.w) AS dot
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.plane
+),
+bits AS (
+  SELECT vec_id, plane // 4 AS band,
+         CASE WHEN dot >= 0 THEN 1 << (plane % 4) ELSE 0 END AS bitval
+  FROM proj
+),
+chunks AS (
+  SELECT vec_id, band, sum(bitval) AS chunk FROM bits GROUP BY vec_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+  WHERE a.vec_id < b.vec_id
+),
+cos AS (
+  SELECT p.vec_a, p.vec_b, list_cosine_similarity(ea.v, eb.v) AS craw
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.vec_a
+  JOIN e eb ON eb.vec_id = p.vec_b
+)
+SELECT vec_a, vec_b, round(craw, 4) AS cosine FROM cos WHERE craw >= 0.4
 """
 
     o["text_token_stats"] = """

@@ -13,7 +13,9 @@
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
+from itertools import combinations
 
 import numpy as np
 import pandas as pd
@@ -130,11 +132,19 @@ def lsh_knn(
     """Approximate cosine top-k: ``n_tables`` independent sign-bit hash
     tables (the standard recall lever — one table's bucketing is too
     selective on unclustered data); each query probes its bucket in every
-    table plus all single-bit flips (``multiprobe=1``).  Candidates from
-    any table are unioned and re-scored exactly.  Deterministic for a
-    fixed seed.  Scale: corpus is hashed once per table (narrow), the
-    join key is (table, bucket) and each probe touches ~corpus/2^planes
-    rows."""
+    table plus every bucket within Hamming radius ``multiprobe`` of it.
+    Candidates from any table are unioned and re-scored exactly.
+    Deterministic for a fixed seed.  Scale: corpus is hashed once per
+    table (narrow), the join key is (table, bucket) and each probe
+    touches ~corpus/2^planes rows; probe count per (query, table) is
+    ``Σ_r C(n_planes, r)`` for r ≤ multiprobe — keep the radius small at
+    scale.
+
+    ``multiprobe >= n_planes`` probes *every* bucket, making the
+    candidate set provably complete and the result exactly the
+    brute-force top-k — the configuration the correctness gate
+    hash-checks end-to-end against a SQL oracle (recall at non-trivial
+    radii is pytest-asserted against ``brute_force_knn`` instead)."""
     dim = len(emb_df.select(vec_col).first()[0])
     c = emb_df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
@@ -154,11 +164,15 @@ def lsh_knn(
     qt = q0.withColumn("bkts", udf(F.col("qvec"))).select(
         "query_id", "qvec", F.posexplode("bkts").alias("table", "bucket0")
     )
-    probes = [F.col("bucket0")]
-    if multiprobe >= 1:
-        probes += [
-            F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+    # XOR masks of popcount ≤ multiprobe, enumerated driver-side (the
+    # probe set is per-plan metadata, not data)
+    masks = [0]
+    for r in range(1, min(multiprobe, n_planes) + 1):
+        masks += [
+            sum(1 << b for b in bits)
+            for bits in combinations(range(n_planes), r)
         ]
+    probes = [F.col("bucket0").bitwiseXOR(F.lit(m)) for m in masks]
     q_all = qt.select(
         "query_id", "qvec", "table",
         F.explode(F.array(*probes)).alias("bucket"),
@@ -262,8 +276,20 @@ def ivf_knn(
     q0 = query_df.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
+    # deterministic *uniform* training sample: TakeOrdered on a seeded
+    # content hash of the id, not first-N by id (on time-ordered or
+    # source-clustered corpora the head of the id range is a biased
+    # sample and the centroids would only cover it); vec_id breaks the
+    # (practically impossible) hash-collision tie so the sample is
+    # order-free and reproducible
     sample_rows = (
-        c.orderBy("vec_id").limit(train_sample).select("cvec").collect()
+        c.orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(train_sample)
+        .select("cvec")
+        .collect()
     )
     if not sample_rows:
         # empty corpus → empty result with the same schema as the
@@ -304,30 +330,92 @@ def ivf_knn(
     )
 
 
+def _arith_planes(dim: int, n_planes: int) -> np.ndarray:
+    """SQL-expressible deterministic hyperplanes: plane[p][d] derives
+    from small-prime integer arithmetic (no RNG), so a SQL engine can
+    regenerate the identical matrix from ``range()`` — which is what
+    makes the banded near-duplicate pipeline fully oracle-checkable.
+    Values are uniform-ish in [-1, 1); all intermediates stay well under
+    2^63 (no overflow under ANSI semantics)."""
+    p = np.arange(n_planes, dtype=np.int64)[:, None]
+    d = np.arange(dim, dtype=np.int64)[None, :]
+    return (((p * 73856093 + d * 19349663) % 1000003) / 1000003.0) * 2.0 - 1.0
+
+
+_log = logging.getLogger(__name__)
+
+
 def cosine_near_duplicates(
     emb_df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
-    seed: int = 42,
+    n_planes: int = 32,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold, candidate-generated by shared
-    LSH bucket (vectors this similar collide with high probability)."""
-    planes_df = emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    """All candidate pairs with cosine ≥ threshold, candidate-generated
+    by *banded* sign-bit LSH: the ``n_planes``-bit signature is split
+    into ``bands`` chunks and a pair becomes a candidate when it agrees
+    on ≥1 whole chunk (the classic LSH banding curve — near-identical
+    vectors agree on most bits, so they collide in some band with high
+    probability, while random pairs rarely match all bits of any chunk).
+
+    Scale shape: the join key is (band, chunk) with 2^(n_planes/bands)
+    buckets per band — an earlier version joined on the *full* signature
+    of a single table, whose within-bucket candidate generation is
+    quadratic in bucket size (one clustered bucket holding 1% of 10^9
+    vectors → 10^12 candidate pairs).  Banding keeps each band's bucket
+    key coarse and recall multi-banded; for degenerate corpora where one
+    bucket still explodes (a million *true* near-dups must collide —
+    their pair set is inherently quadratic), ``max_bucket_size`` drops
+    oversized (band, chunk) buckets from candidate generation and LOGS
+    the number of dropped buckets/rows (never a silent cap).
+
+    Planes are deterministic integer-arithmetic hyperplanes (no RNG), so
+    the whole pipeline is reproducible in SQL — the correctness gate runs
+    a DuckDB twin of the banding + exact-cosine filter.
+    """
+    if n_planes % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_planes={n_planes}")
+    per = n_planes // bands
+    base = emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     dim = len(emb_df.select(vec_col).first()[0])
-    udf = _bucket_arrays_udf(_hyperplanes(dim, n_planes, seed)[None, :, :])
-    bucketed = planes_df.withColumn(
-        "bucket", F.element_at(udf(F.col("v")), 1)
+    # reuse the multi-table bucketing matmul: each band is a "table"
+    # whose bucket int packs that band's sign bits
+    planes = _arith_planes(dim, n_planes).reshape(bands, per, dim)
+    udf = _bucket_arrays_udf(planes)
+    chunks = base.withColumn("bkts", udf(F.col("v"))).select(
+        "vec_id", "v", F.posexplode("bkts").alias("band", "chunk")
     )
+    if max_bucket_size is not None:
+        sizes = chunks.groupBy("band", "chunk").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        big = sizes.where(F.col("_n") > max_bucket_size)
+        dropped = big.agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
+        ).collect()[0]
+        if dropped["buckets"]:
+            _log.warning(
+                "cosine_near_duplicates: dropping %d oversized (band, chunk) "
+                "buckets (> %d members, %d rows total) from candidate "
+                "generation; pairs confined to those buckets are NOT "
+                "reported",
+                dropped["buckets"], max_bucket_size, dropped["rows"],
+            )
+        chunks = chunks.join(
+            F.broadcast(big.select("band", "chunk")), ["band", "chunk"], "left_anti"
+        )
     pairs = (
-        bucketed.alias("a").join(bucketed.alias("b"), "bucket")
+        chunks.alias("a").join(chunks.alias("b"), ["band", "chunk"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
             F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
         )
-        .distinct()
+        .dropDuplicates(["vec_a", "vec_b"])
         .withColumn(
             "cosine",
             (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).cast("double"),

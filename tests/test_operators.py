@@ -89,6 +89,67 @@ def test_lsh_knn_recall(spark):
             assert r["vec_id"] == r["query_id"]
 
 
+def test_cosine_near_duplicates_banded_skew(spark, caplog):
+    """One dense cluster (60 near-identical vectors) + 40 random: the
+    banded pipeline must find the cluster's pairs, and max_bucket_size
+    must drop oversized buckets with a LOGGED (never silent) count."""
+    import logging
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    rows = [
+        (i, [float(x) for x in base + 0.01 * rng.standard_normal(64)])
+        for i in range(60)
+    ] + [
+        (i, [float(x) for x in rng.standard_normal(64)])
+        for i in range(60, 100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_duplicates(
+            emb, threshold=0.95, n_planes=32, bands=4
+        ).collect()
+    }
+    # only true near-dups survive the exact filter, and banding recall on
+    # cosine ≈ 0.9999 pairs is near-total (60*59/2 = 1770 max)
+    assert all(a < 60 and b < 60 for a, b in got)
+    assert len(got) > 1500
+
+    with caplog.at_level(
+        logging.WARNING, logger="bm25s_spark.operators.similarity"
+    ):
+        capped = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.cosine_near_duplicates(
+                emb, threshold=0.95, n_planes=32, bands=4, max_bucket_size=20
+            ).collect()
+        }
+    assert "dropping" in caplog.text  # the no-silent-caps rule
+    assert capped <= got
+    assert len(capped) < len(got)
+
+
+def test_lsh_multiprobe_complete_is_exact(spark):
+    """multiprobe = n_planes probes every bucket → candidate coverage is
+    complete by construction and the ANN equals brute force exactly (the
+    property the correctness gate hash-checks at sf0.01)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {tuple(r) for r in similarity.brute_force_knn(emb, qv, k=4).collect()}
+    full = {
+        tuple(r)
+        for r in similarity.lsh_knn(
+            emb, qv, k=4, n_planes=4, n_tables=2, multiprobe=4
+        ).collect()
+    }
+    assert full == brute
+
+
 def test_text_functions(spark, docs):
     stats = {r["doc_id"]: r for r in with_token_stats(docs).collect()}
     assert stats[0]["n_ws_tokens"] == 9
