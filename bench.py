@@ -128,6 +128,37 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         brute_force_knn(emb, qv, k=10).collect()
         steps["knn_cosine_brute"] = round(time.time() - t, 3)
 
+        # IVF as a REAL partition key: write the corpus partitionBy(cell),
+        # query with a probe partition-filter; scan volume is
+        # cells_probed/cells_total of the table (the 100 TB pruning story)
+        import glob
+        import tempfile
+
+        from bm25s_spark.operators.similarity import (
+            ivf_build_partitioned, ivf_knn_partitioned,
+        )
+
+        ivf_path = os.path.join(tempfile.gettempdir(), "bm25s_bench_ivf")
+        t = time.time()
+        ivf_build_partitioned(emb, ivf_path, n_centroids=16, seed=42)
+        steps["ivf_partitioned_build"] = round(time.time() - t, 3)
+        t = time.time()
+        pinfo: dict = {}
+        # small probe batch: the scan fraction is the UNION of the batch's
+        # probe cells, so a handful of queries shows per-query pruning
+        # (a big batch legitimately covers most cells)
+        qv4 = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ivf_res = ivf_knn_partitioned(spark, ivf_path, qv4, k=10, n_probe=2,
+                                      probe_info=pinfo)
+        ivf_res.collect()
+        steps["knn_ivf_partitioned"] = round(time.time() - t, 3)
+        cells_total = len(glob.glob(os.path.join(ivf_path, "corpus", "cell=*")))
+        ivf_scan_fraction = round(
+            len(pinfo.get("probe_cells", [])) / max(cells_total, 1), 3
+        )
+
         total = round(time.time() - t0, 3)
         build_docs_per_sec = round(
             n_docs / max(steps["index_build"] + steps["index_shard_compress"], 1e-9), 1
@@ -140,6 +171,8 @@ def run_workload(cores: int, sf_dir: str) -> dict:
             "n_blocks": n_blocks,
             "qps": qps,
             "build_docs_per_sec": build_docs_per_sec,
+            "ivf_cells_total": cells_total,
+            "ivf_scan_fraction": ivf_scan_fraction,
         }
     finally:
         spark.stop()
@@ -413,6 +446,8 @@ def main():
         "n_blocks": r["n_blocks"],
         "qps_sharded_batch": r["qps"],
         "build_docs_per_sec": r["build_docs_per_sec"],
+        "ivf_cells_total": r["ivf_cells_total"],
+        "ivf_scan_fraction": r["ivf_scan_fraction"],
         "cores": CPUS,
     }))
 

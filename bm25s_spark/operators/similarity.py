@@ -276,22 +276,8 @@ def ivf_knn(
     q0 = query_df.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
-    # deterministic *uniform* training sample: TakeOrdered on a seeded
-    # content hash of the id, not first-N by id (on time-ordered or
-    # source-clustered corpora the head of the id range is a biased
-    # sample and the centroids would only cover it); vec_id breaks the
-    # (practically impossible) hash-collision tie so the sample is
-    # order-free and reproducible
-    sample_rows = (
-        c.orderBy(
-            F.md5(F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string"))),
-            "vec_id",
-        )
-        .limit(train_sample)
-        .select("cvec")
-        .collect()
-    )
-    if not sample_rows:
+    cent = _train_ivf_centroids(c, n_centroids, seed, train_sample)
+    if cent is None:
         # empty corpus → empty result with the same schema as the
         # non-empty case (types derived from the inputs)
         return (
@@ -303,8 +289,6 @@ def ivf_knn(
                 F.lit(0.0).cast("double").alias("cosine"),
             )
         )
-    sample = np.array([np.asarray(r["cvec"], dtype=np.float64) for r in sample_rows])
-    cent = _kmeans_centroids(sample, n_centroids, seed)
 
     c_cells = c.withColumn(
         "cell", F.element_at(_centroid_assign_udf(cent, 1)(F.col("cvec")), 1)
@@ -343,6 +327,120 @@ def _arith_planes(dim: int, n_planes: int) -> np.ndarray:
 
 
 _log = logging.getLogger(__name__)
+
+
+def _train_ivf_centroids(c: DataFrame, n_centroids: int, seed: int,
+                         train_sample: int) -> np.ndarray | None:
+    """Deterministic *uniform* training sample + k-means: TakeOrdered on
+    a seeded content hash of the id, not first-N by id (on time-ordered
+    or source-clustered corpora the head of the id range is a biased
+    sample and the centroids would only cover it); vec_id breaks the
+    (practically impossible) hash-collision tie so the sample is
+    order-free and reproducible.  Returns None on an empty corpus."""
+    sample_rows = (
+        c.orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(train_sample)
+        .select("cvec")
+        .collect()
+    )
+    if not sample_rows:
+        return None
+    sample = np.array([np.asarray(r["cvec"], dtype=np.float64) for r in sample_rows])
+    return _kmeans_centroids(sample, n_centroids, seed)
+
+
+def ivf_build_partitioned(
+    emb_df: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF layout as a **cell-partitioned table**: the
+    corpus is written ``partitionBy("cell")`` (one directory per coarse
+    cell) with the trained centroids alongside at ``<path>/centroids``.
+
+    This is the 100 TB story made concrete: a probe for ``n_probe``
+    cells becomes a *partition filter* on the read — the scan touches
+    ``n_probe/n_centroids`` of the files instead of the whole corpus
+    (``ivf_knn_partitioned`` + the plan test assert the pruning).  The
+    write itself is one Arrow-matmul assignment pass, no shuffle beyond
+    the partitioned-write file routing."""
+    c = emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    cent = _train_ivf_centroids(c, n_centroids, seed, train_sample)
+    if cent is None:
+        raise ValueError("cannot build an IVF layout over an empty corpus")
+    spark = emb_df.sparkSession
+    c_cells = c.withColumn(
+        "cell", F.element_at(_centroid_assign_udf(cent, 1)(F.col("cvec")), 1)
+    )
+    c_cells.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    cent_rows = [(i, [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cent
+
+
+def ivf_knn_partitioned(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    probe_info: dict | None = None,
+) -> DataFrame:
+    """Top-k over an ``ivf_build_partitioned`` layout with **partition
+    pruning**: the union of all queries' probe cells (bounded:
+    |queries| × n_probe ints, collected driver-side) becomes a static
+    ``cell IN (...)`` filter that Spark turns into PartitionFilters on
+    the parquet scan — only the probed cell directories are read.  The
+    per-query cell equi-join then restricts each query to its own
+    probes.  Semantically identical to ``ivf_knn`` with the same
+    centroids (asserted in tests).  ``probe_info``, if given, is filled
+    with {"probe_cells", "n_centroids"} so callers can report the scan
+    fraction."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    q0 = query_df.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    q_cells = q0.withColumn(
+        "cells", _centroid_assign_udf(cent, n_probe)(F.col("qvec"))
+    ).select("query_id", "qvec", F.explode("cells").alias("cell"))
+    probe_cells = sorted(
+        {r["cell"] for r in q_cells.select("cell").distinct().collect()}
+    )
+    if probe_info is not None:
+        probe_info["probe_cells"] = probe_cells
+        probe_info["n_centroids"] = int(cent.shape[0])
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .where(F.col("cell").isin(probe_cells))
+        .select("cell", "vec_id", "cvec")
+    )
+    cand = (
+        F.broadcast(q_cells).join(corpus, "cell")
+        .select("query_id", "qvec", "vec_id", "cvec")
+        .withColumn(
+            "cosine",
+            (_dot(F.col("qvec"), F.col("cvec"))
+             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
 
 
 def cosine_near_duplicates(

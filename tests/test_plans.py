@@ -126,3 +126,29 @@ def test_term_postings_lookup_pushdown(spark, idx, tmp_path_factory):
         for r in idx.postings.where(F.col("term") == "telemetry").collect()
     )
     assert got == expect and len(got) == row[0]["df"]
+
+
+def test_ivf_partitioned_cell_pruning(spark, tmp_path_factory):
+    """The IVF layout's cell id must act as a REAL partition key: reading
+    with a probe filter shows PartitionFilters on the parquet scan (only
+    the probed cell directories are listed/read), and the pruned search
+    returns exactly what the in-memory ivf_knn computes with the same
+    centroids."""
+    from bm25s_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivf"))
+    similarity.ivf_build_partitioned(emb, path, n_centroids=8, seed=42)
+
+    qv = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.ivf_knn_partitioned(spark, path, qv, k=3, n_probe=2)
+    plan = _plan(res)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+    mem = similarity.ivf_knn(
+        emb, qv, k=3, n_centroids=8, n_probe=2, seed=42
+    )
+    assert {tuple(r) for r in res.collect()} == {tuple(r) for r in mem.collect()}
