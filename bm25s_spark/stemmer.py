@@ -230,3 +230,134 @@ class SnowballEnglishStemmer:
 
     def stemWords(self, words) -> list[str]:
         return [stem(wrd) for wrd in words]
+
+
+# ---------------------------------------------------------------------------
+# Snowball German
+# ---------------------------------------------------------------------------
+# Independent implementation of the published Snowball German stemming
+# algorithm (https://snowballstem.org/algorithms/german/stemmer.html) —
+# the reference's most common non-English configuration
+# (``reference/bm25s/tokenization.py:675-699`` routes every Snowball
+# language through PyStemmer; German is vendored here so it works
+# without the C binding).
+
+_DE_VOWELS = frozenset("aeiouyäöü")
+_DE_S_ENDINGS = frozenset("bdfghklmnrt")
+_DE_ST_ENDINGS = frozenset("bdfghklmnt")
+
+
+def _de_regions(w: str) -> tuple[int, int]:
+    """Standard (R1, R2) starts; R1 is then adjusted so the region
+    before it holds at least 3 letters (spec)."""
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            r2 = i + 1
+            break
+    return max(r1, 3), r2
+
+
+def _de_longest(w: str, sufs) -> str | None:
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+def stem_german(word: str) -> str:
+    w = word.replace("ß", "ss")
+    # mark u/y between vowels as consonants (upper case)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if (
+            chars[i] in "uy"
+            and chars[i - 1] in _DE_VOWELS
+            and chars[i + 1] in _DE_VOWELS
+        ):
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _de_regions(w)
+
+    def in_r1(suf_len: int) -> bool:
+        return len(w) - suf_len >= r1
+
+    def in_r2(suf_len: int) -> bool:
+        return len(w) - suf_len >= r2
+
+    # step 1: longest of em/ern/er | e/en/es | s(valid s-ending); the
+    # longest match decides — a failed condition removes nothing
+    suf = _de_longest(w, ("ern", "em", "er", "en", "es", "e", "s"))
+    if suf in ("ern", "em", "er"):
+        if in_r1(len(suf)):
+            w = w[: -len(suf)]
+    elif suf in ("en", "es", "e"):
+        if in_r1(len(suf)):
+            w = w[: -len(suf)]
+            if w.endswith("niss"):
+                w = w[:-1]
+    elif suf == "s":
+        if in_r1(1) and len(w) >= 2 and w[-2] in _DE_S_ENDINGS:
+            w = w[:-1]
+
+    # step 2: longest of en/er/est | st(valid st-ending, itself preceded
+    # by ≥3 letters)
+    suf = _de_longest(w, ("est", "en", "er", "st"))
+    if suf in ("est", "en", "er"):
+        if in_r1(len(suf)):
+            w = w[: -len(suf)]
+    elif suf == "st":
+        if in_r1(2) and len(w) >= 6 and w[-3] in _DE_ST_ENDINGS:
+            w = w[:-2]
+
+    # step 3: d-suffixes
+    suf = _de_longest(
+        w, ("lich", "heit", "keit", "isch", "end", "ung", "ig", "ik")
+    )
+    if suf in ("end", "ung"):
+        if in_r2(len(suf)):
+            w = w[: -len(suf)]
+            if (
+                w.endswith("ig")
+                and len(w) - 2 >= r2
+                and (len(w) < 3 or w[-3] != "e")
+            ):
+                w = w[:-2]
+    elif suf in ("ig", "ik", "isch"):
+        if in_r2(len(suf)) and (len(w) - len(suf) == 0 or w[-len(suf) - 1] != "e"):
+            w = w[: -len(suf)]
+    elif suf in ("lich", "heit"):
+        if in_r2(4):
+            w = w[:-4]
+            tail = _de_longest(w, ("er", "en"))
+            if tail and len(w) - 2 >= r1:
+                w = w[:-2]
+    elif suf == "keit":
+        if in_r2(4):
+            w = w[:-4]
+            if w.endswith("lich") and len(w) - 4 >= r2:
+                w = w[:-4]
+            elif w.endswith("ig") and len(w) - 2 >= r2:
+                w = w[:-2]
+
+    w = w.replace("U", "u").replace("Y", "y")
+    return (
+        w.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    )
+
+
+class SnowballGermanStemmer:
+    """PyStemmer-compatible surface (``stemWord`` / ``stemWords``)."""
+
+    def stemWord(self, word: str) -> str:
+        return stem_german(word)
+
+    def stemWords(self, words) -> list[str]:
+        return [stem_german(wrd) for wrd in words]

@@ -90,10 +90,11 @@ def load_stemmer(stemmer: str | Callable | None):
 
     Accepts a language name, a callable (``stemWords``-style or plain),
     or None.  ``"english"`` (the reference's recommended configuration,
-    ``reference/bm25s/tokenization.py:675-699``) always resolves to the
-    vendored pure-Python Snowball implementation so behavior does not
-    depend on whether PyStemmer is installed; other languages use
-    PyStemmer when available (gated behind import-try).
+    ``reference/bm25s/tokenization.py:675-699``) and ``"german"`` (its
+    most common non-English setting) always resolve to the vendored
+    pure-Python Snowball implementations so behavior does not depend on
+    whether PyStemmer is installed; other languages use PyStemmer when
+    available (gated behind import-try).
     """
     if stemmer is None:
         return None
@@ -105,6 +106,10 @@ def load_stemmer(stemmer: str | Callable | None):
         from bm25s_spark.stemmer import SnowballEnglishStemmer
 
         return SnowballEnglishStemmer().stemWords
+    if stemmer.lower() in ("de", "german"):
+        from bm25s_spark.stemmer import SnowballGermanStemmer
+
+        return SnowballGermanStemmer().stemWords
     try:
         import Stemmer  # type: ignore
 

@@ -8,7 +8,9 @@ from __future__ import annotations
 
 import pytest
 
-from bm25s_spark.stemmer import SnowballEnglishStemmer, stem
+from bm25s_spark.stemmer import (
+    SnowballEnglishStemmer, SnowballGermanStemmer, stem, stem_german,
+)
 from bm25s_spark.tokenization import tokenize
 from bm25s_spark.transcripts import ANIMAL_CORPUS, transcripts_df
 
@@ -178,3 +180,167 @@ def test_sharded_retrieval_stemmed(spark, ref_bm25s):
     a = norm([r.asDict() for r in engine.retrieve(qdf, k=5, strategy="join").collect()])
     b = norm([r.asDict() for r in engine.retrieve(qdf, k=5, strategy="sharded").collect()])
     assert a == b
+
+
+# German vectors hand-derived by executing the published Snowball German
+# algorithm (https://snowballstem.org/algorithms/german/stemmer.html)
+# step by step, covering every rule: step-1 em/ern/er, e/en/es (+niss),
+# s-with-valid-ending (and its negative), step-2 est/en/er and the
+# st-ending rule (and its ≥3-letters negative), step-3 end/ung(+ig),
+# ig/ik/isch, lich/heit(+er/en), keit(+lich/ig), ß→ss, u-between-vowels
+# marking, and the final umlaut fold.
+GERMAN_VECTORS = [
+    ("katzen", "katz"),              # en in R1
+    ("hunde", "hund"),               # e in R1
+    ("hundes", "hund"),              # es in R1
+    ("bücher", "buch"),              # er in R1 + umlaut fold
+    ("aufeinander", "aufeinand"),    # er in R1
+    ("kategorien", "kategori"),      # en in R1
+    ("ergebnisse", "ergebnis"),      # e in R1, then niss → nis
+    ("verständnisse", "verstandnis"),
+    ("ergebnis", "ergebnis"),        # s preceded by 'i': not a valid s-ending
+    ("autos", "autos"),              # s preceded by 'o': not a valid s-ending
+    ("weiss", "weiss"),              # s preceded by 's': not a valid s-ending
+    ("weiß", "weiss"),               # ß → ss
+    ("größe", "gross"),
+    ("bauen", "bau"),                # u marked consonant between vowels
+    ("mädchen", "madch"),
+    ("läuft", "lauft"),              # no suffix fires; umlaut fold only
+    ("aufgabe", "aufgab"),
+    ("ältest", "alt"),               # step-2 est
+    ("dienst", "dien"),              # step-2 st after valid st-ending
+    ("ernst", "ernst"),              # st-ending at position 2 < 3: keep
+    ("reinigung", "reinig"),         # ung in R2; trailing ig NOT in R2
+    ("jährig", "jahrig"),            # ig not in R2 (R2 empty)
+    ("freundlichkeit", "freundlich"),  # keit in R2; lich not in R2
+    ("möglichkeit", "moglich"),
+    ("schönheit", "schonheit"),      # heit not in R2 (R2 empty)
+]
+
+
+@pytest.mark.parametrize("word,expected", GERMAN_VECTORS)
+def test_german_vectors(word, expected):
+    assert stem_german(word) == expected, word
+
+
+def test_german_stemwords_surface_and_tokenizer():
+    st = SnowballGermanStemmer()
+    assert st.stemWords(["katzen", "bücher"]) == ["katz", "buch"]
+    assert st.stemWord("hunde") == "hund"
+    from bm25s_spark.tokenization import load_stemmer
+
+    fn = load_stemmer("german")
+    assert fn(["kategorien"]) == ["kategori"]
+
+
+def test_german_tokenize_e2e(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "Die Bücher und die Katzen läuft aufeinander")],
+        "doc_id long, text string",
+    )
+    out = tokenize(df, stopwords="de", stemmer="german").select("tokens").first()[0]
+    assert out == ["buch", "katz", "lauft", "aufeinand"]
+
+
+def _morph_corpus(n_docs=3000, seed=11):
+    """Deterministic corpus over a ~3,700-word morphologically varied
+    vocabulary (stems × suffix families), so the stemmer visits
+    thousands of distinct surface forms — parity at fixture scale
+    (t1/t2, ~90 distinct words) can't catch vocab-dependent divergence
+    (R1/R2 edge cases, rare suffix interactions, tie-group shifts from
+    conflated terms)."""
+    import random
+
+    rng = random.Random(seed)
+    onsets = ["b", "br", "c", "cl", "d", "dr", "f", "fl", "g", "gr", "h",
+              "j", "k", "l", "m", "n", "p", "pl", "pr", "r", "s", "st",
+              "t", "tr", "v", "w"]
+    nuclei = ["a", "e", "i", "o", "u", "ai", "ea", "oo", "ou"]
+    codas = ["t", "n", "r", "l"]
+    stems = [o + nu + c for o in onsets for nu in nuclei for c in codas]
+    sufs = ["", "s", "ed", "ing", "er", "ers", "ation", "ly", "ness", "ment"]
+    vocab = sorted({st + sf for st in stems for sf in rng.sample(sufs, 4)})
+    stop = ["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"]
+    docs = []
+    for _ in range(n_docs):
+        n = rng.randint(15, 50)
+        words = []
+        for _ in range(n):
+            if rng.random() < 0.25:
+                words.append(rng.choice(stop))
+            else:
+                words.append(vocab[int(len(vocab) * rng.random() ** 3)])
+        docs.append(" ".join(words))
+    queries = []
+    for i in range(20):
+        qwords = [vocab[int(len(vocab) * rng.random() ** 3)]
+                  for _ in range(rng.randint(3, 6))]
+        queries.append((f"q-{i:03d}", " ".join(qwords)))
+    return docs, queries
+
+
+@pytest.mark.parametrize(
+    "method,strategy",
+    [("lucene", "join"), ("lucene", "sharded"), ("bm25l", "join")],
+)
+def test_stemmed_parity_realistic_vocab(spark, ref_bm25s, method, strategy):
+    """End-to-end reference parity with stemmer='english' at realistic
+    vocab scale (3,000 docs, ~3,700 surface forms), through both the
+    join plan and the sharded kernel."""
+    from bm25s_spark.indexer import SparkBM25
+
+    texts, queries = _morph_corpus()
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).persist()
+    engine = SparkBM25(method=method)
+    engine.index(tdf, doc_id_col="doc_id", stemmer="english")
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    ours = [
+        r.asDict()
+        for r in engine.retrieve(qdf, k=10, strategy=strategy).collect()
+    ]
+
+    retriever = ref_bm25s.BM25(method=method, k1=1.5, b=0.75, delta=0.5)
+    corpus_tokens = ref_bm25s.tokenize(
+        texts, stopwords="en", stemmer=SnowballEnglishStemmer(),
+        show_progress=False,
+    )
+    retriever.index(corpus_tokens, show_progress=False)
+    query_tokens = ref_bm25s.tokenize(
+        [q[1] for q in queries], stopwords="en",
+        stemmer=SnowballEnglishStemmer(), show_progress=False,
+    )
+    docs, scores = retriever.retrieve(
+        query_tokens, k=10, show_progress=False, n_threads=0
+    )
+    assert_rank_identical(ours, docs, scores)
+
+
+def test_german_token_stream_parity(spark, ref_bm25s):
+    """Our tokenizer with stopwords='de', stemmer='german' must produce
+    byte-identical token streams to the reference tokenize() driven by
+    the same vendored Snowball German callable (the reference accepts
+    any object with stemWords, reference/bm25s/tokenization.py:675-699)."""
+    texts = [
+        "Die Bücher und die Katzen läuft aufeinander",
+        "Ergebnisse der Reinigung sind eine Aufgabe",
+        "Die Möglichkeit größter Freundlichkeit besteht",
+        "",
+        "der die das und",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ours = [
+        list(r["tokens"])
+        for r in tokenize(df, "text", stopwords="de", stemmer="german")
+        .orderBy("doc_id").collect()
+    ]
+    ref = ref_bm25s.tokenize(
+        texts, stopwords="de", stemmer=SnowballGermanStemmer(),
+        return_ids=False, show_progress=False,
+    )
+    assert ours == ref
