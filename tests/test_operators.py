@@ -394,3 +394,60 @@ def test_ivf_knn_recall(spark):
     again = {tuple(r) for r in similarity.ivf_knn(
         emb, qv, k=5, n_centroids=16, n_probe=4).collect()}
     assert again == {tuple(r) for r in approx.collect()}
+
+
+def test_multimodal_numpy_codecs():
+    """Pure-NumPy PPM/WAV round-trips (no Spark, no external codecs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(img)) == img).all()
+    # header grammar: comments + flexible whitespace
+    manual = b"P6\n# a comment\n 3  2\n255\n" + bytes(range(18))
+    dec = multimodal.decode_ppm(manual)
+    assert dec.shape == (2, 3, 3) and dec[0, 0, 0] == 0 and dec[1, 2, 2] == 17
+
+    t = np.arange(1600) / 8000.0
+    samples = 0.25 * np.sin(2 * np.pi * 440 * t)
+    rate, back = multimodal.decode_wav(multimodal.encode_wav(samples, 8000))
+    assert rate == 8000
+    assert np.allclose(back, samples, atol=1e-3)
+
+    big = multimodal.resize_image(img, 10, 14)
+    assert big.shape == (10, 14, 3)
+    # nearest-neighbor: every output pixel is an input pixel
+    assert (big[0, 0] == img[0, 0]).all()
+
+    with pytest.raises(NotImplementedError):
+        multimodal._numpy_decode(b"anything", "video", 8)
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"OggS....")
+
+
+def test_multimodal_numpy_decode_spark(spark):
+    """The real bytes→tensor path through the same mapInPandas plumbing:
+    encoded PPM/WAV payloads decode on executors, features are
+    deterministic and shaped."""
+    import numpy as np
+
+    media = multimodal.synthetic_decodable_media(spark, n=20)
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, dim=16, decoder="numpy").collect()
+    }
+    assert len(rows) == 20
+    for r in rows.values():
+        assert len(r["feature"]) == 16
+    img_feats = [rows[i]["feature"] for i in range(0, 20, 2)]
+    assert all(0.0 <= v <= 1.0 for f in img_feats for v in f)
+    # sine audio at amplitude 0.5 → frame RMS ≈ 0.35 everywhere
+    aud = np.array(rows[1]["feature"])
+    assert np.allclose(aud, 0.5 / np.sqrt(2), atol=0.05)
+    again = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, dim=16, decoder="numpy").collect()
+    }
+    assert all(again[i] == rows[i]["feature"] for i in rows)
