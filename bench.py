@@ -54,7 +54,13 @@ def _bench_corpus(spark, sf_dir: str):
 
 
 def _batch_queries(spark, n: int):
-    """Deterministic query batch mixing index vocab + synthetic vocab."""
+    """Deterministic query batch mixing index vocab + synthetic vocab —
+    generated DISTRIBUTED (spark.range + column expressions), so a
+    10^6-query batch never materializes as a driver-side row list (which
+    would both slow creation and pollute the bigbatch driver-RSS
+    flatness measurement)."""
+    from pyspark.sql import functions as F
+
     from bm25s_spark.transcripts import _CONTENT_WORDS
 
     doc_words = [
@@ -62,11 +68,18 @@ def _batch_queries(spark, n: int):
         "window", "small", "hash", "join", "group", "query", "row", "data",
     ]
     vocab = doc_words + _CONTENT_WORDS
-    rows = []
-    for i in range(n):
-        ws = [vocab[(i * 7 + j * 13) % len(vocab)] for j in range(3 + i % 5)]
-        rows.append((f"q-{i:05d}", " ".join(ws)))
-    return spark.createDataFrame(rows, "query_id string, text string")
+    arr = F.array(*[F.lit(w) for w in vocab])
+    v = len(vocab)
+    # same content as the old driver-side loop:
+    # words[j] = vocab[(i*7 + j*13) % V] for j in range(3 + i % 5)
+    idxs = F.sequence(F.lit(0), (F.col("id") % 5 + 2).cast("int"))
+    words = F.transform(
+        idxs, lambda j: F.element_at(arr, ((F.col("id") * 7 + j * 13) % v + 1).cast("int"))
+    )
+    return spark.range(n).select(
+        F.format_string("q-%05d", F.col("id")).alias("query_id"),
+        F.array_join(words, " ").alias("text"),
+    )
 
 
 def run_workload(cores: int, sf_dir: str) -> dict:
@@ -352,8 +365,13 @@ def run_bigbatch(cores: int, corpus_path: str) -> dict:
                         return round(int(line.split()[1]) / 1024, 1)
             return 0.0
 
+        sizes = tuple(
+            int(s) for s in os.environ.get(
+                "BIGBATCH_SIZES", "8192,100000"
+            ).split(",")
+        )
         out = {"n_docs": idx.num_docs, "cores": cores}
-        for n in (8192, 100_000):
+        for n in sizes:
             t = time.time()
             idx.retrieve(_batch_queries(spark, n), k=10, strategy="sharded",
                          pad=False).count()
@@ -361,9 +379,10 @@ def run_bigbatch(cores: int, corpus_path: str) -> dict:
             out[f"q{n}_sec"] = round(dt, 2)
             out[f"q{n}_qps"] = round(n / dt, 2)
             out[f"q{n}_driver_rss_mb"] = rss_mb()
-        out["qps_ratio_100k_vs_8k"] = round(
-            out["q100000_qps"] / out["q8192_qps"], 3
-        )
+        if len(sizes) >= 2:
+            out[f"qps_ratio_{sizes[-1]}_vs_{sizes[0]}"] = round(
+                out[f"q{sizes[-1]}_qps"] / out[f"q{sizes[0]}_qps"], 3
+            )
         return out
     finally:
         spark.stop()
