@@ -518,6 +518,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf)
     ).select("doc_id", "fp_md5", "fp_head")
 
+    # ---- events: gap sessionization (one shuffle, window prefix-scan) ----
+    def events_sessions(spark, sf):
+        from bm25s_spark.operators.events import session_summary
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        s = session_summary(ev, gap_minutes=30)
+        return s.select(
+            "user_id",
+            F.col("session_idx").cast("int").alias("session_idx"),
+            "session_start", "session_end",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("sum_value", 4).alias("sum_value"),
+            F.col("duration_us").cast("long").alias("duration_us"),
+        )
+
+    q["events_sessionize"] = events_sessions
+
     # ---- events: tumbling-window rollup (streaming-shaped agg) ----
     def events_hourly(spark, sf):
         ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
@@ -829,6 +846,36 @@ WITH n AS (
 SELECT doc_id, md5(norm) AS fp_md5,
        md5(array_to_string((string_split(norm, ' '))[1:5], ' ')) AS fp_head
 FROM n
+"""
+
+    # microsecond-exact twin of operators/events.py::session_summary
+    o["events_sessionize"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE
+      WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1
+      ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM sess GROUP BY 1, 2
 """
 
     o["events_hourly_rollup"] = """

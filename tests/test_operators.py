@@ -451,3 +451,47 @@ def test_multimodal_numpy_decode_spark(spark):
         for r in multimodal.extract_features(media, dim=16, decoder="numpy").collect()
     }
     assert all(again[i] == rows[i]["feature"] for i in rows)
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-built fixture: gap boundaries, equal-timestamp tiebreak, and
+    per-user independence."""
+    import datetime as dt
+
+    from bm25s_spark.operators.events import session_summary, sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(minutes, seconds=0):
+        return t0 + dt.timedelta(minutes=minutes, seconds=seconds)
+
+    rows = [
+        # user 1: two sessions split by a 31-min gap; 30:00 exactly is NOT a boundary
+        (0, at(0), 1, "a", 1.0),
+        (1, at(10), 1, "a", 2.0),
+        (2, at(40), 1, "a", 3.0),     # 30:00 gap exactly → same session
+        (3, at(71), 1, "a", 4.0),     # 31:00 gap → new session
+        # user 2: equal timestamps ordered by event_id
+        (4, at(0), 2, "b", 1.0),
+        (5, at(0), 2, "b", 1.0),
+        (6, at(100), 2, "b", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    s = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert s[(1, 0)] == s[(1, 1)] == s[(1, 2)] == 1
+    assert s[(1, 3)] == 2
+    assert s[(2, 4)] == s[(2, 5)] == 1 and s[(2, 6)] == 2
+
+    summ = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_summary(ev, gap_minutes=30).collect()
+    }
+    assert summ[(1, 1)]["n_events"] == 3
+    assert summ[(1, 1)]["sum_value"] == 6.0
+    assert summ[(1, 1)]["duration_us"] == 40 * 60 * 1_000_000
+    assert summ[(1, 2)]["n_events"] == 1 and summ[(1, 2)]["duration_us"] == 0
