@@ -190,11 +190,19 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def _image_feature(img: np.ndarray, dim: int) -> np.ndarray:
-    """Decoded image → ``dim`` floats: luminance resampled to a fixed
-    grid (deterministic, resolution-independent)."""
+    """Decoded image → ``dim`` floats: mean luminance of ``dim``
+    horizontal strips (every pixel contributes — a single-column sample
+    would ignore 1-1/width of the image), deterministic and
+    resolution-independent."""
     lum = np.asarray(img, dtype=np.float32).mean(axis=2) / 255.0
-    flat = resize_image(lum[:, :, None], dim, 1)[:, 0, 0]
-    return flat.astype(np.float32)
+    row_means = lum.mean(axis=1)
+    h = row_means.shape[0]
+    edges = (np.arange(dim + 1) * h // dim).astype(np.int64)
+    csum = np.concatenate(([0.0], np.cumsum(row_means, dtype=np.float64)))
+    counts = np.maximum(edges[1:] - edges[:-1], 1)
+    # strip mean; empty strips (dim > h) repeat the nearest row
+    strips = (csum[np.maximum(edges[1:], edges[:-1] + 1)] - csum[edges[:-1]]) / counts
+    return strips.astype(np.float32)
 
 
 def _audio_feature(samples: np.ndarray, dim: int) -> np.ndarray:

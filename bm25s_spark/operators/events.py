@@ -21,6 +21,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _ts_micros(df: DataFrame, ts_col: str):
+    """Microseconds-since-epoch column for either timestamp flavor.
+
+    TIMESTAMP (instant) → ``unix_micros`` directly.  TIMESTAMP_NTZ
+    (wall clock) → pure calendar arithmetic via ``timestampdiff`` from
+    the NTZ epoch — NO session-timezone conversion, so NTZ events in a
+    DST zone can never have a gap distorted by an offset transition (a
+    cast to TIMESTAMP would re-interpret the wall time in the session
+    zone and shift gaps across DST boundaries by the transition amount).
+    """
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col))
 
 
 def sessionize(
@@ -36,10 +54,7 @@ def sessionize(
     the globally unique string ``"<user>-<idx>"``.
     """
     gap_us = int(gap_minutes) * 60_000_000
-    # parquet event times are commonly TIMESTAMP_NTZ; unix_micros wants
-    # TIMESTAMP, so cast (a no-op for TIMESTAMP inputs).  Gap comparisons
-    # subtract two casts, so any fixed session-tz offset cancels.
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ts_us = _ts_micros(events_df, ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak_col)
     prev_us = F.lag(ts_us).over(w)
     is_new = (
@@ -67,6 +82,7 @@ def session_summary(
     value sum, duration.  The downstream shape a training pipeline joins
     against transcripts (sessions ≈ conversations)."""
     s = sessionize(events_df, gap_minutes, user_col, ts_col, order_tiebreak_col)
+    s = s.withColumn("_ts_us", _ts_micros(s, ts_col))
     return s.groupBy(user_col, "session_idx").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
@@ -74,8 +90,5 @@ def session_summary(
         F.sum(value_col).alias("sum_value"),
         # exact integer microseconds: a float seconds division lands on
         # round-half boundaries that engines resolve differently
-        (
-            F.unix_micros(F.max(ts_col).cast("timestamp"))
-            - F.unix_micros(F.min(ts_col).cast("timestamp"))
-        ).alias("duration_us"),
+        (F.max("_ts_us") - F.min("_ts_us")).alias("duration_us"),
     )

@@ -45,6 +45,26 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
     return df.withColumn(out, _dot(ac, bc) / (_norm(ac) * _norm(bc)))
 
 
+def _rescore_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rescore tail of every kNN variant: candidates
+    carrying (query_id, qvec, vec_id, cvec) → exact double cosine →
+    per-query window top-k with the (cosine desc, vec_id asc) tie
+    contract.  One definition so a tie/cast fix applies everywhere."""
+    scored = cand.withColumn(
+        "cosine",
+        (_dot(F.col("qvec"), F.col("cvec"))
+         / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def brute_force_knn(
     emb_df: DataFrame,
     query_df: DataFrame,
@@ -66,21 +86,11 @@ def brute_force_knn(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
     )
-    scored = (
+    cand = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("vec_id").isNotNull())
-        .withColumn(
-            "cosine",
-            (_dot(F.col("qvec"), F.col("cvec"))
-             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rescore_topk(cand, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -181,18 +191,8 @@ def lsh_knn(
         F.broadcast(q_all).join(c_all, ["table", "bucket"])
         .select("query_id", "qvec", "vec_id", "cvec")
         .dropDuplicates(["query_id", "vec_id"])  # pairs can collide in several tables
-        .withColumn(
-            "cosine",
-            (_dot(F.col("qvec"), F.col("cvec"))
-             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rescore_topk(cand, k)
 
 
 def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int,
@@ -297,21 +297,10 @@ def ivf_knn(
         "cells", _centroid_assign_udf(cent, n_probe)(F.col("qvec"))
     ).select("query_id", "qvec", F.explode("cells").alias("cell"))
 
-    cand = (
-        F.broadcast(q_cells).join(c_cells, "cell")
-        .select("query_id", "qvec", "vec_id", "cvec")
-        .withColumn(
-            "cosine",
-            (_dot(F.col("qvec"), F.col("cvec"))
-             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
-        )
+    cand = F.broadcast(q_cells).join(c_cells, "cell").select(
+        "query_id", "qvec", "vec_id", "cvec"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rescore_topk(cand, k)
 
 
 def _arith_planes(dim: int, n_planes: int) -> np.ndarray:
@@ -412,9 +401,12 @@ def ivf_knn_partitioned(
     q0 = query_df.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
+    # persist the assignment: the probe-cell collect AND the candidate
+    # join both consume it — unpersisted, the query-side plan (incl. the
+    # centroid matmul UDF) would execute twice
     q_cells = q0.withColumn(
         "cells", _centroid_assign_udf(cent, n_probe)(F.col("qvec"))
-    ).select("query_id", "qvec", F.explode("cells").alias("cell"))
+    ).select("query_id", "qvec", F.explode("cells").alias("cell")).persist()
     probe_cells = sorted(
         {r["cell"] for r in q_cells.select("cell").distinct().collect()}
     )
@@ -426,21 +418,10 @@ def ivf_knn_partitioned(
         .where(F.col("cell").isin(probe_cells))
         .select("cell", "vec_id", "cvec")
     )
-    cand = (
-        F.broadcast(q_cells).join(corpus, "cell")
-        .select("query_id", "qvec", "vec_id", "cvec")
-        .withColumn(
-            "cosine",
-            (_dot(F.col("qvec"), F.col("cvec"))
-             / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
-        )
+    cand = F.broadcast(q_cells).join(corpus, "cell").select(
+        "query_id", "qvec", "vec_id", "cvec"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+    return _rescore_topk(cand, k)
 
 
 def cosine_near_duplicates(
@@ -487,25 +468,33 @@ def cosine_near_duplicates(
         "vec_id", "v", F.posexplode("bkts").alias("band", "chunk")
     )
     if max_bucket_size is not None:
-        sizes = chunks.groupBy("band", "chunk").agg(
-            F.count(F.lit(1)).alias("_n")
+        # persist: the size scan and the candidate join both consume the
+        # hashed chunks — unpersisted, the matmul UDF pass would run twice
+        chunks = chunks.persist()
+        # bucket count is bounded by bands × 2^(n_planes/bands) (1024 at
+        # the defaults), so collecting the oversized keys is driver-safe
+        big_rows = (
+            chunks.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .collect()
         )
-        big = sizes.where(F.col("_n") > max_bucket_size)
-        dropped = big.agg(
-            F.count(F.lit(1)).alias("buckets"),
-            F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
-        ).collect()[0]
-        if dropped["buckets"]:
+        if big_rows:
             _log.warning(
                 "cosine_near_duplicates: dropping %d oversized (band, chunk) "
                 "buckets (> %d members, %d rows total) from candidate "
                 "generation; pairs confined to those buckets are NOT "
                 "reported",
-                dropped["buckets"], max_bucket_size, dropped["rows"],
+                len(big_rows), max_bucket_size,
+                sum(r["_n"] for r in big_rows),
             )
-        chunks = chunks.join(
-            F.broadcast(big.select("band", "chunk")), ["band", "chunk"], "left_anti"
-        )
+            big_df = chunks.sparkSession.createDataFrame(
+                [(r["band"], r["chunk"]) for r in big_rows],
+                "band int, chunk int",
+            )
+            chunks = chunks.join(
+                F.broadcast(big_df), ["band", "chunk"], "left_anti"
+            )
     pairs = (
         chunks.alias("a").join(chunks.alias("b"), ["band", "chunk"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))

@@ -341,8 +341,13 @@ def retrieve_sharded(
         .select("query_id", "term", "mult", "df")
     )
     # cheap batch-size probe on the *query* side only (no tokenization,
-    # no index scan) to pick the driver-memory strategy
-    n_q_probe = queries_df.select(query_id_col).distinct().count()
+    # no index scan) to pick the driver-memory strategy; the limit bounds
+    # the probe to O(chunk) rows however big the batch is.  Row count
+    # over-approximates distinct ids, which can only push a duplicated-id
+    # batch onto the chunked path — correct either way
+    n_q_probe = (
+        queries_df.select(query_id_col).limit(query_chunk_size + 1).count()
+    )
     if n_q_probe <= query_chunk_size:
         # Arrow toPandas, not collect(): the driver holds one compact
         # columnar frame of (query_id, term, mult, df) — ~10× denser
@@ -642,24 +647,50 @@ def retrieve_sharded(
         chunked = qstats.join(F.broadcast(qid_df), "query_id").withColumn(
             "_chunk", (F.col("q_idx") / query_chunk_size).cast("int")
         )
-        candidates = None
-        for ci in range(n_chunks):
+
+        def process_chunk(ci: int):
             # pull ONLY this chunk's (query_id, term, mult, df) rows —
-            # driver metadata peak is O(chunk), not O(batch)
+            # driver metadata peak is O(in-flight chunks), not O(batch)
             cpdf = (
                 chunked.where(F.col("_chunk") == ci)
                 .select("query_id", "term", "mult", "df")
                 .toPandas()
             )
-            accum_nnoc(cpdf)
             part, bc = run_chunk(cpdf)
             # materialize this chunk's candidates (≤ shards×k rows per
-            # query — tiny) so its broadcast can be destroyed NOW; the
-            # lazy-union version kept every chunk's broadcast referenced
+            # query — tiny) so its broadcast can be destroyed NOW; a
+            # lazy union would keep every chunk's broadcast referenced
             # until the final action, accumulating ~the full batch in
-            # the driver/block manager for 10^6-query jobs
-            part = part.localCheckpoint(eager=True)
+            # the driver/block manager for 10^6-query jobs.  With a
+            # checkpoint dir configured (cluster deployments), use the
+            # RELIABLE checkpoint: localCheckpoint blocks die with their
+            # executor and the destroyed broadcast leaves no recompute
+            # path, so an executor loss mid-batch would fail the job
+            if spark.sparkContext.getCheckpointDir() is not None:
+                part = part.checkpoint(eager=True)
+            else:
+                part = part.localCheckpoint(eager=True)
             bc.destroy()
+            # reduce the chunk's metadata to its per-query nnoc partial
+            # HERE so the full (query_id, term, mult, df) frame dies with
+            # this call — returning it would re-accumulate O(batch) rows
+            # on the driver across the pool results.  Chunks partition
+            # the query ids, so concurrent accum_nnoc calls write
+            # disjoint keys (single atomic dict stores under the GIL)
+            accum_nnoc(cpdf)
+            return part
+
+        # a 2-deep thread pool overlaps consecutive chunks (Spark
+        # schedules jobs from separate threads concurrently), recovering
+        # the stage pipelining a strictly sequential materialize-barrier
+        # loop gives up, while broadcast + metadata memory stays bounded
+        # by the in-flight window instead of the whole batch
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            parts = list(pool.map(process_chunk, range(n_chunks)))
+        candidates = None
+        for part in parts:
             candidates = part if candidates is None else candidates.unionByName(part)
         qstats.unpersist()
         if mask_rows_df is not None:

@@ -323,7 +323,12 @@ def test_german_token_stream_parity(spark, ref_bm25s):
     """Our tokenizer with stopwords='de', stemmer='german' must produce
     byte-identical token streams to the reference tokenize() driven by
     the same vendored Snowball German callable (the reference accepts
-    any object with stemWords, reference/bm25s/tokenization.py:675-699)."""
+    any object with stemWords, reference/bm25s/tokenization.py:675-699).
+
+    NOTE: both sides stem with the vendored implementation, so this
+    checks the tokenizer *plumbing* (lowercase → findall → de-stopwords
+    → stem ordering), NOT German stemming correctness — that anchor is
+    GERMAN_VECTORS, hand-derived from the published algorithm."""
     texts = [
         "Die Bücher und die Katzen läuft aufeinander",
         "Ergebnisse der Reinigung sind eine Aufgabe",
