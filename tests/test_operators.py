@@ -495,3 +495,100 @@ def test_sessionize_gap_semantics(spark):
     assert summ[(1, 1)]["sum_value"] == 6.0
     assert summ[(1, 1)]["duration_us"] == 40 * 60 * 1_000_000
     assert summ[(1, 2)]["n_events"] == 1 and summ[(1, 2)]["duration_us"] == 0
+
+
+def test_windowed_rollup_stream_batch_parity(spark, tmp_path):
+    """The SAME windowed_event_rollup body over a parquet stream
+    (complete mode, availableNow) must equal the batch computation on
+    identical input — batch/stream parity by construction."""
+    import datetime as dt
+
+    from bm25s_spark.streaming.windows import windowed_event_rollup
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2026, 3, 1, 10, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=7 * i), ["click", "view"][i % 2], float(i))
+        for i in range(40)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    batch = {
+        (r["window_start"], r["window_end"], r["event_type"]):
+            (r["n_events"], r["sum_value"])
+        for r in windowed_event_rollup(
+            spark.read.parquet(src), window="30 minutes"
+        ).collect()
+    }
+    assert len(batch) > 4
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        windowed_event_rollup(stream, window="30 minutes", watermark="1 hour")
+        .writeStream.format("memory").queryName("winroll")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    streamed = {
+        (r["window_start"], r["window_end"], r["event_type"]):
+            (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM winroll").collect()
+    }
+    assert streamed == batch
+
+
+def test_windowed_rollup_watermark_drops_late(spark, tmp_path):
+    """Append mode + watermark: a row arriving in a later micro-batch,
+    older than max(event_time) - watermark, is dropped; on-time windows
+    are emitted exactly once."""
+    import datetime as dt
+
+    from bm25s_spark.streaming.windows import windowed_event_rollup
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2026, 3, 1, 10, 0, 0)
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: events spanning 3 hours — the watermark advances to
+    # max(ts) - 10 minutes = 12:50
+    rows1 = [
+        (i, t0 + dt.timedelta(minutes=20 * i), "click", 1.0) for i in range(10)
+    ]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_event_rollup(stream, window="30 minutes", watermark="10 minutes")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    # batch 2: one LATE row (10:05, far behind the 12:50 watermark) and
+    # one on-time row advancing the clock
+    rows2 = [
+        (100, t0 + dt.timedelta(minutes=5), "click", 99.0),        # late → dropped
+        (101, t0 + dt.timedelta(minutes=260), "click", 1.0),       # on time
+    ]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out).collect()
+    by_window = {(r["window_start"], r["event_type"]): r for r in got}
+    # the late row's window (10:00-10:30) was already finalized with only
+    # the on-time events; value 99.0 must appear nowhere
+    w0 = by_window[(t0, "click")]
+    assert w0["n_events"] == 2 and w0["sum_value"] == 2.0  # events 0 (10:00) + 1 (10:20)
+    assert all(r["sum_value"] < 99.0 for r in got)
