@@ -518,6 +518,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf)
     ).select("doc_id", "fp_md5", "fp_head")
 
+    # ---- transcripts: conversation-level rollup (granularity flip) ----
+    def conv_rollup(spark, sf):
+        from bm25s_spark.transcripts import conversation_rollup
+
+        t = _transcripts(spark, sf)
+        return conversation_rollup(t).select(
+            "conv_id", "conv_text",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_user_turns").cast("long").alias("n_user_turns"),
+            F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("first_turn").cast("int").alias("first_turn"),
+            F.col("last_turn").cast("int").alias("last_turn"),
+        )
+
+    q["transcripts_conv_rollup"] = conv_rollup
+
     # ---- events: gap sessionization (one shuffle, window prefix-scan) ----
     def events_sessions(spark, sf):
         from bm25s_spark.operators.events import session_summary
@@ -846,6 +863,30 @@ WITH n AS (
 SELECT doc_id, md5(norm) AS fp_md5,
        md5(array_to_string((string_split(norm, ' '))[1:5], ' ')) AS fp_head
 FROM n
+"""
+
+    # twin of transcripts.conversation_rollup over the derived
+    # transcripts shape (same doc_id → conv/turn/role mapping as
+    # _transcripts); string_agg ORDER BY turn_idx = the sort_array join
+    o["transcripts_conv_rollup"] = """
+WITH t AS (
+  SELECT printf('conv-%06d', doc_id // 4) AS conv_id,
+         CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool'
+         END AS role,
+         text
+  FROM documents
+)
+SELECT conv_id,
+       string_agg(text, ' ' ORDER BY turn_idx) AS conv_text,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (role = 'user') AS BIGINT) AS n_user_turns,
+       CAST(count(*) FILTER (role = 'assistant') AS BIGINT) AS n_assistant_turns,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(min(turn_idx) AS INTEGER) AS first_turn,
+       CAST(max(turn_idx) AS INTEGER) AS last_turn
+FROM t GROUP BY conv_id
 """
 
     # microsecond-exact twin of operators/events.py::session_summary

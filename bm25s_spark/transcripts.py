@@ -201,3 +201,36 @@ def queries_for(corpus_texts: list[str], n_queries: int, seed: int = 43) -> list
             text = rng.choice(words) if words else "spark"
         out.append((qid, text))
     return out
+
+
+def conversation_rollup(
+    turns_df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str = "role",
+) -> DataFrame:
+    """Turns → one row per conversation: the turn texts joined in
+    ``turn_idx`` order plus per-role turn counts and size stats — the
+    doc-granularity flip a transcript pipeline needs when indexing whole
+    conversations instead of turns.
+
+    ``collect_list`` order is NOT deterministic under parallel
+    aggregation, so turns are collected as (turn_idx, text) structs and
+    ``sort_array``-ed before joining — the plan stays a single hash
+    aggregation on ``conv_col`` (one shuffle; conversations bound the
+    group size the way shards bound postings).
+    """
+    pair = F.struct(F.col(turn_col).alias("i"), F.col(text_col).alias("t"))
+    return turns_df.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(pair)), lambda s: s["t"]),
+            " ",
+        ).alias("conv_text"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col(role_col) == "user").cast("int")).alias("n_user_turns"),
+        F.sum((F.col(role_col) == "assistant").cast("int")).alias("n_assistant_turns"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.min(turn_col).alias("first_turn"),
+        F.max(turn_col).alias("last_turn"),
+    )

@@ -592,3 +592,26 @@ def test_windowed_rollup_watermark_drops_late(spark, tmp_path):
     w0 = by_window[(t0, "click")]
     assert w0["n_events"] == 2 and w0["sum_value"] == 2.0  # events 0 (10:00) + 1 (10:20)
     assert all(r["sum_value"] < 99.0 for r in got)
+
+
+def test_conversation_rollup(spark):
+    from bm25s_spark.transcripts import conversation_rollup
+
+    rows = [
+        ("c1", 1, "assistant", "world"),
+        ("c1", 0, "user", "hello"),
+        ("c1", 2, "tool", "result"),
+        ("c2", 0, "user", "solo"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["conv_id"]: r for r in conversation_rollup(t).collect()}
+    # turn order restored despite shuffled input
+    assert out["c1"]["conv_text"] == "hello world result"
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["n_user_turns"] == 1
+    assert out["c1"]["n_assistant_turns"] == 1
+    assert out["c1"]["n_chars"] == len("hello") + len("world") + len("result")
+    assert out["c1"]["first_turn"] == 0 and out["c1"]["last_turn"] == 2
+    assert out["c2"]["conv_text"] == "solo" and out["c2"]["n_turns"] == 1
