@@ -31,8 +31,11 @@ from bm25s_spark.index_io import (
     save_index,
 )
 from bm25s_spark.session import get_spark
+from bm25s_spark.transcripts import conversation_rollup
+from bm25s_spark.operators.events import session_summary, sessionize
+from bm25s_spark.streaming.windows import windowed_event_rollup
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "tokenize",
@@ -51,4 +54,8 @@ __all__ = [
     "load_index",
     "read_term_postings",
     "get_spark",
+    "conversation_rollup",
+    "sessionize",
+    "session_summary",
+    "windowed_event_rollup",
 ]
