@@ -422,6 +422,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("size_b").cast("long").alias("size_b"),
         F.round("jaccard", 4).alias("jaccard"),
     )
+    # pairwise hits → duplicate GROUPS: iterative min-label propagation
+    # (deterministic fixpoint), oracle-checked against a recursive-CTE
+    # transitive closure
+    q["dedup_components"] = lambda spark, sf: dedup.duplicate_components(
+        dedup.minhash_lsh_candidates(_documents(spark, sf), num_hashes=8, bands=4)
+    )
+
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_signatures(
         _documents(spark, sf), bits=16
     )
@@ -654,6 +661,39 @@ banded AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(a.band AS INTEGER) AS band
 FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
+"""
+
+    # transitive closure of the LSH pair graph via recursive CTE; the
+    # component id is the minimum reachable doc id — the same fixpoint
+    # the Spark min-label propagation converges to
+    o["dedup_components"] = f"""
+WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+sigs AS (SELECT doc_id, {_minhash_sig_sql_cols(8)} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
 """
 
     o["dedup_ngram_jaccard"] = f"""

@@ -194,6 +194,82 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def duplicate_components(
+    pairs_df: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Candidate pairs → connected components: (doc_id, component) with
+    ``component`` = the smallest doc id reachable through the pair graph
+    — the step that turns pairwise near-dup hits into dedup GROUPS (keep
+    one doc per component, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels; a round is one
+    shuffle (edges ⋈ labels → min-agg).  Rounds needed = graph diameter,
+    which for near-dup clusters (dense, shallow) is small; ``max_iter``
+    bounds pathological chains and non-convergence raises rather than
+    returning silently-wrong components.  Labels are persisted per round
+    and the previous round unpersisted, so lineage/memory stay bounded.
+    Deterministic: the fixpoint is unique (min over a fixed graph).
+
+    Only docs that appear in ≥1 pair are returned (singletons have no
+    duplicate group).  The in-component canonical doc is simply
+    ``component`` itself — the reference keep-lowest-id convention of
+    ``deduplicate_exact``.
+    """
+    edges = (
+        pairs_df.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            pairs_df.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            "(pathological chain longer than max_iter?)"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 48) -> DataFrame:
     """(doc_id, simhash:long) over ``bits`` bits (≤48 so every bit comes

@@ -615,3 +615,26 @@ def test_conversation_rollup(spark):
     assert out["c1"]["n_chars"] == len("hello") + len("world") + len("result")
     assert out["c1"]["first_turn"] == 0 and out["c1"]["last_turn"] == 2
     assert out["c2"]["conv_text"] == "solo" and out["c2"]["n_turns"] == 1
+
+
+def test_duplicate_components(spark):
+    """Chain + separate triangle + isolated pair: min-label propagation
+    must find the transitive components, and a chain longer than
+    max_iter must raise instead of returning wrong components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain → component 1
+         (10, 11), (11, 12), (10, 12),    # triangle → component 10
+         (20, 21)],                        # pair → component 20
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.duplicate_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.duplicate_components(chain, max_iter=2)
