@@ -270,6 +270,31 @@ def duplicate_components(
     )
 
 
+def deduplicate_near(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
+    components → keep ONE doc per duplicate cluster (the minimum id,
+    the reference keep-lowest convention).  Docs with no near-duplicate
+    pass through untouched.
+
+    The scale path composes the bounded pieces: banded LSH join (never
+    all-pairs), min-label components (diameter-bounded rounds), and one
+    left_anti join to drop the non-canonical cluster members."""
+    pairs = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
+    comp = duplicate_components(pairs, max_iter=max_iter)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 48) -> DataFrame:
     """(doc_id, simhash:long) over ``bits`` bits (≤48 so every bit comes

@@ -638,3 +638,16 @@ def test_duplicate_components(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         dedup.duplicate_components(chain, max_iter=2)
+
+
+def test_deduplicate_near_end_to_end(spark, docs):
+    """MinHash pairs → components → keep lowest id per cluster; docs
+    without near-dups untouched."""
+    kept = sorted(
+        r["doc_id"] for r in dedup.deduplicate_near(docs, num_hashes=16).collect()
+    )
+    # 0/1/2 identical (keep 0); 3 near-dups with them (LSH bands catch it
+    # → same cluster); 4-8 unique
+    assert 0 in kept
+    assert not {1, 2} & set(kept)
+    assert {4, 5, 6, 7, 8} <= set(kept)
