@@ -168,6 +168,7 @@ def retrieve(
     with_docs: bool = False,
     query_id_col: str = "query_id",
     text_col: str = "text",
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Top-k retrieval → (query_id, rank, doc_id, score).
 
@@ -206,7 +207,7 @@ def retrieve(
             index, queries_df, k=k, method=method, idf_method=idf_method,
             weight_mask_df=weight_mask_df, pad=pad, prune=prune,
             exact=exact, round_to=round_to, query_chunk_size=query_chunk_size,
-            query_id_col=query_id_col, text_col=text_col,
+            query_id_col=query_id_col, text_col=text_col, metrics=metrics,
         )
         return _maybe_docs(index, out, with_docs)
 

@@ -285,8 +285,17 @@ def retrieve_sharded(
     query_chunk_size: int = 16384,
     query_id_col: str = "query_id",
     text_col: str = "text",
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Scatter-gather top-k over the doc-sharded index.
+
+    ``metrics``: optional dict — filled with Spark accumulators
+    ``shards_scored`` / ``postings_scanned`` / ``candidates_emitted``
+    (query-side twins of the build's per-partition lineage counters in
+    ``checkpoint.py``).  Accumulators aggregate as tasks complete, so
+    read ``.value`` AFTER consuming the returned DataFrame (the chunked
+    path materializes eagerly, the single-chunk path on the caller's
+    action).
 
     ``prune=True`` enables the TAAT MaxScore pruning inside the kernel
     (uses the per-(shard, term) block-max impacts; disabled automatically
@@ -365,6 +374,16 @@ def retrieve_sharded(
     is_cross = idf_method != method or exact
     qidx = {q: i for i, q in enumerate(query_ids)}
     has_mask = weight_mask_df is not None
+
+    acc_shards = acc_postings = acc_cands = None
+    if metrics is not None:
+        sc = spark.sparkContext
+        acc_shards = sc.accumulator(0)
+        acc_postings = sc.accumulator(0)
+        acc_cands = sc.accumulator(0)
+        metrics["shards_scored"] = acc_shards
+        metrics["postings_scanned"] = acc_postings
+        metrics["candidates_emitted"] = acc_cands
 
     imp_col = f"impacts_{slug}"
     if is_cross:
@@ -454,10 +473,12 @@ def retrieve_sharded(
                 # scan); keyed by global q_idx — only queries touching
                 # this shard allocate anything
                 per_query: dict[int, list] = {}
+                n_postings_seen = 0
                 for term, gaps, vals, tfs, dls in rows:
                     entries = per_term_l.get(term)
                     if not entries:
                         continue
+                    n_postings_seen += len(gaps)
                     local = np.cumsum(gaps, dtype=np.int64)
                     info = cross_l.get(term)
                     if info is not None:
@@ -558,10 +579,16 @@ def retrieve_sharded(
                     rows_q.append(np.full(part.shape[0], q_i, dtype=np.int32))
                     rows_d.append(base + idx[part].astype(np.int64))
                     rows_s.append(sc[part].astype(np.float64))
+                if acc_shards is not None:
+                    acc_shards.add(1)
+                    acc_postings.add(int(n_postings_seen))
                 if not rows_q:
                     return None
+                out_q = np.concatenate(rows_q)
+                if acc_cands is not None:
+                    acc_cands.add(int(out_q.shape[0]))
                 return pd.DataFrame({
-                    "q_idx": np.concatenate(rows_q),
+                    "q_idx": out_q,
                     "doc_id": np.concatenate(rows_d),
                     "score": np.concatenate(rows_s),
                 })

@@ -137,3 +137,29 @@ def test_narrow_tf_megadoc_fallback(spark):
         (0, "a"): (4, 2), (0, "b"): (4, 1), (0, "c"): (4, 1),
         (1, "x"): (80, 50), (1, "y"): (80, 30),
     }
+
+
+def test_kernel_metrics_accumulators(spark):
+    """Query-side observability: the kernel fills shards_scored /
+    postings_scanned / candidates_emitted accumulators after the action,
+    with values satisfying the structural invariants."""
+    from bm25s_spark.indexer import build_index
+
+    tdf = transcripts_df(spark, "t2").persist()
+    idx = build_index(tdf, order_cols=["conv_id", "turn_idx"])
+    idx.docs_per_shard = 256
+    qdf = spark.createDataFrame(
+        queries_for(
+            [r["text"] for r in tdf.orderBy("conv_id", "turn_idx").collect()],
+            6,
+        ),
+        "query_id string, text string",
+    )
+    m: dict = {}
+    res = idx.retrieve(qdf, k=5, strategy="sharded", pad=False, metrics=m)
+    n_rows = res.count()
+    assert m["shards_scored"].value > 0
+    # every candidate came from some scanned posting, and the final
+    # merge only ever discards candidates
+    assert m["postings_scanned"].value >= m["candidates_emitted"].value
+    assert m["candidates_emitted"].value >= n_rows > 0
