@@ -260,14 +260,26 @@ def duplicate_components(
             break
     else:
         edges.unpersist()
+        labels.unpersist()
         raise RuntimeError(
             f"duplicate_components did not converge in {max_iter} rounds "
             "(pathological chain longer than max_iter?)"
         )
     edges.unpersist()
-    return labels.select(
+    out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
+    # materialize the (small) fixpoint and release every iteration cache —
+    # without this each call leaks one persisted dataset into the session
+    # (observed as driver-GC pressure across long-lived sessions); the
+    # reliable checkpoint is preferred when configured, as in shards.py
+    spark = pairs_df.sparkSession
+    if spark.sparkContext.getCheckpointDir() is not None:
+        out = out.checkpoint(eager=True)
+    else:
+        out = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def deduplicate_near(

@@ -1,7 +1,11 @@
-"""Property-based checks (hypothesis) against pure-Python oracles —
-robustness coverage for inputs no fixture enumerates: arbitrary token
-shapes for the stemmers, random event timelines for sessionization,
-random graphs for the duplicate-components fixpoint."""
+"""Property-based checks against pure-Python oracles — robustness
+coverage for inputs no fixture enumerates: hypothesis drives the pure
+stemmer functions (cheap, thousands of examples), while the Spark-backed
+operators (sessionize, duplicate_components) get seed-looped random
+inputs instead: hypothesis's generate-and-shrink loop multiplies Spark
+jobs against the suite's long-lived 8 GB JVM and was observed tipping it
+into heap exhaustion late in a full run; fixed seeds give equivalent
+randomized coverage at a bounded, deterministic job count."""
 
 from __future__ import annotations
 
@@ -59,35 +63,35 @@ def _sessionize_oracle(rows, gap_minutes):
     return out
 
 
-event_sets = st.lists(
-    st.tuples(
-        st.integers(0, 3),                      # user
-        st.integers(0, 5000),                   # offset seconds
-    ),
-    min_size=1,
-    max_size=25,
-    unique=True,
-)
+
+def _random_events(seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 30))
+    users = rng.integers(0, 4, size=n)
+    offs = rng.choice(5000, size=n, replace=False)
+    return [(i, int(u), int(o)) for i, (u, o) in enumerate(zip(users, offs))]
 
 
-@given(event_sets, st.integers(1, 20))
-@settings(max_examples=12, deadline=None)
-def test_sessionize_matches_bruteforce(spark_prop, ev, gap):
+def test_sessionize_matches_bruteforce(spark):
     from bm25s_spark.operators.events import sessionize
 
     t0 = dt.datetime(2026, 1, 1)
-    rows = [
-        (i, t0 + dt.timedelta(seconds=off), uid)
-        for i, (uid, off) in enumerate(ev)
-    ]
-    df = spark_prop.createDataFrame(
-        rows, "event_id long, ts timestamp, user_id long"
-    )
-    got = {
-        r["event_id"]: (r["user_id"], r["session_idx"])
-        for r in sessionize(df, gap_minutes=gap).collect()
-    }
-    assert got == _sessionize_oracle(rows, gap)
+    for seed in range(5):
+        gap = 1 + seed * 4
+        ev = _random_events(seed)
+        rows = [
+            (eid, t0 + dt.timedelta(seconds=off), uid) for eid, uid, off in ev
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        )
+        got = {
+            r["event_id"]: (r["user_id"], r["session_idx"])
+            for r in sessionize(df, gap_minutes=gap).collect()
+        }
+        assert got == _sessionize_oracle(rows, gap), seed
 
 
 def _components_oracle(edges):
@@ -106,23 +110,24 @@ def _components_oracle(edges):
     return {n: find(n) for n in parent}
 
 
-graphs = st.lists(
-    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
-    min_size=1,
-    max_size=20,
-)
+def test_components_match_union_find(spark):
+    import numpy as np
 
-
-@given(graphs)
-@settings(max_examples=10, deadline=None)
-def test_components_match_union_find(spark_prop, edges):
     from bm25s_spark.operators.dedup import duplicate_components
 
-    pairs = spark_prop.createDataFrame(
-        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
-    )
-    got = {
-        r["doc_id"]: r["component"]
-        for r in duplicate_components(pairs).collect()
-    }
-    assert got == _components_oracle(edges)
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        n_edges = int(rng.integers(1, 18))
+        edges = []
+        while len(edges) < n_edges:
+            a, b = int(rng.integers(0, 13)), int(rng.integers(0, 13))
+            if a != b:
+                edges.append((a, b))
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["component"]
+            for r in duplicate_components(pairs).collect()
+        }
+        assert got == _components_oracle(edges), (seed, edges)
