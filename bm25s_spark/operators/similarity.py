@@ -401,15 +401,24 @@ def ivf_knn_partitioned(
     q0 = query_df.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
-    # persist the assignment: the probe-cell collect AND the candidate
-    # join both consume it — unpersisted, the query-side plan (incl. the
-    # centroid matmul UDF) would execute twice
-    q_cells = q0.withColumn(
+    # materialize the assignment once: the probe-cell collect AND the
+    # candidate join both consume it — unmaterialized, the query-side
+    # plan (incl. the centroid matmul UDF) would execute twice.  The
+    # cache is released before returning (checkpoint, then unpersist):
+    # a long-lived session calling this per batch must not accumulate
+    # one pinned dataset per call (the GC-overhead failure mode
+    # duplicate_components hit)
+    q_cells_cached = q0.withColumn(
         "cells", _centroid_assign_udf(cent, n_probe)(F.col("qvec"))
     ).select("query_id", "qvec", F.explode("cells").alias("cell")).persist()
     probe_cells = sorted(
-        {r["cell"] for r in q_cells.select("cell").distinct().collect()}
+        {r["cell"] for r in q_cells_cached.select("cell").distinct().collect()}
     )
+    if spark.sparkContext.getCheckpointDir() is not None:
+        q_cells = q_cells_cached.checkpoint(eager=True)
+    else:
+        q_cells = q_cells_cached.localCheckpoint(eager=True)
+    q_cells_cached.unpersist()
     if probe_info is not None:
         probe_info["probe_cells"] = probe_cells
         probe_info["n_centroids"] = int(cent.shape[0])
@@ -470,15 +479,16 @@ def cosine_near_duplicates(
     if max_bucket_size is not None:
         # persist: the size scan and the candidate join both consume the
         # hashed chunks — unpersisted, the matmul UDF pass would run twice
-        chunks = chunks.persist()
+        chunks_cached = chunks.persist()
         # bucket count is bounded by bands × 2^(n_planes/bands) (1024 at
         # the defaults), so collecting the oversized keys is driver-safe
         big_rows = (
-            chunks.groupBy("band", "chunk")
+            chunks_cached.groupBy("band", "chunk")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > max_bucket_size)
             .collect()
         )
+        chunks = chunks_cached
         if big_rows:
             _log.warning(
                 "cosine_near_duplicates: dropping %d oversized (band, chunk) "
@@ -488,13 +498,23 @@ def cosine_near_duplicates(
                 len(big_rows), max_bucket_size,
                 sum(r["_n"] for r in big_rows),
             )
-            big_df = chunks.sparkSession.createDataFrame(
+            big_df = chunks_cached.sparkSession.createDataFrame(
                 [(r["band"], r["chunk"]) for r in big_rows],
                 "band int, chunk int",
             )
-            chunks = chunks.join(
+            chunks = chunks_cached.join(
                 F.broadcast(big_df), ["band", "chunk"], "left_anti"
             )
+        # release the cache before returning: checkpoint the (filtered)
+        # chunks eagerly so the returned plan no longer references the
+        # persisted dataset — repeated calls in a long-lived session
+        # must not accumulate pinned caches
+        spark = chunks_cached.sparkSession
+        if spark.sparkContext.getCheckpointDir() is not None:
+            chunks = chunks.checkpoint(eager=True)
+        else:
+            chunks = chunks.localCheckpoint(eager=True)
+        chunks_cached.unpersist()
     pairs = (
         chunks.alias("a").join(chunks.alias("b"), ["band", "chunk"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))

@@ -295,7 +295,10 @@ def retrieve_sharded(
     ``checkpoint.py``).  Accumulators aggregate as tasks complete, so
     read ``.value`` AFTER consuming the returned DataFrame (the chunked
     path materializes eagerly, the single-chunk path on the caller's
-    action).
+    action).  Unlike the build's lineage counters, these update inside a
+    transformation, where Spark does NOT deduplicate task retries or
+    speculative attempts — values are at-least-once and should be read
+    as approximate telemetry, not exact counts.
 
     ``prune=True`` enables the TAAT MaxScore pruning inside the kernel
     (uses the per-(shard, term) block-max impacts; disabled automatically
@@ -707,18 +710,26 @@ def retrieve_sharded(
             accum_nnoc(cpdf)
             return part
 
-        # a 2-deep thread pool overlaps consecutive chunks (Spark
-        # schedules jobs from separate threads concurrently), recovering
-        # the stage pipelining a strictly sequential materialize-barrier
-        # loop gives up, while broadcast + metadata memory stays bounded
-        # by the in-flight window instead of the whole batch
-        from concurrent.futures import ThreadPoolExecutor
+        if n_chunks == 0:
+            # every query tokenized to OOV-only terms: no kernel work —
+            # an empty candidate set flows through the normal merge/pad
+            # path (the single-chunk branch reaches the same result via
+            # an empty broadcast payload)
+            candidates = spark.createDataFrame([], out_schema)
+        else:
+            # a 2-deep thread pool overlaps consecutive chunks (Spark
+            # schedules jobs from separate threads concurrently),
+            # recovering the stage pipelining a strictly sequential
+            # materialize-barrier loop gives up, while broadcast +
+            # metadata memory stays bounded by the in-flight window
+            # instead of the whole batch
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            parts = list(pool.map(process_chunk, range(n_chunks)))
-        candidates = None
-        for part in parts:
-            candidates = part if candidates is None else candidates.unionByName(part)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                parts = list(pool.map(process_chunk, range(n_chunks)))
+            candidates = parts[0]
+            for part in parts[1:]:
+                candidates = candidates.unionByName(part)
         qstats.unpersist()
         if mask_rows_df is not None:
             mask_rows_df.unpersist()

@@ -240,7 +240,9 @@ class SnowballEnglishStemmer:
 # the reference's most common non-English configuration
 # (``reference/bm25s/tokenization.py:675-699`` routes every Snowball
 # language through PyStemmer; German is vendored here so it works
-# without the C binding).
+# without the C binding).  Implements the Snowball 3.0 revision of the
+# spec (-erin/-erinnen step-1 suffixes, "em not preceded by syst"
+# guard); a pre-3.0 PyStemmer would diverge on exactly those forms.
 
 _DE_VOWELS = frozenset("aeiouyäöü")
 _DE_S_ENDINGS = frozenset("bdfghklmnrt")
@@ -292,13 +294,19 @@ def stem_german(word: str) -> str:
     def in_r2(suf_len: int) -> bool:
         return len(w) - suf_len >= r2
 
-    # step 1: longest of em/ern/er | e/en/es | s(valid s-ending); the
-    # longest match decides — a failed condition removes nothing
-    suf = _de_longest(w, ("ern", "em", "er", "en", "es", "e", "s"))
+    # step 1 (Snowball 3.0 revision): longest of
+    #   em(not preceded by "syst")/ern/er | e/en/es/erin/erinnen |
+    #   s(valid s-ending)
+    # — the longest match decides; a failed condition removes nothing.
+    # The erin/erinnen suffixes and the syst guard are the 3.0 additions
+    # (pre-3.0 stemmed "system"→"syst" and left "lehrerin" whole).
+    suf = _de_longest(
+        w, ("erinnen", "erin", "ern", "em", "er", "en", "es", "e", "s")
+    )
     if suf in ("ern", "em", "er"):
-        if in_r1(len(suf)):
+        if in_r1(len(suf)) and not (suf == "em" and w[:-2].endswith("syst")):
             w = w[: -len(suf)]
-    elif suf in ("en", "es", "e"):
+    elif suf in ("erinnen", "erin", "en", "es", "e"):
         if in_r1(len(suf)):
             w = w[: -len(suf)]
             if w.endswith("niss"):

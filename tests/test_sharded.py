@@ -87,6 +87,28 @@ def test_chunked_query_batches(spark):
     assert one == chunked
 
 
+def test_chunked_all_oov_batch(spark):
+    """A chunked batch whose every query tokenizes to OOV-only terms
+    (zero matching vocabulary) must behave like the single-chunk path:
+    padded zero-score rows with pad=True, an empty frame with pad=False
+    — not an AttributeError from an empty chunk list."""
+    tdf = transcripts_df(spark, "t2").persist()
+    engine = SparkBM25()
+    idx = engine.index(tdf)
+    idx.docs_per_shard = 512
+    queries = [(f"q-{i}", "zzqx qqzz xxqq") for i in range(5)]
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    padded = _rows(engine.retrieve(
+        qdf, k=3, strategy="sharded", query_chunk_size=2
+    ))
+    assert len(padded) == 5 * 3
+    assert all(r["score"] == 0.0 for r in padded)
+    unpadded = engine.retrieve(
+        qdf, k=3, strategy="sharded", query_chunk_size=2, pad=False
+    )
+    assert unpadded.count() == 0
+
+
 def test_sharded_weight_mask_golden(spark, ref_bm25s):
     """Distributed (pre-joined) weight mask through the kernel matches
     the reference's weight_mask retrieval exactly

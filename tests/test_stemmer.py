@@ -215,6 +215,13 @@ GERMAN_VECTORS = [
     ("freundlichkeit", "freundlich"),  # keit in R2; lich not in R2
     ("möglichkeit", "moglich"),
     ("schönheit", "schonheit"),      # heit not in R2 (R2 empty)
+    # Snowball 3.0 revision rules
+    ("system", "system"),            # em preceded by syst: protected
+    ("ökosystem", "okosystem"),      # syst guard fires mid-word too
+    ("besserem", "bess"),            # em NOT preceded by syst: deletes
+    ("lehrerin", "lehr"),            # step-1 erin (3.0 addition)
+    ("lehrerinnen", "lehr"),         # step-1 erinnen (3.0 addition)
+    ("schülerinnen", "schul"),       # erinnen + umlaut fold
 ]
 
 
