@@ -22,8 +22,12 @@ which the correctness oracle exploits).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def normalize_text(col):
@@ -308,41 +312,70 @@ def deduplicate_near(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = 48) -> DataFrame:
-    """(doc_id, simhash:long) over ``bits`` bits (≤48 so every bit comes
-    from one md5-derived integer)."""
+                       id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(doc_id, simhash:long) over ``bits`` ≤ 64 bits.
+
+    Bits 0-47 come from one md5-derived integer (seed 7); bits 48-63
+    from a second (seed 8) — each md5 digest yields 48 exactly-
+    representable bits, so two cover the full 64-bit signature while
+    staying engine-reproducible (DuckDB regenerates both for the
+    oracle).  Packing is bitwise-OR of shifted bit flags, so bit 63
+    lands in the long's sign position without any 2^63 literal."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits={bits} must be in [1, 64]")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
-    h = _md5_hash64(F.col("tok"), 7)
+    h_lo = _md5_hash64(F.col("tok"), 7)
+    h_hi = _md5_hash64(F.col("tok"), 8) if bits > 48 else None
+
+    def bit_at(i):
+        src, off = (h_lo, i) if i < 48 else (h_hi, i - 48)
+        return F.shiftright(src, off).bitwiseAND(F.lit(1))
+
     votes = toks.select(
         "doc_id",
         *[
-            (F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            (F.when(bit_at(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(bits)
         ],
     ).groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    from functools import reduce
+
+    packed_bits = [
+        F.shiftleft(
+            F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
+        )
+        for i in range(bits)
+    ]
     packed = votes.select(
         "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-                for i in range(bits)
-            ],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
+        reduce(lambda a, c: a.bitwiseOR(c), packed_bits).alias("simhash"),
     )
     return packed
 
 
 def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
                             text_col: str = "text", id_col: str = "doc_id",
-                            bits: int = 48, bands: int = 4) -> DataFrame:
+                            bits: int = 64, bands: int = 4,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """Banded simhash join: split the fingerprint into ``bands`` chunks —
     any pair within ``max_hamming < bands`` distance agrees exactly on ≥1
-    chunk (pigeonhole), so the join key is (band, chunk)."""
-    sig = simhash_signatures(df, text_col, id_col, bits).persist()
+    chunk (pigeonhole), so the join key is (band, chunk).
+
+    Scale shape: the per-band bucket space is 2^(bits/bands) — the
+    64/4 default gives 2^16 buckets per band, so random (non-duplicate)
+    collisions on a 10^9-doc corpus stay ~10^4 per bucket instead of the
+    ~10^5 a 12-bit chunk would give.  Even so, a corpus where one chunk
+    value is hot (boilerplate shells, empty docs) makes within-bucket
+    pair generation quadratic; ``max_bucket_size`` drops oversized
+    (band, chunk) buckets from candidate generation and LOGS the dropped
+    bucket/row counts (never a silent cap) — the same contract as
+    ``similarity.cosine_near_duplicates``.  Pairs confined to dropped
+    buckets are not reported.
+    """
+    sig = simhash_signatures(df, text_col, id_col, bits)
     per = bits // bands
     mask = (1 << per) - 1
     chunks = sig.select(
@@ -357,6 +390,44 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
             ])
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    # materialize the hashed chunks once: the pair self-join scans them
+    # twice (and the bucket-size scan a third time when capped); the
+    # cache is released via an eager checkpoint so repeated calls in a
+    # long-lived session don't accumulate pinned datasets
+    chunks_cached = chunks.persist()
+    if max_bucket_size is not None:
+        # oversized keys are ≤ total_rows / max_bucket_size — driver-safe
+        big_rows = (
+            chunks_cached.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .collect()
+        )
+        if big_rows:
+            _log.warning(
+                "simhash_near_duplicates: dropping %d oversized (band, chunk) "
+                "buckets (> %d members, %d rows total) from candidate "
+                "generation; pairs confined to those buckets are NOT reported",
+                len(big_rows), max_bucket_size,
+                sum(r["_n"] for r in big_rows),
+            )
+            big_df = chunks_cached.sparkSession.createDataFrame(
+                [(int(r["band"]), int(r["chunk"])) for r in big_rows],
+                "band int, chunk long",
+            )
+            chunks = chunks_cached.join(
+                F.broadcast(big_df), ["band", "chunk"], "left_anti"
+            )
+        else:
+            chunks = chunks_cached
+    else:
+        chunks = chunks_cached
+    spark = chunks_cached.sparkSession
+    if spark.sparkContext.getCheckpointDir() is not None:
+        chunks = chunks.checkpoint(eager=True)
+    else:
+        chunks = chunks.localCheckpoint(eager=True)
+    chunks_cached.unpersist()
     pairs = (
         chunks.alias("a").join(chunks.alias("b"), ["band", "chunk"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -57,15 +57,52 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
 
 def test_simhash_near_dups(spark, docs):
+    # default 64-bit signatures: both halves (seed-7 low 48, seed-8 high
+    # 16) must agree between identical docs and discriminate random ones
     sig = {r["doc_id"]: r["simhash"]
-           for r in dedup.simhash_signatures(docs, bits=48).collect()}
+           for r in dedup.simhash_signatures(docs).collect()}
     assert sig[0] == sig[1] == sig[2]
-    ham03 = bin(sig[0] ^ sig[3]).count("1")
-    ham04 = bin(sig[0] ^ sig[4]).count("1")
+    ham03 = bin((sig[0] ^ sig[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham04 = bin((sig[0] ^ sig[4]) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert ham03 < ham04
+    # pigeonhole guarantee needs max_hamming < bands: with ham03 < 16
+    # and 16 bands (4-bit chunks) the near-dup MUST collide in ≥1 band
+    assert ham03 < 16
     near = {(r["doc_a"], r["doc_b"]) for r in
-            dedup.simhash_near_duplicates(docs, max_hamming=ham03).collect()}
+            dedup.simhash_near_duplicates(
+                docs, max_hamming=ham03, bands=16
+            ).collect()}
     assert (0, 3) in near
+    # 48-bit signatures are the low half of the 64-bit ones (layout pin
+    # for the persisted-gate compatibility)
+    sig48 = {r["doc_id"]: r["simhash"]
+             for r in dedup.simhash_signatures(docs, bits=48).collect()}
+    assert all(sig48[d] == sig[d] & 0xFFFFFFFFFFFF for d in sig48)
+
+
+def test_simhash_hot_bucket_cap(spark, caplog):
+    """A corpus with one hot (band, chunk) bucket (40 identical docs):
+    max_bucket_size must bound candidate generation with a LOGGED drop,
+    and pairs outside the hot bucket must survive."""
+    import logging as _logging
+
+    rows = [(i, "same boilerplate shell text repeated") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta unique one"),
+             (101, "alpha beta gamma delta unique one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_near_duplicates(df, max_hamming=0).collect()}
+    assert (100, 101) in full
+    assert len(full) == 40 * 39 // 2 + 1
+    with caplog.at_level(
+        _logging.WARNING, logger="bm25s_spark.operators.dedup"
+    ):
+        capped = {(r["doc_a"], r["doc_b"])
+                  for r in dedup.simhash_near_duplicates(
+                      df, max_hamming=0, max_bucket_size=10
+                  ).collect()}
+    assert "dropping" in caplog.text          # no silent caps
+    assert capped == {(100, 101)}             # hot-bucket pairs gone, rest kept
 
 
 def test_lsh_knn_recall(spark):
