@@ -206,14 +206,46 @@ def _gate_topk_pretokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(scores)
 
 
+def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene top-k over an index whose documents are whole
+    CONVERSATIONS (``conversation_rollup`` output), not turns — doc ids
+    are assigned in conv_id order, which the DuckDB twin reproduces as
+    ``doc_id // 4`` (the _transcripts derivation packs 4 turns per
+    conversation in id order)."""
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.retrieval import score_all
+    from bm25s_spark.transcripts import conversation_rollup
+
+    key = (os.path.abspath(sf_dir), "convidx")
+    if key not in _INDEX_CACHE:
+        conv = conversation_rollup(_transcripts(spark, sf_dir)).select(
+            "conv_id", F.col("conv_text").alias("text")
+        )
+        idx = build_index(conv, order_cols=["conv_id"]).persist()
+        _INDEX_CACHE[key] = idx
+    idx = _INDEX_CACHE[key]
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return _rounded_topk(score_all(idx, qdf, method="lucene"))
+
+
+_CONV_DOCS_CTE = """SELECT doc_id // 4 AS doc_id,
+         lower(string_agg(text, ' ' ORDER BY doc_id % 4)) AS t
+  FROM documents GROUP BY doc_id // 4"""
+
+
 def _bm25_oracle_sql(method: str, idf_method: str | None = None,
-                     mask: bool = False, shard_round: bool = False) -> str:
+                     mask: bool = False, shard_round: bool = False,
+                     docs_cte: str | None = None) -> str:
     idf_method = idf_method or method
     nnoc_f = _NNOC_FACTOR[method]
     idf = _IDF_SQL[idf_method]
     tfc = _TFC_SQL[method]
     nnoc_expr = f"({idf} * {nnoc_f})" if nnoc_f else "0.0"
     weight = "(r.doc_id % 2)" if mask else "1.0"
+    # ``docs_cte`` parameterizes the document source (doc_id, t) — the
+    # default is per-turn granularity (one doc per documents row); the
+    # conversation-granularity entry passes a rollup CTE instead
+    docs_cte = docs_cte or "SELECT doc_id, lower(text) AS t FROM documents"
     # the sharded kernel's gate mode rounds the accumulated (masked) raw
     # score BEFORE the per-query nnoc add-back (which the final merge
     # adds in full precision, then the gate rounds once more) — mirror
@@ -224,7 +256,7 @@ def _bm25_oracle_sql(method: str, idf_method: str | None = None,
         score_expr = f"round({weight} * r.raw + coalesce(ns.ns, 0.0), 4)"
     return f"""
 WITH docs AS (
-  SELECT doc_id, lower(text) AS t FROM documents
+  {docs_cte}
 ),
 tok_raw AS (
   SELECT doc_id, unnest(regexp_extract_all(t, '\\w\\w+')) AS term FROM docs
@@ -358,6 +390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda spark, sf: _gate_topk_sharded(spark, sf, "lucene", chunk=3)
     )
     q["bm25_topk_lucene_pretokenized"] = _gate_topk_pretokenized
+    # granularity flip: conversation_rollup → build_index → top-k — one
+    # document = one CONVERSATION (the input hint's per-turn granularity
+    # inverted, which transcript pipelines run both ways); proves the
+    # rollup composes with the engine end-to-end
+    q["bm25_topk_conv_granularity"] = _gate_topk_conv_granularity
 
     # ---- index internals ----
     def term_stats(spark, sf):
@@ -428,6 +465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components"] = lambda spark, sf: dedup.duplicate_components(
         dedup.minhash_lsh_candidates(_documents(spark, sf), num_hashes=8, bands=4)
     )
+    # the end-to-end composition a pipeline actually calls: LSH pairs →
+    # components → one left_anti dropping non-canonical cluster members
+    q["dedup_near_end_to_end"] = lambda spark, sf: dedup.deduplicate_near(
+        _documents(spark, sf), num_hashes=8, bands=4
+    ).select("doc_id")
 
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_signatures(
         _documents(spark, sf), bits=16
@@ -593,6 +635,9 @@ def oracle_sql() -> dict[str, str]:
         "lucene", shard_round=True
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
+    o["bm25_topk_conv_granularity"] = _bm25_oracle_sql(
+        "lucene", docs_cte=_CONV_DOCS_CTE
+    )
 
     o["term_stats_idf"] = f"""
 WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -695,6 +740,17 @@ reach(u, v) AS (
 )
 SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
 """
+
+    # end-to-end near-dedup twin: the components closure above + an
+    # anti-join dropping every non-canonical (component < doc_id) member
+    o["dedup_near_end_to_end"] = o["dedup_components"].replace(
+        "SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u",
+        """, comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component < doc_id)""",
+    )
 
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLE_CTE},

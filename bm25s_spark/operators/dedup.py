@@ -35,6 +35,19 @@ def normalize_text(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def _eager_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` now and TRUNCATE its lineage — reliable
+    checkpoint when a checkpoint dir is configured (cluster deployments:
+    survives executor loss), local otherwise.  Iterative operators must
+    cut the plan every round: stacking self-referencing unions/joins
+    grows the logical plan super-linearly and overflows the JVM stack
+    after ~8 rounds (persist alone does NOT truncate lineage)."""
+    spark = df.sparkSession
+    if spark.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per duplicate *group* (≥2 docs with identical normalized
     text): (digest, canonical_id = min id, n_dupes).  Scale: single hash
@@ -203,87 +216,114 @@ def duplicate_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    info: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs → connected components: (doc_id, component) with
     ``component`` = the smallest doc id reachable through the pair graph
     — the step that turns pairwise near-dup hits into dedup GROUPS (keep
     one doc per component, drop the rest).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum of its own label and its neighbors' labels; a round is one
-    shuffle (edges ⋈ labels → min-agg).  Rounds needed = graph diameter,
-    which for near-dup clusters (dense, shallow) is small; ``max_iter``
-    bounds pathological chains and non-convergence raises rather than
-    returning silently-wrong components.  Labels are persisted per round
-    and the previous round unpersisted, so lineage/memory stay bounded.
-    Deterministic: the fixpoint is unique (min over a fixed graph).
+    Alternating large-star / small-star (the published MapReduce
+    connected-components algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round
+    re-attaches every node's larger neighbors (large-star) then its
+    smaller neighbors (small-star) to the neighborhood minimum,
+    preserving connectivity while collapsing path length geometrically —
+    convergence in O(log n) rounds even on pathological chains, where
+    plain min-label propagation needs O(diameter) rounds.  A round is
+    two shuffles (groupBy-min + join, twice); the converged edge set is
+    a star forest rooted at each component's minimum id.
+
+    ``max_iter`` still bounds the loop and non-convergence raises rather
+    than returning silently-wrong components (at log-convergence, 25
+    rounds covers any graph that fits in any cluster).  Per-round
+    results are persisted and the previous round unpersisted; the final
+    output is checkpointed eagerly so no cache outlives the call.
+    ``info``, if given, is filled with {"rounds": n}.
 
     Only docs that appear in ≥1 pair are returned (singletons have no
     duplicate group).  The in-component canonical doc is simply
     ``component`` itself — the reference keep-lowest-id convention of
-    ``deduplicate_exact``.
+    ``deduplicate_exact``.  Deterministic: the star-forest fixpoint of
+    min-attachment is unique for a fixed graph.
     """
-    edges = (
-        pairs_df.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(
-            pairs_df.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    spark = pairs_df.sparkSession
+    # canonical oriented edges u > v; self-pairs carry no connectivity
+    # (their nodes re-enter via the final node join).  Each round's edge
+    # set is checkpointed eagerly — lineage MUST be cut per round (see
+    # _eager_checkpoint) — so no persist bookkeeping is needed.
+    edges = _eager_checkpoint(
+        pairs_df.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
         )
+        .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("label")
-    ).persist()
-    labels.count()
+    n_edges = edges.count()
+    rounds = 0
+    converged = n_edges == 0
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    else:
-        edges.unpersist()
-        labels.unpersist()
+        rounds += 1
+        # ---- large-star: (v, min(N⁺(u))) for every neighbor v > u ----
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: attach u and its smaller neighbors to their
+        # minimum (ls edges are already oriented u > v) ----
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = _eager_checkpoint(
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(mins2.select("u", F.col("mn").alias("v")))
+            .distinct()
+        )
+        n_new = ss.count()
+        # fixpoint ⇔ ss ⊆ edges with equal cardinality (one anti-join
+        # probe; both sets are oriented+distinct)
+        if n_new == n_edges:
+            grew = (
+                ss.join(edges, ["u", "v"], "left_anti").limit(1).count() > 0
+            )
+            converged = not grew
+        edges = ss
+        n_edges = n_new
+    if not converged:
         raise RuntimeError(
             f"duplicate_components did not converge in {max_iter} rounds "
-            "(pathological chain longer than max_iter?)"
+            "(unexpected at O(log n) convergence — corrupt edge input?)"
         )
-    edges.unpersist()
-    out = labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    if info is not None:
+        info["rounds"] = rounds
+    # converged star forest: u → root; roots appear only on the v side
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
     )
-    # materialize the (small) fixpoint and release every iteration cache —
-    # without this each call leaks one persisted dataset into the session
-    # (observed as driver-GC pressure across long-lived sessions); the
-    # reliable checkpoint is preferred when configured, as in shards.py
-    spark = pairs_df.sparkSession
-    if spark.sparkContext.getCheckpointDir() is not None:
-        out = out.checkpoint(eager=True)
-    else:
-        out = out.localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+    nodes = (
+        pairs_df.select(F.col(id_a).alias("doc_id"))
+        .unionByName(pairs_df.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+    )
+    out = nodes.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    # materialize the (small) fixpoint so the per-round checkpoint blocks
+    # can be released as soon as their DataFrames go out of scope — no
+    # cache or lineage outlives the call
+    return _eager_checkpoint(out)
 
 
 def deduplicate_near(
@@ -422,11 +462,7 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
             chunks = chunks_cached
     else:
         chunks = chunks_cached
-    spark = chunks_cached.sparkSession
-    if spark.sparkContext.getCheckpointDir() is not None:
-        chunks = chunks.checkpoint(eager=True)
-    else:
-        chunks = chunks.localCheckpoint(eager=True)
+    chunks = _eager_checkpoint(chunks)
     chunks_cached.unpersist()
     pairs = (
         chunks.alias("a").join(chunks.alias("b"), ["band", "chunk"])

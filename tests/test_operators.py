@@ -655,9 +655,13 @@ def test_conversation_rollup(spark):
 
 
 def test_duplicate_components(spark):
-    """Chain + separate triangle + isolated pair: min-label propagation
-    must find the transitive components, and a chain longer than
-    max_iter must raise instead of returning wrong components."""
+    """Chain + separate triangle + isolated pair: large-star/small-star
+    must find the transitive components; a LONG chain (the O(diameter)
+    killer for label propagation) must converge within O(log n) rounds;
+    and genuinely exhausted max_iter must raise, never return silently
+    wrong components."""
+    import math
+
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4),          # chain → component 1
          (10, 11), (11, 12), (10, 12),    # triangle → component 10
@@ -670,11 +674,28 @@ def test_duplicate_components(spark):
                     10: 10, 11: 10, 12: 10,
                     20: 20, 21: 20}
 
+    # 200-node chain: diameter 199 ≫ 25 would break label propagation;
+    # star alternation must converge in ≤ 2·log2(n) + 3 rounds
+    n = 200
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
+    info: dict = {}
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.duplicate_components(chain, info=info).collect()}
+    assert comp == {i: 0 for i in range(n)}
+    assert info["rounds"] <= 2 * math.ceil(math.log2(n)) + 3, info
+
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.duplicate_components(chain, max_iter=2)
+        dedup.duplicate_components(chain, max_iter=1)
+
+    # self-pairs carry no connectivity but their nodes are still labeled
+    selfp = spark.createDataFrame(
+        [(5, 5), (7, 8)], "doc_a long, doc_b long"
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.duplicate_components(selfp).collect()}
+    assert comp == {5: 5, 7: 7, 8: 7}
 
 
 def test_deduplicate_near_end_to_end(spark, docs):
