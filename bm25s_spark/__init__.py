@@ -33,9 +33,10 @@ from bm25s_spark.index_io import (
 from bm25s_spark.session import get_spark
 from bm25s_spark.transcripts import conversation_rollup
 from bm25s_spark.operators.events import session_summary, sessionize
+from bm25s_spark.streaming.sessions import session_window_rollup
 from bm25s_spark.streaming.windows import windowed_event_rollup
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "tokenize",
@@ -57,5 +58,6 @@ __all__ = [
     "conversation_rollup",
     "sessionize",
     "session_summary",
+    "session_window_rollup",
     "windowed_event_rollup",
 ]

@@ -631,6 +631,144 @@ def test_windowed_rollup_watermark_drops_late(spark, tmp_path):
     assert all(r["sum_value"] < 99.0 for r in got)
 
 
+def test_session_window_stream_batch_parity(spark, tmp_path):
+    """The SAME session_window_rollup body over a parquet stream
+    (complete mode, availableNow) must equal the batch computation; on
+    off-boundary input (no exact-gap deltas) both must also agree with
+    the batch lag-based session_summary on (user, start, end, n, sum) —
+    the semantic overlap where the two operators are interchangeable."""
+    import datetime as dt
+
+    from bm25s_spark.operators.events import session_summary
+    from bm25s_spark.streaming.sessions import session_window_rollup
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2026, 4, 1, 9, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: sessions [0..20] and [65..70] (45-min gap > 30)
+        (0, at(0), 1, 1.0), (1, at(10), 1, 2.0), (2, at(20), 1, 3.0),
+        (3, at(65), 1, 4.0), (4, at(70), 1, 5.0),
+        # user 2: one long session with sub-gap spacing
+        (5, at(5), 2, 1.0), (6, at(25), 2, 1.0), (7, at(45), 2, 1.0),
+        # user 3: singleton
+        (8, at(200), 3, 7.0),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    def key(rws):
+        return {
+            (r["user_id"], r["session_start"], r["session_end"]):
+                (r["n_events"], r["sum_value"])
+            for r in rws
+        }
+
+    batch = key(session_window_rollup(
+        spark.read.parquet(src), gap="30 minutes"
+    ).collect())
+    assert len(batch) == 4
+
+    # cross-operator agreement on off-boundary input
+    lag_based = key(session_summary(
+        spark.read.parquet(src), gap_minutes=30
+    ).collect())
+    assert lag_based == batch
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        session_window_rollup(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory").queryName("sessroll")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    streamed = key(spark.sql("SELECT * FROM sessroll").collect())
+    assert streamed == batch
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Boundary pin: an event at EXACTLY the gap merges in BOTH
+    operators (session_window's [t, t+gap] extent is end-inclusive,
+    matching the lag-based '> gap starts a session' rule); one
+    microsecond past the gap splits in both."""
+    import datetime as dt
+
+    from bm25s_spark.operators.events import session_summary
+    from bm25s_spark.streaming.sessions import session_window_rollup
+
+    t0 = dt.datetime(2026, 4, 1, 9, 0, 0)
+    at_gap = spark.createDataFrame(
+        [(0, t0, 1, 1.0), (1, t0 + dt.timedelta(minutes=30), 1, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    assert session_summary(at_gap, gap_minutes=30).count() == 1
+    assert session_window_rollup(at_gap, gap="30 minutes").count() == 1
+
+    past_gap = spark.createDataFrame(
+        [(0, t0, 1, 1.0),
+         (1, t0 + dt.timedelta(minutes=30, microseconds=1), 1, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    assert session_summary(past_gap, gap_minutes=30).count() == 2
+    assert session_window_rollup(past_gap, gap="30 minutes").count() == 2
+
+
+def test_session_window_watermark_drops_late(spark, tmp_path):
+    """Append mode + watermark: a session entirely behind the watermark
+    is finalized exactly once; a late event for it arriving in a later
+    micro-batch is dropped, never reopening the session."""
+    import datetime as dt
+
+    from bm25s_spark.streaming.sessions import session_window_rollup
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2026, 4, 1, 9, 0, 0)
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: a 2-event session at 9:00-9:05, then activity advancing
+    # the watermark to max(ts) - 10 min = 12:50 — far past that session
+    rows1 = [(0, t0, 1, 1.0), (1, t0 + dt.timedelta(minutes=5), 1, 2.0)]
+    rows1 += [
+        (10 + i, t0 + dt.timedelta(minutes=180 + i), 2, 1.0) for i in range(60)
+    ]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            session_window_rollup(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    # batch 2: one LATE event (9:10, inside the finalized session's gap
+    # but far behind the 12:50 watermark) + one on-time event
+    rows2 = [(100, t0 + dt.timedelta(minutes=10), 1, 99.0),
+             (101, t0 + dt.timedelta(minutes=400), 2, 1.0)]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out).collect()
+    u1 = [r for r in got if r["user_id"] == 1]
+    assert len(u1) == 1
+    assert u1[0]["n_events"] == 2 and u1[0]["sum_value"] == 3.0
+    assert all(r["sum_value"] < 99.0 for r in got)
+
+
 def test_conversation_rollup(spark):
     from bm25s_spark.transcripts import conversation_rollup
 
