@@ -369,3 +369,328 @@ class SnowballGermanStemmer:
 
     def stemWords(self, words) -> list[str]:
         return [stem_german(wrd) for wrd in words]
+
+
+# ---------------------------------------------------------------------------
+# Snowball French
+# ---------------------------------------------------------------------------
+# Independent implementation of the published Snowball French stemming
+# algorithm (https://snowballstem.org/algorithms/french/stemmer.html) —
+# after German, the most likely non-English corpus configuration the
+# reference routes through PyStemmer
+# (``reference/bm25s/tokenization.py:675-699``).  Implements the classic
+# published revision (the algorithm behind the widely-deployed 2.x
+# PyStemmer/NLTK ports); the Snowball 3.0 ë/ï "He/Hi" prelude refinement
+# is not applied (our tokenizer feeds plain lowercase \\w tokens).
+
+_FR_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+# step 1 suffix groups (longest match across ALL of them decides)
+_FR_S1_DEL_R2 = (
+    "ance", "iqUe", "isme", "able", "iste", "eux",
+    "ances", "iqUes", "ismes", "ables", "istes",
+)
+_FR_S1_ATEUR = ("atrice", "ateur", "ation", "atrices", "ateurs", "ations")
+_FR_S1_ALL = (
+    _FR_S1_DEL_R2 + _FR_S1_ATEUR
+    + ("logie", "logies", "usion", "ution", "usions", "utions",
+       "ence", "ences", "ement", "ements", "ité", "ités",
+       "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+       "issement", "issements", "amment", "emment", "ment", "ments")
+)
+_FR_S2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses",
+    "issez", "îmes", "îtes", "irai", "iras", "irez", "isse",
+    "ies", "ira", "ît", "ie", "ir", "is", "it", "i",
+)
+_FR_S2B_E = (
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "ées", "era", "iez", "ée", "és",
+    "er", "ez", "é",
+)
+_FR_S2B_A = (
+    "assions", "assent", "assiez", "aIent", "antes", "asses", "âmes",
+    "âtes", "ante", "ants", "asse", "ais", "ait", "ant", "as", "ai",
+    "ât", "a",
+)
+
+
+def _fr_isv(c: str) -> bool:
+    return c in _FR_VOWELS
+
+
+def _fr_prelude(w: str) -> str:
+    """Mark u/i between vowels, y next to a vowel, and u after q as
+    consonants (upper case), scanning left to right on the evolving
+    string (a marked letter is a consonant for later decisions)."""
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        c = chars[i]
+        if c == "u":
+            if i > 0 and chars[i - 1] == "q":
+                chars[i] = "U"
+            elif 0 < i < n - 1 and _fr_isv(chars[i - 1]) and _fr_isv(chars[i + 1]):
+                chars[i] = "U"
+        elif c == "i":
+            if 0 < i < n - 1 and _fr_isv(chars[i - 1]) and _fr_isv(chars[i + 1]):
+                chars[i] = "I"
+        elif c == "y":
+            if (i > 0 and _fr_isv(chars[i - 1])) or (
+                i < n - 1 and _fr_isv(chars[i + 1])
+            ):
+                chars[i] = "Y"
+    return "".join(chars)
+
+
+def _fr_rv(w: str) -> int:
+    """RV start: after the third letter if the word begins with two
+    vowels or with par/col/tap; else after the first vowel not at the
+    start; else end of word."""
+    n = len(w)
+    if n >= 3 and (
+        w[:3] in ("par", "col", "tap")
+        or (_fr_isv(w[0]) and _fr_isv(w[1]))
+    ):
+        return 3
+    for i in range(1, n):
+        if _fr_isv(w[i]):
+            return i + 1
+    return n
+
+
+def _fr_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if not _fr_isv(w[i]) and _fr_isv(w[i - 1]):
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _fr_isv(w[i]) and _fr_isv(w[i - 1]):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _fr_longest(w: str, sufs, min_start: int | None = None) -> str | None:
+    """Longest suffix of ``w`` among ``sufs``; with ``min_start``, only
+    suffixes lying entirely at/after that offset qualify (the Snowball
+    ``setlimit`` semantics of steps 2a/2b/4)."""
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            if min_start is None or len(w) - len(s) >= min_start:
+                best = s
+    return best
+
+
+def stem_french(word: str) -> str:
+    w = _fr_prelude(word)
+    rv = _fr_rv(w)
+    r1, r2 = _fr_r1r2(w)
+
+    def in_rv(wl, ln):
+        return wl - ln >= rv
+
+    def in_r1(wl, ln):
+        return wl - ln >= r1
+
+    def in_r2(wl, ln):
+        return wl - ln >= r2
+
+    # ---- step 1: standard suffix removal ----
+    step1_changed = False
+    ment_removed = False
+    suf = _fr_longest(w, _FR_S1_ALL)
+    if suf is not None:
+        L = len(w)
+        sl = len(suf)
+        if suf in _FR_S1_DEL_R2:
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_changed = True
+        elif suf in _FR_S1_ATEUR:
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_changed = True
+                if w.endswith("ic"):
+                    if in_r2(len(w), 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif suf in ("logie", "logies"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "log"
+                step1_changed = True
+        elif suf in ("usion", "ution", "usions", "utions"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "u"
+                step1_changed = True
+        elif suf in ("ence", "ences"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "ent"
+                step1_changed = True
+        elif suf in ("ement", "ements"):
+            if in_rv(L, sl):
+                w = w[:-sl]
+                step1_changed = True
+                if w.endswith("iv") and in_r2(len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w), 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if in_r2(len(w), 3):
+                        w = w[:-3]
+                    elif in_r1(len(w), 3):
+                        w = w[:-3] + "eux"
+                elif w.endswith("abl") and in_r2(len(w), 3):
+                    w = w[:-3]
+                elif w.endswith("iqU") and in_r2(len(w), 3):
+                    w = w[:-3]
+                elif w.endswith("ièr") and in_rv(len(w), 3):
+                    w = w[:-3] + "i"
+                elif w.endswith("Ièr") and in_rv(len(w), 3):
+                    w = w[:-3] + "i"
+        elif suf in ("ité", "ités"):
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_changed = True
+                if w.endswith("abil"):
+                    if in_r2(len(w), 4):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if in_r2(len(w), 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r2(len(w), 2):
+                    w = w[:-2]
+        elif suf in ("if", "ive", "ifs", "ives"):
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_changed = True
+                if w.endswith("at") and in_r2(len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if in_r2(len(w), 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif suf == "eaux":
+            w = w[:-4] + "eau"
+            step1_changed = True
+        elif suf == "aux":
+            if in_r1(L, 3):
+                w = w[:-3] + "al"
+                step1_changed = True
+        elif suf in ("euse", "euses"):
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_changed = True
+            elif in_r1(L, sl):
+                w = w[:-sl] + "eux"
+                step1_changed = True
+        elif suf in ("issement", "issements"):
+            if in_r1(L, sl) and L > sl and not _fr_isv(w[L - sl - 1]):
+                w = w[:-sl]
+                step1_changed = True
+        elif suf == "amment":
+            if in_rv(L, 6):
+                w = w[:-6] + "ant"
+                step1_changed = True
+                ment_removed = True
+        elif suf == "emment":
+            if in_rv(L, 6):
+                w = w[:-6] + "ent"
+                step1_changed = True
+                ment_removed = True
+        elif suf in ("ment", "ments"):
+            pre = L - sl - 1
+            if pre >= rv and _fr_isv(w[pre]):
+                w = w[:-sl]
+                step1_changed = True
+                ment_removed = True
+
+    # ---- step 2a: verb suffixes beginning i (in RV) ----
+    do2a = (not step1_changed) or ment_removed
+    step2a_changed = False
+    did2b = False
+    step2b_changed = False
+    if do2a:
+        suf = _fr_longest(w, _FR_S2A, min_start=rv)
+        if suf is not None:
+            pre = len(w) - len(suf) - 1
+            if pre >= rv and not _fr_isv(w[pre]):
+                w = w[: -len(suf)]
+                step2a_changed = True
+        # ---- step 2b: other verb suffixes (in RV) ----
+        if not step2a_changed:
+            did2b = True
+            suf = _fr_longest(
+                w, ("ions",) + _FR_S2B_E + _FR_S2B_A, min_start=rv
+            )
+            if suf == "ions":
+                if in_r2(len(w), 4):
+                    w = w[:-4]
+                    step2b_changed = True
+            elif suf in _FR_S2B_E:
+                w = w[: -len(suf)]
+                step2b_changed = True
+            elif suf in _FR_S2B_A:
+                w = w[: -len(suf)]
+                step2b_changed = True
+                if w.endswith("e") and len(w) - 1 >= rv:
+                    w = w[:-1]
+
+    # the last obeyed step decides: step 3 on alteration, step 4 otherwise
+    last_altered = step2b_changed if did2b else True
+    if last_altered:
+        # ---- step 3 ----
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # ---- step 4: residual suffixes ----
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+            w = w[:-1]
+        suf = _fr_longest(
+            w, ("ière", "Ière", "ion", "ier", "Ier", "e"), min_start=rv
+        )
+        if suf == "ion":
+            pre = len(w) - 4
+            if in_r2(len(w), 3) and pre >= rv and w[pre] in "st":
+                w = w[:-3]
+        elif suf in ("ier", "ière", "Ier", "Ière"):
+            w = w[: -len(suf)] + "i"
+        elif suf == "e":
+            w = w[:-1]
+
+    # ---- step 5: undouble ----
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+
+    # ---- step 6: un-accent ----
+    k = len(w)
+    while k > 0 and not _fr_isv(w[k - 1]):
+        k -= 1
+    if 0 < k < len(w) and w[k - 1] in "éè":
+        w = w[: k - 1] + "e" + w[k:]
+
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+class SnowballFrenchStemmer:
+    """PyStemmer-compatible surface (``stemWord`` / ``stemWords``)."""
+
+    def stemWord(self, word: str) -> str:
+        return stem_french(word)
+
+    def stemWords(self, words) -> list[str]:
+        return [stem_french(wrd) for wrd in words]

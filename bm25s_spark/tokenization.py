@@ -90,11 +90,11 @@ def load_stemmer(stemmer: str | Callable | None):
 
     Accepts a language name, a callable (``stemWords``-style or plain),
     or None.  ``"english"`` (the reference's recommended configuration,
-    ``reference/bm25s/tokenization.py:675-699``) and ``"german"`` (its
-    most common non-English setting) always resolve to the vendored
-    pure-Python Snowball implementations so behavior does not depend on
-    whether PyStemmer is installed; other languages use PyStemmer when
-    available (gated behind import-try).
+    ``reference/bm25s/tokenization.py:675-699``), ``"german"`` and
+    ``"french"`` (its most common non-English settings) always resolve
+    to the vendored pure-Python Snowball implementations so behavior
+    does not depend on whether PyStemmer is installed; other languages
+    use PyStemmer when available (gated behind import-try).
     """
     if stemmer is None:
         return None
@@ -110,6 +110,10 @@ def load_stemmer(stemmer: str | Callable | None):
         from bm25s_spark.stemmer import SnowballGermanStemmer
 
         return SnowballGermanStemmer().stemWords
+    if stemmer.lower() in ("fr", "french"):
+        from bm25s_spark.stemmer import SnowballFrenchStemmer
+
+        return SnowballFrenchStemmer().stemWords
     try:
         import Stemmer  # type: ignore
 

@@ -14,7 +14,7 @@ import datetime as dt
 import pytest
 from hypothesis import given, settings, strategies as st
 
-from bm25s_spark.stemmer import stem, stem_german
+from bm25s_spark.stemmer import stem, stem_french, stem_german
 
 
 @pytest.fixture(scope="session")
@@ -22,16 +22,19 @@ def spark_prop(spark):
     return spark
 
 
-words = st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüß'", min_size=0, max_size=18)
+words = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzäöüßâàëéêèïîôûùç'", min_size=0, max_size=18
+)
 
 
 @given(words)
 @settings(max_examples=300, deadline=None)
 def test_stemmers_total_and_deterministic(w):
-    """Both stemmers accept any lowercase-ish token without raising,
-    return a str bounded by input + appended chars (Porter2 may append
-    'e'; German expands each ß to ss), and are deterministic."""
-    for fn in (stem, stem_german):
+    """All vendored stemmers accept any lowercase-ish token without
+    raising, return a str bounded by input + appended chars (Porter2
+    may append 'e'; German expands each ß to ss; French may rewrite
+    ic→iqU, +1), and are deterministic."""
+    for fn in (stem, stem_german, stem_french):
         out = fn(w)
         assert isinstance(out, str)
         assert len(out) <= len(w) + w.count("ß") + 1

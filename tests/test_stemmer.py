@@ -356,3 +356,121 @@ def test_german_token_stream_parity(spark, ref_bm25s):
         return_ids=False, show_progress=False,
     )
     assert ours == ref
+
+
+# French vectors hand-derived by executing the published Snowball French
+# algorithm (https://snowballstem.org/algorithms/french/stemmer.html)
+# step by step, covering every rule family: prelude marking (qu, y→Y,
+# i/u between vowels), RV/R1/R2 (incl. the two-vowel and par/col/tap
+# starts), step-1 groups (ance/iqUe del-R2, ateur+ic, logie, usion,
+# ence, ement+subrules, ité+abil/ic/iv, if/ive+at+ic, eaux, aux, euse,
+# issement, amment/emment, ment-after-vowel), steps 2a/2b verb suffixes
+# with the RV confinement, step 3 Y/ç, step 4 residual s/ion/e, step 5
+# undouble, step 6 un-accent, and the postlude.
+FRENCH_VECTORS = [
+    ("chanter", "chant"),              # 2b er
+    ("chantaient", "chant"),           # prelude aIent + 2b
+    ("continuation", "continu"),       # step-1 ation in R2
+    ("logiquement", "logiqu"),         # ement; iqU kept (not in R2)
+    ("logique", "logiqu"),             # step-4 e + postlude U→u
+    ("grandement", "grand"),           # ement in RV
+    ("rapidement", "rapid"),           # ement (not a 2a trigger)
+    ("puissamment", "puiss"),          # amment→ant, then 2b ant
+    ("finir", "fin"),                  # 2a ir after non-vowel
+    ("finissait", "fin"),              # 2a issait
+    ("conduisirent", "conduis"),       # 2a irent
+    ("émission", "émiss"),             # step-4 ion after s, R2
+    ("confusion", "confus"),           # usion fails R2 → step-4 ion
+    ("attention", "attent"),           # step-4 ion after t
+    ("attentions", "attent"),          # 2b ions in R2
+    ("premier", "premi"),              # 2b er
+    ("vendeuse", "vendeux"),           # euse → eux in R1
+    ("chanteuses", "chanteux"),        # euses → eux in R1
+    ("absurdité", "absurd"),           # ité in R2
+    ("activité", "activ"),             # ité; iv kept (not in R2)
+    ("responsabilité", "respons"),     # ité + abil in R2
+    ("électricité", "électr"),         # ité + ic in R2
+    ("électrique", "électr"),          # iqUe in R2
+    ("fabrication", "fabriqu"),        # ation + ic→iqU (ic not in R2)
+    ("significatif", "signif"),        # if + at + ic all in R2
+    ("protège", "proteg"),             # step-4 e, step-6 un-accent
+    ("entièrement", "entier"),         # ement; ièr not in RV; un-accent
+    ("actuelle", "actuel"),            # step-4 e + step-5 undouble ell
+    ("donné", "don"),                  # 2b é + step-5 undouble onn
+    ("donner", "don"),                 # 2b er + undouble
+    ("payer", "pai"),                  # prelude Y + 2b er + step-3 Y→i
+    ("paya", "pai"),                   # 2b a + step-3
+    ("essayions", "essai"),            # 2b ions in R2 + step-3 Y→i
+    ("commença", "commenc"),           # 2b a + step-3 ç→c
+    ("vraiment", "vrai"),              # ment after vowel, 2a/2b no-op
+    ("reconnaissance", "reconnaiss"),  # ance in R2
+    ("biologie", "biolog"),            # logie fails R2 → 2a ie
+    ("animaux", "animal"),             # aux → al in R1
+    ("chevaux", "cheval"),
+    ("châteaux", "château"),           # eaux → eau unconditionally
+    ("investissement", "invest"),      # issement in R1 after non-vowel
+    ("maison", "maison"),              # no rule fires
+    ("été", "été"),                    # RV empty → untouched
+]
+
+
+@pytest.mark.parametrize("word,expected", FRENCH_VECTORS)
+def test_french_vectors(word, expected):
+    from bm25s_spark.stemmer import stem_french
+
+    assert stem_french(word) == expected, word
+
+
+def test_french_stemwords_surface_and_tokenizer():
+    from bm25s_spark.stemmer import SnowballFrenchStemmer
+    from bm25s_spark.tokenization import load_stemmer
+
+    st = SnowballFrenchStemmer()
+    assert st.stemWords(["chanter", "animaux"]) == ["chant", "animal"]
+    assert st.stemWord("finissait") == "fin"
+    fn = load_stemmer("french")
+    assert fn(["continuation"]) == ["continu"]
+    assert load_stemmer("fr")(["chevaux"]) == ["cheval"]
+
+
+def test_french_tokenize_e2e(spark):
+    df = spark.createDataFrame(
+        [(0, "Les chanteuses continuaient la fabrication des châteaux")],
+        "doc_id long, text string",
+    )
+    out = tokenize(df, stopwords="fr", stemmer="french").select("tokens").first()[0]
+    assert out == ["chanteux", "continu", "fabriqu", "château"]
+
+
+def test_french_token_stream_parity(spark, ref_bm25s):
+    """Our tokenizer with stopwords='fr', stemmer='french' must produce
+    byte-identical token streams to the reference tokenize() driven by
+    the same vendored Snowball French callable
+    (reference/bm25s/tokenization.py:675-699).
+
+    NOTE: both sides stem with the vendored implementation, so this
+    checks the tokenizer *plumbing*, NOT French stemming correctness —
+    that anchor is FRENCH_VECTORS, hand-derived from the published
+    algorithm."""
+    from bm25s_spark.stemmer import SnowballFrenchStemmer
+
+    texts = [
+        "Les chanteuses continuaient la fabrication des châteaux",
+        "L'électricité est une responsabilité significative",
+        "Ils finissaient entièrement leurs attentions",
+        "",
+        "le la les et de",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ours = [
+        list(r["tokens"])
+        for r in tokenize(df, "text", stopwords="fr", stemmer="french")
+        .orderBy("doc_id").collect()
+    ]
+    ref = ref_bm25s.tokenize(
+        texts, stopwords="fr", stemmer=SnowballFrenchStemmer(),
+        return_ids=False, show_progress=False,
+    )
+    assert ours == ref
