@@ -119,7 +119,9 @@ def run_workload(cores: int, sf_dir: str) -> dict:
 
         t = time.time()
         batch = _batch_queries(spark, N_BATCH_QUERIES)
-        res = idx.retrieve(batch, k=10, strategy="sharded", pad=False)
+        m_prune_on: dict = {}
+        res = idx.retrieve(batch, k=10, strategy="sharded", pad=False,
+                           metrics=m_prune_on)
         res.collect()
         steps["bm25_batch_sharded"] = round(time.time() - t, 3)
         qps = round(N_BATCH_QUERIES / max(steps["bm25_batch_sharded"], 1e-9), 2)
@@ -176,6 +178,27 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         build_docs_per_sec = round(
             n_docs / max(steps["index_build"] + steps["index_shard_compress"], 1e-9), 1
         )
+
+        # MaxScore pruning quantification (AFTER the timed total so the
+        # headline stays round-comparable): same batch with prune=False,
+        # kernel accumulators counting postings actually scored.  The
+        # scan-reduction factor is the evidence that the per-(shard,term)
+        # block-max metadata pays — wall clock on this host is ±2× noisy,
+        # postings_scanned is exact (modulo task retries, none on a
+        # healthy local run).
+        m_prune_off: dict = {}
+        t = time.time()
+        idx.retrieve(batch, k=10, strategy="sharded", pad=False,
+                     prune=False, metrics=m_prune_off).collect()
+        prune_off_sec = round(time.time() - t, 3)
+        scored_on = int(m_prune_on["postings_scored"].value)
+        scored_off = int(m_prune_off["postings_scored"].value)
+        prune_stats = {
+            "postings_scored_prune_on": scored_on,
+            "postings_scored_prune_off": scored_off,
+            "prune_scan_reduction": round(scored_off / max(scored_on, 1), 3),
+            "prune_off_batch_sec": prune_off_sec,
+        }
         return {
             "steps": steps,
             "total": total,
@@ -186,6 +209,7 @@ def run_workload(cores: int, sf_dir: str) -> dict:
             "build_docs_per_sec": build_docs_per_sec,
             "ivf_cells_total": cells_total,
             "ivf_scan_fraction": ivf_scan_fraction,
+            **prune_stats,
         }
     finally:
         spark.stop()
@@ -467,6 +491,10 @@ def main():
         "build_docs_per_sec": r["build_docs_per_sec"],
         "ivf_cells_total": r["ivf_cells_total"],
         "ivf_scan_fraction": r["ivf_scan_fraction"],
+        "postings_scored_prune_on": r["postings_scored_prune_on"],
+        "postings_scored_prune_off": r["postings_scored_prune_off"],
+        "prune_scan_reduction": r["prune_scan_reduction"],
+        "prune_off_batch_sec": r["prune_off_batch_sec"],
         "cores": CPUS,
     }))
 

@@ -290,7 +290,10 @@ def retrieve_sharded(
     """Scatter-gather top-k over the doc-sharded index.
 
     ``metrics``: optional dict — filled with Spark accumulators
-    ``shards_scored`` / ``postings_scanned`` / ``candidates_emitted``
+    ``shards_scored`` / ``postings_scanned`` (entries loaded, once per
+    (shard, term)) / ``postings_scored`` (scatter-adds performed, once
+    per (query, shard, term) posting — the count MaxScore pruning
+    reduces) / ``candidates_emitted``
     (query-side twins of the build's per-partition lineage counters in
     ``checkpoint.py``).  Accumulators aggregate as tasks complete, so
     read ``.value`` AFTER consuming the returned DataFrame (the chunked
@@ -378,15 +381,19 @@ def retrieve_sharded(
     qidx = {q: i for i, q in enumerate(query_ids)}
     has_mask = weight_mask_df is not None
 
-    acc_shards = acc_postings = acc_cands = None
+    acc_shards = acc_postings = acc_cands = acc_scored = None
     if metrics is not None:
         sc = spark.sparkContext
         acc_shards = sc.accumulator(0)
         acc_postings = sc.accumulator(0)
         acc_cands = sc.accumulator(0)
+        acc_scored = sc.accumulator(0)
         metrics["shards_scored"] = acc_shards
         metrics["postings_scanned"] = acc_postings
         metrics["candidates_emitted"] = acc_cands
+        # scatter-adds actually performed: < postings_scanned × queries
+        # hitting each term when MaxScore pruning masks adds
+        metrics["postings_scored"] = acc_scored
 
     imp_col = f"impacts_{slug}"
     if is_cross:
@@ -502,6 +509,12 @@ def retrieve_sharded(
                             (local, vals, mult, mult * ub)
                         )
                 rows_q, rows_d, rows_s = [], [], []
+                # posting entries actually scatter-added — the count
+                # MaxScore's masked mode reduces (postings_scanned counts
+                # entries LOADED, which pruning cannot reduce in a
+                # term-at-a-time kernel: the list is read to test the
+                # touched mask)
+                n_scored = 0
                 # invariant: acc == 0 and touched == False between
                 # queries — only the ≤|candidates| written positions are
                 # reset at the end of each query, not the whole dps-sized
@@ -542,11 +555,14 @@ def retrieve_sharded(
                                         masked_mode = True
                             if masked_mode:
                                 sel = touched[local]
-                                if sel.any():
+                                n_sel = int(sel.sum())
+                                n_scored += n_sel
+                                if n_sel:
                                     acc[local[sel]] += contrib[sel]
                             else:
                                 acc[local] += contrib
                                 touched[local] = True
+                                n_scored += local.size
                     else:
                         for local, vals, mult, _ub in plists:
                             if mult == 1.0:
@@ -554,6 +570,7 @@ def retrieve_sharded(
                             else:
                                 acc[local] += vals * np.float32(mult)
                             touched[local] = True
+                            n_scored += local.size
                     idx = np.nonzero(touched)[0]
                     if idx.size == 0:
                         continue
@@ -585,6 +602,7 @@ def retrieve_sharded(
                 if acc_shards is not None:
                     acc_shards.add(1)
                     acc_postings.add(int(n_postings_seen))
+                    acc_scored.add(int(n_scored))
                 if not rows_q:
                     return None
                 out_q = np.concatenate(rows_q)

@@ -185,3 +185,13 @@ def test_kernel_metrics_accumulators(spark):
     # merge only ever discards candidates
     assert m["postings_scanned"].value >= m["candidates_emitted"].value
     assert m["candidates_emitted"].value >= n_rows > 0
+    # scatter-adds happened (pruning can only reduce them, never to 0
+    # for a non-empty result), and with prune=False they are EXACTLY
+    # one add per (query, shard, term) posting — ≥ the per-(shard, term)
+    # loaded count whenever any term serves ≥1 query
+    assert m["postings_scored"].value > 0
+    m_off: dict = {}
+    idx.retrieve(qdf, k=5, strategy="sharded", pad=False, prune=False,
+                 metrics=m_off).count()
+    assert m_off["postings_scored"].value >= m["postings_scored"].value
+    assert m_off["postings_scored"].value >= m_off["postings_scanned"].value
