@@ -601,6 +601,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = events_sessions
 
+    # the streaming sessionizer's batch form (session_window grouping):
+    # same gap semantics as the lag-based operator (exactly-gap merges),
+    # session keyed by (user, window_start) instead of a running index
+    def events_session_window(spark, sf):
+        from bm25s_spark.streaming.sessions import session_window_rollup
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        s = session_window_rollup(ev, gap="30 minutes")
+        return s.select(
+            "user_id", "window_start", "window_end",
+            "session_start", "session_end",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+
+    q["events_session_window"] = events_session_window
+
     # ---- events: tumbling-window rollup (streaming-shaped agg) ----
     def events_hourly(spark, sf):
         ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
@@ -1013,6 +1030,40 @@ SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
        round(sum(value), 4) AS sum_value,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
 FROM sess GROUP BY 1, 2
+"""
+
+    # twin of streaming/sessions.py::session_window_rollup in batch
+    # mode: same lag/boundary construction as events_sessionize (Spark's
+    # session window merges at EXACTLY the gap, matching `> gap` splits),
+    # window_end = last event + gap
+    o["events_session_window"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE
+      WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1
+      ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS window_start,
+       max(ts) + INTERVAL 30 MINUTE AS window_end,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_idx
 """
 
     o["events_hourly_rollup"] = """

@@ -694,3 +694,227 @@ class SnowballFrenchStemmer:
 
     def stemWords(self, words) -> list[str]:
         return [stem_french(wrd) for wrd in words]
+
+
+# ---------------------------------------------------------------------------
+# Snowball Spanish
+# ---------------------------------------------------------------------------
+# Independent implementation of the published Snowball Spanish stemming
+# algorithm (https://snowballstem.org/algorithms/spanish/stemmer.html),
+# completing the reference's most common Snowball configurations
+# (``reference/bm25s/tokenization.py:675-699``).
+
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+
+_ES_PRONOUNS = (
+    "selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+    "me", "se", "la", "le", "lo",
+)
+_ES_S1_DEL_R2 = (
+    "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+    "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+)
+_ES_S1_ADOR = (
+    "adora", "ador", "ación", "adoras", "adores", "aciones",
+    "ante", "antes", "ancia", "ancias",
+)
+_ES_S1_ALL = (
+    _ES_S1_DEL_R2 + _ES_S1_ADOR
+    + ("logía", "logías", "ución", "uciones", "encia", "encias",
+       "amente", "mente", "idad", "idades", "iva", "ivo", "ivas", "ivos")
+)
+_ES_S2A = (
+    "yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+    "ya", "ye", "yo", "yó",
+)
+_ES_S2B_GU = ("en", "es", "éis", "emos")
+_ES_S2B = _ES_S2B_GU + (
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré",
+    "erían", "erías", "erán", "erás", "eríais", "ería", "eréis",
+    "eríamos", "eremos", "erá", "eré",
+    "irían", "irías", "irán", "irás", "iríais", "iría", "iréis",
+    "iríamos", "iremos", "irá", "iré",
+    "aba", "ada", "ida", "ía", "ara", "iera", "ad", "ed", "id",
+    "ase", "iese", "aste", "iste", "an", "aban", "ían", "aran",
+    "ieran", "asen", "iesen", "aron", "ieron", "ado", "ido", "ando",
+    "iendo", "ió", "ar", "er", "ir", "as", "abas", "adas", "idas",
+    "ías", "aras", "ieras", "ases", "ieses", "ís", "áis", "abais",
+    "íais", "arais", "ierais", "aseis", "ieseis", "asteis", "isteis",
+    "ados", "idos", "amos", "ábamos", "íamos", "imos", "áramos",
+    "iéramos", "iésemos", "ásemos",
+)
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_isv(c: str) -> bool:
+    return c in _ES_VOWELS
+
+
+def _es_rv(w: str) -> int:
+    """RV start: second letter consonant → after the next vowel; first
+    two letters vowels → after the next consonant; consonant-vowel →
+    after the third letter; else end of word."""
+    n = len(w)
+    if n < 3:
+        return n
+    if not _es_isv(w[1]):
+        for i in range(2, n):
+            if _es_isv(w[i]):
+                return i + 1
+        return n
+    if _es_isv(w[0]):
+        for i in range(2, n):
+            if not _es_isv(w[i]):
+                return i + 1
+        return n
+    return 3
+
+
+def _es_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if not _es_isv(w[i]) and _es_isv(w[i - 1]):
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _es_isv(w[i]) and _es_isv(w[i - 1]):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def stem_spanish(word: str) -> str:
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _es_r1r2(w)
+
+    def in_rv(wl, ln):
+        return wl - ln >= rv
+
+    def in_r1(wl, ln):
+        return wl - ln >= r1
+
+    def in_r2(wl, ln):
+        return wl - ln >= r2
+
+    # ---- step 0: attached pronoun (pronoun AND its verb ending in RV)
+    suf = _fr_longest(w, _ES_PRONOUNS)
+    if suf is not None and in_rv(len(w), len(suf)):
+        base = w[:-len(suf)]
+        for a, repl in (("iéndo", "iendo"), ("ándo", "ando"),
+                        ("ár", "ar"), ("ér", "er"), ("ír", "ir")):
+            if base.endswith(a) and in_rv(len(base), len(a)):
+                w = base[:-len(a)] + repl
+                break
+        else:
+            for b in ("iendo", "ando", "ar", "er", "ir"):
+                if base.endswith(b) and in_rv(len(base), len(b)):
+                    w = base
+                    break
+            else:
+                if (
+                    base.endswith("yendo")
+                    and len(base) >= 6
+                    and base[-6] == "u"
+                    and in_rv(len(base), 5)
+                ):
+                    w = base
+
+    # ---- step 1: standard suffix removal ----
+    step1_removed = False
+    suf = _fr_longest(w, _ES_S1_ALL)
+    if suf is not None:
+        L, sl = len(w), len(suf)
+        if suf in _ES_S1_DEL_R2:
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_removed = True
+        elif suf in _ES_S1_ADOR:
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_removed = True
+                if w.endswith("ic") and in_r2(len(w), 2):
+                    w = w[:-2]
+        elif suf in ("logía", "logías"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "log"
+                step1_removed = True
+        elif suf in ("ución", "uciones"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "u"
+                step1_removed = True
+        elif suf in ("encia", "encias"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "ente"
+                step1_removed = True
+        elif suf == "amente":
+            if in_r1(L, 6):
+                w = w[:-6]
+                step1_removed = True
+                if w.endswith("iv") and in_r2(len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w), 2):
+                        w = w[:-2]
+                elif w.endswith(("os", "ic", "ad")) and in_r2(len(w), 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r2(L, 5):
+                w = w[:-5]
+                step1_removed = True
+                for p in ("ante", "able", "ible"):
+                    if w.endswith(p) and in_r2(len(w), 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idad", "idades"):
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_removed = True
+                for p in ("abil", "ic", "iv"):
+                    if w.endswith(p) and in_r2(len(w), len(p)):
+                        w = w[:-len(p)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_removed = True
+                if w.endswith("at") and in_r2(len(w), 2):
+                    w = w[:-2]
+
+    # ---- step 2a: verb suffixes beginning y (in RV, after u) ----
+    step2a_removed = False
+    if not step1_removed:
+        suf = _fr_longest(w, _ES_S2A, min_start=rv)
+        if suf is not None and len(w) > len(suf) and w[-len(suf) - 1] == "u":
+            w = w[:-len(suf)]
+            step2a_removed = True
+        # ---- step 2b: other verb suffixes (in RV) ----
+        if not step2a_removed:
+            suf = _fr_longest(w, _ES_S2B, min_start=rv)
+            if suf is not None:
+                w = w[:-len(suf)]
+                if suf in _ES_S2B_GU and w.endswith("gu") and len(w) - 1 >= rv:
+                    w = w[:-1]
+
+    # ---- step 3: residual suffix (always; in RV) ----
+    suf = _fr_longest(w, ("os", "a", "o", "á", "í", "ó", "e", "é"),
+                      min_start=rv)
+    if suf is not None:
+        w = w[:-len(suf)]
+        if suf in ("e", "é") and w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]
+
+    return w.translate(_ES_UNACCENT)
+
+
+class SnowballSpanishStemmer:
+    """PyStemmer-compatible surface (``stemWord`` / ``stemWords``)."""
+
+    def stemWord(self, word: str) -> str:
+        return stem_spanish(word)
+
+    def stemWords(self, words) -> list[str]:
+        return [stem_spanish(wrd) for wrd in words]

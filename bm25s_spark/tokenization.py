@@ -114,6 +114,10 @@ def load_stemmer(stemmer: str | Callable | None):
         from bm25s_spark.stemmer import SnowballFrenchStemmer
 
         return SnowballFrenchStemmer().stemWords
+    if stemmer.lower() in ("es", "spanish"):
+        from bm25s_spark.stemmer import SnowballSpanishStemmer
+
+        return SnowballSpanishStemmer().stemWords
     try:
         import Stemmer  # type: ignore
 

@@ -14,7 +14,7 @@ import datetime as dt
 import pytest
 from hypothesis import given, settings, strategies as st
 
-from bm25s_spark.stemmer import stem, stem_french, stem_german
+from bm25s_spark.stemmer import stem, stem_french, stem_german, stem_spanish
 
 
 @pytest.fixture(scope="session")
@@ -23,7 +23,8 @@ def spark_prop(spark):
 
 
 words = st.text(
-    alphabet="abcdefghijklmnopqrstuvwxyzäöüßâàëéêèïîôûùç'", min_size=0, max_size=18
+    alphabet="abcdefghijklmnopqrstuvwxyzäöüßâàëéêèïîôûùçáíóúñü'",
+    min_size=0, max_size=18,
 )
 
 
@@ -34,7 +35,7 @@ def test_stemmers_total_and_deterministic(w):
     raising, return a str bounded by input + appended chars (Porter2
     may append 'e'; German expands each ß to ss; French may rewrite
     ic→iqU, +1), and are deterministic."""
-    for fn in (stem, stem_german, stem_french):
+    for fn in (stem, stem_german, stem_french, stem_spanish):
         out = fn(w)
         assert isinstance(out, str)
         assert len(out) <= len(w) + w.count("ß") + 1

@@ -474,3 +474,80 @@ def test_french_token_stream_parity(spark, ref_bm25s):
         return_ids=False, show_progress=False,
     )
     assert ours == ref
+
+
+# Spanish vectors hand-derived by executing the published Snowball
+# Spanish algorithm (https://snowballstem.org/algorithms/spanish/
+# stemmer.html) step by step, covering: step-0 attached pronouns with
+# accented-gerund unaccenting, step-1 groups (ico/ica, ación+ic,
+# ución→u, encia→ente, amente in R1 with iv/at and os-ic-ad sub-rules,
+# mente in R2, idad+abil/ic/iv, iva/ivo+at, amiento R2 negative),
+# steps 2a (y after u, RV-confined) and 2b (verb list, gu→g undouble),
+# the always-run step 3 residual vowel, the RV case analysis, and the
+# acute-accent postlude.
+SPANISH_VECTORS = [
+    ("cantando", "cant"),              # 2b ando
+    ("cantándolo", "cant"),            # step-0 lo + ándo→ando, 2b
+    ("cantarlas", "cant"),             # step-0 las after ar, 2b ar
+    ("lógica", "logic"),               # ica fails R2 → step-3 a; postlude
+    ("lógicamente", "logic"),          # amente in R1; ic not in R2
+    ("rápidamente", "rapid"),          # amente
+    ("generalmente", "general"),       # mente in R2
+    ("argumentación", "argument"),     # ación in R2
+    ("constitución", "constitu"),      # ución → u
+    ("diferencia", "diferent"),        # encia → ente, then step-3 e
+    ("felicidad", "felic"),            # idad; ic not in R2
+    ("decisiva", "decis"),             # iva in R2
+    ("comieron", "com"),               # 2b ieron
+    ("concluyendo", "conclu"),         # 2a yendo after u
+    ("distinguen", "disting"),         # 2b en + gu→g undouble
+    ("vayas", "vay"),                  # 2a yas outside RV → 2b as
+    ("pensamiento", "pensamient"),     # amiento fails R2 → step-3 o
+    ("canciones", "cancion"),          # 2b es
+    ("canción", "cancion"),            # no rule; postlude only
+]
+
+
+@pytest.mark.parametrize("word,expected", SPANISH_VECTORS)
+def test_spanish_vectors(word, expected):
+    from bm25s_spark.stemmer import stem_spanish
+
+    assert stem_spanish(word) == expected, word
+
+
+def test_spanish_stemwords_surface_and_tokenizer():
+    from bm25s_spark.stemmer import SnowballSpanishStemmer
+    from bm25s_spark.tokenization import load_stemmer
+
+    st = SnowballSpanishStemmer()
+    assert st.stemWords(["cantando", "felicidad"]) == ["cant", "felic"]
+    assert st.stemWord("comieron") == "com"
+    assert load_stemmer("spanish")(["argumentación"]) == ["argument"]
+    assert load_stemmer("es")(["canciones"]) == ["cancion"]
+
+
+def test_spanish_token_stream_parity(spark, ref_bm25s):
+    """Tokenizer plumbing parity for stopwords='es', stemmer='spanish'
+    (both sides stem with the vendored implementation; correctness
+    anchor is SPANISH_VECTORS)."""
+    from bm25s_spark.stemmer import SnowballSpanishStemmer
+
+    texts = [
+        "Las canciones diferentes de la constitución",
+        "Cantándolo rápidamente con felicidad decisiva",
+        "",
+        "el la los las es",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ours = [
+        list(r["tokens"])
+        for r in tokenize(df, "text", stopwords="es", stemmer="spanish")
+        .orderBy("doc_id").collect()
+    ]
+    ref = ref_bm25s.tokenize(
+        texts, stopwords="es", stemmer=SnowballSpanishStemmer(),
+        return_ids=False, show_progress=False,
+    )
+    assert ours == ref
