@@ -479,6 +479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = lambda spark, sf: dedup.simhash_near_duplicates(
         _documents(spark, sf), max_hamming=3, bits=48, bands=4
     ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    # the 64-bit DEFAULT configuration (seed-8 high bits 48-63, sign-bit
+    # packing): oracle-checks the second-hash bit layout end-to-end
+    q["dedup_simhash_pairs64"] = lambda spark, sf: dedup.simhash_near_duplicates(
+        _documents(spark, sf), max_hamming=3, bits=64, bands=4
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
     # ---- similarity search ----
     def knn_brute(spark, sf):
@@ -835,6 +840,45 @@ sig AS (SELECT doc_id, CAST({bit_pack48} AS BIGINT) AS simhash FROM votes),
 chunks AS (
   SELECT s.doc_id, s.simhash, b.band,
          (s.simhash >> (b.band * 12)) & 4095 AS chunk
+  FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+    # 64-bit twin: bits 0-47 from the seed-7 hash, 48-63 from seed 8;
+    # bit 63 lands in the sign via two's-complement addition (DuckDB
+    # raises on 1<<63, so min-BIGINT is added explicitly); >> is
+    # arithmetic in both engines and the &-mask cancels the sign fill
+    bit_votes64 = ", ".join(
+        f"sum(CASE WHEN ({'h' if i < 48 else 'h2'} >> {i if i < 48 else i - 48}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    bit_pack64 = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(63)
+    ) + " + CASE WHEN b63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE 0 END"
+    o["dedup_simhash_pairs64"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('7:' || tok), 1, 12)) AS BIGINT) AS h,
+         CAST(('0x' || substr(md5('8:' || tok), 1, 12)) AS BIGINT) AS h2
+  FROM toks
+),
+votes AS (SELECT doc_id, {bit_votes64} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({bit_pack64} AS BIGINT) AS simhash FROM votes),
+chunks AS (
+  SELECT s.doc_id, s.simhash, b.band,
+         (s.simhash >> (b.band * 16)) & 65535 AS chunk
   FROM sig s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
 ),
 pairs AS (

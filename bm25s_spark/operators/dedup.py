@@ -27,25 +27,14 @@ import logging
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
+
 _log = logging.getLogger(__name__)
 
 
 def normalize_text(col):
     """Lowercase, trim, collapse internal whitespace."""
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
-
-
-def _eager_checkpoint(df: DataFrame) -> DataFrame:
-    """Materialize ``df`` now and TRUNCATE its lineage — reliable
-    checkpoint when a checkpoint dir is configured (cluster deployments:
-    survives executor loss), local otherwise.  Iterative operators must
-    cut the plan every round: stacking self-referencing unions/joins
-    grows the logical plan super-linearly and overflows the JVM stack
-    after ~8 rounds (persist alone does NOT truncate lineage)."""
-    spark = df.sparkSession
-    if spark.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -247,18 +236,20 @@ def duplicate_components(
     ``deduplicate_exact``.  Deterministic: the star-forest fixpoint of
     min-attachment is unique for a fixed graph.
     """
-    spark = pairs_df.sparkSession
     # canonical oriented edges u > v; self-pairs carry no connectivity
     # (their nodes re-enter via the final node join).  Each round's edge
     # set is checkpointed eagerly — lineage MUST be cut per round (see
-    # _eager_checkpoint) — so no persist bookkeeping is needed.
+    # util.eager_checkpoint) — with reliable=False: loop-internal
+    # intermediates never outlive the call, and writing every round to
+    # a reliable checkpoint dir would accumulate disk without bound.
     edges = _eager_checkpoint(
         pairs_df.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
             F.least(F.col(id_a), F.col(id_b)).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        .distinct(),
+        reliable=False,
     )
     n_edges = edges.count()
     rounds = 0
@@ -273,12 +264,17 @@ def duplicate_components(
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
         mins = mins.select("u", F.least("u", "mn").alias("m"))
+        # persist ls: the small-star plan consumes it three times (join
+        # left side + twice via mins2) — unpersisted, the large-star
+        # shuffles would re-execute per consumer and "a round is two
+        # shuffles" would silently become six
         ls = (
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .persist()
         )
         # ---- small-star: attach u and its smaller neighbors to their
         # minimum (ls edges are already oriented u > v) ----
@@ -288,8 +284,10 @@ def duplicate_components(
             .where(F.col("v") != F.col("mn"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .unionByName(mins2.select("u", F.col("mn").alias("v")))
-            .distinct()
+            .distinct(),
+            reliable=False,
         )
+        ls.unpersist()
         n_new = ss.count()
         # fixpoint ⇔ ss ⊆ edges with equal cardinality (one anti-join
         # probe; both sets are oriented+distinct)
@@ -341,8 +339,9 @@ def deduplicate_near(
     pass through untouched.
 
     The scale path composes the bounded pieces: banded LSH join (never
-    all-pairs), min-label components (diameter-bounded rounds), and one
-    left_anti join to drop the non-canonical cluster members."""
+    all-pairs), large-star/small-star components (O(log n) rounds, not
+    diameter-bounded), and one left_anti join to drop the non-canonical
+    cluster members."""
     pairs = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
     comp = duplicate_components(pairs, max_iter=max_iter)
     losers = comp.where(F.col("doc_id") != F.col("component")).select(
@@ -415,6 +414,12 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
     ``similarity.cosine_near_duplicates``.  Pairs confined to dropped
     buckets are not reported.
     """
+    if not 1 <= bands <= bits:
+        raise ValueError(f"bands={bands} must be in [1, bits={bits}]")
+    if bits % bands != 0:
+        # a remainder would silently exclude the top bits from candidate
+        # generation (they'd belong to no chunk)
+        raise ValueError(f"bands={bands} must divide bits={bits}")
     sig = simhash_signatures(df, text_col, id_col, bits)
     per = bits // bands
     mask = (1 << per) - 1

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
+from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
+
 
 def _dot(a, b):
     # double precision end-to-end (float32 products would diverge from
@@ -414,10 +416,7 @@ def ivf_knn_partitioned(
     probe_cells = sorted(
         {r["cell"] for r in q_cells_cached.select("cell").distinct().collect()}
     )
-    if spark.sparkContext.getCheckpointDir() is not None:
-        q_cells = q_cells_cached.checkpoint(eager=True)
-    else:
-        q_cells = q_cells_cached.localCheckpoint(eager=True)
+    q_cells = _eager_checkpoint(q_cells_cached)
     q_cells_cached.unpersist()
     if probe_info is not None:
         probe_info["probe_cells"] = probe_cells
@@ -509,11 +508,7 @@ def cosine_near_duplicates(
         # chunks eagerly so the returned plan no longer references the
         # persisted dataset — repeated calls in a long-lived session
         # must not accumulate pinned caches
-        spark = chunks_cached.sparkSession
-        if spark.sparkContext.getCheckpointDir() is not None:
-            chunks = chunks.checkpoint(eager=True)
-        else:
-            chunks = chunks.localCheckpoint(eager=True)
+        chunks = _eager_checkpoint(chunks)
         chunks_cached.unpersist()
     pairs = (
         chunks.alias("a").join(chunks.alias("b"), ["band", "chunk"])

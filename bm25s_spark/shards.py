@@ -714,10 +714,9 @@ def retrieve_sharded(
             # RELIABLE checkpoint: localCheckpoint blocks die with their
             # executor and the destroyed broadcast leaves no recompute
             # path, so an executor loss mid-batch would fail the job
-            if spark.sparkContext.getCheckpointDir() is not None:
-                part = part.checkpoint(eager=True)
-            else:
-                part = part.localCheckpoint(eager=True)
+            from bm25s_spark.util import eager_checkpoint
+
+            part = eager_checkpoint(part)
             bc.destroy()
             # reduce the chunk's metadata to its per-query nnoc partial
             # HERE so the full (query_id, term, mult, df) frame dies with

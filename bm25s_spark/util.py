@@ -1,0 +1,34 @@
+"""Shared plan-materialization helpers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def eager_checkpoint(df: DataFrame, reliable: bool = True) -> DataFrame:
+    """Materialize ``df`` now and TRUNCATE its lineage.
+
+    ``reliable=True`` (data that feeds a plan RETURNED to the caller):
+    use the reliable checkpoint when a checkpoint dir is configured —
+    on a cluster, localCheckpoint blocks die with their executor and a
+    destroyed upstream (broadcast, unpersisted cache) leaves no
+    recompute path.  Cluster deployments should enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` so checkpoint
+    files are reclaimed when the DataFrame is garbage-collected.
+
+    ``reliable=False`` (loop-internal intermediates that never outlive
+    the call): ALWAYS localCheckpoint — fault tolerance for a round of
+    an iterative operator is pointless (on executor loss the operator
+    re-runs), and writing every round's full dataset to the reliable
+    checkpoint dir accumulates disk without bound on long-lived
+    sessions.
+
+    Lineage MUST be cut each round in iterative operators: stacking
+    self-referencing unions/joins grows the logical plan super-linearly
+    and overflows the JVM stack after ~8 rounds (persist alone does NOT
+    truncate lineage).
+    """
+    spark = df.sparkSession
+    if reliable and spark.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
