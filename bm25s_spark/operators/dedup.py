@@ -236,6 +236,14 @@ def duplicate_components(
     ``deduplicate_exact``.  Deterministic: the star-forest fixpoint of
     min-attachment is unique for a fixed graph.
     """
+    # materialize the bare pair projection ONCE: the input plan is often
+    # expensive (an LSH candidate pipeline), and both the edge set and
+    # the final node labeling consume it — unmaterialized, the whole
+    # candidate generation would execute twice
+    base = _eager_checkpoint(
+        pairs_df.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+        reliable=False,
+    )
     # canonical oriented edges u > v; self-pairs carry no connectivity
     # (their nodes re-enter via the final node join).  Each round's edge
     # set is checkpointed eagerly — lineage MUST be cut per round (see
@@ -243,9 +251,9 @@ def duplicate_components(
     # intermediates never outlive the call, and writing every round to
     # a reliable checkpoint dir would accumulate disk without bound.
     edges = _eager_checkpoint(
-        pairs_df.select(
-            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
-            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        base.select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct(),
@@ -310,8 +318,8 @@ def duplicate_components(
         F.col("u").alias("doc_id"), F.col("v").alias("component")
     )
     nodes = (
-        pairs_df.select(F.col(id_a).alias("doc_id"))
-        .unionByName(pairs_df.select(F.col(id_b).alias("doc_id")))
+        base.select(F.col("a").alias("doc_id"))
+        .unionByName(base.select(F.col("b").alias("doc_id")))
         .distinct()
     )
     out = nodes.join(labels, "doc_id", "left").select(
