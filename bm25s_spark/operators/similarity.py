@@ -475,9 +475,12 @@ def cosine_near_duplicates(
     chunks = base.withColumn("bkts", udf(F.col("v"))).select(
         "vec_id", "v", F.posexplode("bkts").alias("band", "chunk")
     )
+    # materialize the hashed chunks once: the pair self-join scans them
+    # twice (both aliases), and the bucket-size scan a third time when
+    # capped — unmaterialized, the matmul UDF pass would repeat per
+    # consumer.  The cache is released via the eager checkpoint so
+    # repeated calls in a long-lived session don't accumulate.
     if max_bucket_size is not None:
-        # persist: the size scan and the candidate join both consume the
-        # hashed chunks — unpersisted, the matmul UDF pass would run twice
         chunks_cached = chunks.persist()
         # bucket count is bounded by bands × 2^(n_planes/bands) (1024 at
         # the defaults), so collecting the oversized keys is driver-safe
@@ -510,6 +513,8 @@ def cosine_near_duplicates(
         # must not accumulate pinned caches
         chunks = _eager_checkpoint(chunks)
         chunks_cached.unpersist()
+    else:
+        chunks = _eager_checkpoint(chunks)
     pairs = (
         chunks.alias("a").join(chunks.alias("b"), ["band", "chunk"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
