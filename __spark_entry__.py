@@ -355,7 +355,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from bm25s_spark.functions.text import (
-        with_fingerprint, with_lang_id, with_quality, with_token_stats,
+        with_fingerprint, with_lang_id, with_normalized, with_quality,
+        with_redacted, with_repetition, with_token_stats,
     )
     from bm25s_spark.operators import dedup, similarity
 
@@ -571,6 +572,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda spark, sf: with_fingerprint(
         _documents(spark, sf)
     ).select("doc_id", "fp_md5", "fp_head")
+
+    # Gopher-style repetition signals over a deterministic multi-line
+    # rebuild of documents.text (5-token lines + the first line repeated,
+    # so line-duplication signals are non-trivially nonzero); the DuckDB
+    # twin regenerates the identical text and replays every signal
+    def text_repetition(spark, sf):
+        d = _documents(spark, sf).withColumn("_t", F.split(F.col("text"), " "))
+        n_l = F.ceil(F.size(F.col("_t")) / F.lit(5.0)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_l - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(F.col("_t"), i * F.lit(5) + F.lit(1), F.lit(5)), " "
+            ),
+        )
+        d = (
+            d.withColumn("_ls", lines)
+            .withColumn(
+                "text2",
+                F.concat(
+                    F.array_join(F.col("_ls"), "\n"), F.lit("\n"),
+                    F.element_at(F.col("_ls"), 1),
+                ),
+            )
+            .select("doc_id", "text2")
+        )
+        r = with_repetition(d, text_col="text2")
+        return r.select(
+            "doc_id",
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.round("dup_line_frac", 4).alias("dup_line_frac"),
+            F.round("dup_line_char_frac", 4).alias("dup_line_char_frac"),
+            F.round("dup_word_frac", 4).alias("dup_word_frac"),
+            "top_2gram",
+            F.col("top_2gram_cnt").cast("int").alias("top_2gram_cnt"),
+            F.round("top_2gram_char_frac", 4).alias("top_2gram_char_frac"),
+            "top_3gram",
+            F.col("top_3gram_cnt").cast("int").alias("top_3gram_cnt"),
+            F.round("top_3gram_char_frac", 4).alias("top_3gram_char_frac"),
+        )
+
+    q["text_repetition"] = text_repetition
+
+    # PII redaction + whitespace normalization over documents.text with
+    # deterministically injected e-mail / URL / digit-run / messy
+    # whitespace (regexes are RE2-compatible, so the DuckDB twin runs
+    # the exact same patterns)
+    def text_redact(spark, sf):
+        d = _documents(spark, sf).withColumn(
+            "text2",
+            F.concat(
+                F.lit("contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or see https://ex.org/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?sid=55555555 \t id 123456789 and  "), F.col("text"),
+            ),
+        ).select("doc_id", "text2")
+        d = with_redacted(d, text_col="text2")
+        d = with_normalized(d, text_col="text2_redacted", out_col="text_clean")
+        return d.select(
+            "doc_id", F.col("text2_redacted").alias("text_redacted"),
+            "text_clean",
+        )
+
+    q["text_redact"] = text_redact
 
     # ---- transcripts: conversation-level rollup (granularity flip) ----
     def conv_rollup(spark, sf):
@@ -1020,6 +1085,109 @@ WITH n AS (
 SELECT doc_id, md5(norm) AS fp_md5,
        md5(array_to_string((string_split(norm, ' '))[1:5], ' ')) AS fp_head
 FROM n
+"""
+
+    # twin of with_repetition over the same deterministic multi-line
+    # rebuild (5-token lines + first line repeated); lines/words via
+    # list functions, top n-gram via unnest + group + row_number with
+    # the operator's tie rule (cnt DESC, gram ASC)
+    o["text_repetition"] = """
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+built AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(tk) / 5.0) AS INT) - 1),
+           i -> array_to_string(tk[i*5+1 : i*5+5], ' ')
+         ) AS ls
+  FROM b
+),
+t AS (
+  SELECT doc_id,
+         array_to_string(ls, chr(10)) || chr(10) || ls[1] AS text
+  FROM built
+),
+rep AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS lines,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x != '') AS toks
+  FROM t
+),
+base AS (
+  SELECT doc_id, text, toks,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+         coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS dline_chars,
+         len(toks) AS n_toks,
+         len(list_distinct(toks)) AS n_dtoks
+  FROM rep
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)), i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM rep
+),
+top2 AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+    FROM g2 GROUP BY doc_id, g
+  ) WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM rep
+),
+top3 AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+    FROM g3 GROUP BY doc_id, g
+  ) WHERE rn = 1
+)
+SELECT base.doc_id,
+       CAST(n_lines AS INTEGER) AS n_lines,
+       round(CAST(n_lines - n_dlines AS DOUBLE) / greatest(n_lines, 1), 4) AS dup_line_frac,
+       round(CAST(line_chars - dline_chars AS DOUBLE) / greatest(line_chars, 1), 4) AS dup_line_char_frac,
+       round(CAST(n_toks - n_dtoks AS DOUBLE) / greatest(n_toks, 1), 4) AS dup_word_frac,
+       coalesce(top2.g, '') AS top_2gram,
+       CAST(coalesce(top2.cnt, 0) AS INTEGER) AS top_2gram_cnt,
+       round(CAST(coalesce(top2.cnt, 0) * length(coalesce(top2.g, '')) AS DOUBLE) / greatest(length(base.text), 1), 4) AS top_2gram_char_frac,
+       coalesce(top3.g, '') AS top_3gram,
+       CAST(coalesce(top3.cnt, 0) AS INTEGER) AS top_3gram_cnt,
+       round(CAST(coalesce(top3.cnt, 0) * length(coalesce(top3.g, '')) AS DOUBLE) / greatest(length(base.text), 1), 4) AS top_3gram_char_frac
+FROM base
+LEFT JOIN top2 ON top2.doc_id = base.doc_id
+LEFT JOIN top3 ON top3.doc_id = base.doc_id
+"""
+
+    # twin of with_redacted + with_normalized over the same injected
+    # PII text; identical RE2-safe patterns, applied in the same order
+    # (URL, then e-mail, then digit runs >= 6; then control-char strip,
+    # whitespace collapse, trim)
+    o["text_redact"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or see https://ex.org/d/'
+           || CAST(doc_id AS VARCHAR)
+           || '?sid=55555555 ' || chr(9) || ' id 123456789 and  ' || text
+           AS text2
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text2, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+           '\d{6,}', '<NUM>', 'g') AS text_redacted
+  FROM t
+)
+SELECT doc_id, text_redacted,
+       trim(regexp_replace(regexp_replace(text_redacted, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS text_clean
+FROM red
 """
 
     # twin of transcripts.conversation_rollup over the derived

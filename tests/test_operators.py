@@ -204,6 +204,66 @@ def test_text_functions(spark, docs):
     assert fp[0]["fp_head"] == fp[3]["fp_head"]  # same first-5-token prefix
 
 
+def test_repetition_signals(spark):
+    from bm25s_spark.functions.text import with_repetition
+
+    rows = [
+        (0, "aa bb\naa bb\ncc dd"),   # one duplicated line, repeated 2-gram
+        (1, ""),                      # empty doc
+        (2, "hello"),                 # single word: no 2-grams
+        (3, "x y x y x y"),           # dominated by one 2-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {row["doc_id"]: row for row in with_repetition(df).collect()}
+
+    d0 = r[0]
+    assert d0["n_lines"] == 3
+    assert d0["dup_line_frac"] == pytest.approx(1 / 3)
+    assert d0["dup_line_char_frac"] == pytest.approx(5 / 15)
+    assert d0["dup_word_frac"] == pytest.approx(2 / 6)  # aa,bb each repeat once
+    assert d0["top_2gram"] == "aa bb" and d0["top_2gram_cnt"] == 2
+    assert d0["top_2gram_char_frac"] == pytest.approx(2 * 5 / len(rows[0][1]))
+    # all 3-grams unique -> tie resolves to lexicographically smallest
+    assert d0["top_3gram"] == "aa bb aa" and d0["top_3gram_cnt"] == 1
+
+    d1 = r[1]
+    assert d1["n_lines"] == 0 and d1["dup_line_frac"] == 0.0
+    assert d1["dup_word_frac"] == 0.0
+    assert d1["top_2gram"] == "" and d1["top_2gram_cnt"] == 0
+
+    d2 = r[2]
+    assert d2["top_2gram"] == "" and d2["top_2gram_cnt"] == 0
+
+    d3 = r[3]
+    assert d3["top_2gram"] == "x y" and d3["top_2gram_cnt"] == 3
+    assert d3["dup_word_frac"] == pytest.approx(4 / 6)
+
+
+def test_normalize_and_redact(spark):
+    from bm25s_spark.functions.text import with_normalized, with_redacted
+
+    rows = [
+        (0, "  a\tb\x01c  "),
+        (1, "visit https://x.com/a?b=1 mail joe.doe@ex.co id 1234567 ok 12345"),
+        (2, "https://a.com/user@b.com rest"),  # email inside URL -> one <URL>
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    norm = {r["doc_id"]: r["text_norm"] for r in with_normalized(df).collect()}
+    assert norm[0] == "a b c"
+    low = with_normalized(df, lowercase=True).collect()
+    assert {r["doc_id"]: r["text_norm"] for r in low}[0] == "a b c"
+
+    red = {r["doc_id"]: r["text_redacted"] for r in with_redacted(df).collect()}
+    assert red[1] == "visit <URL> mail <EMAIL> id <NUM> ok 12345"
+    assert red[2] == "<URL> rest"  # URL masking runs first, no partial residue
+
+    # knobs: digit masking off; custom output column
+    keep = {r["doc_id"]: r["out"] for r in
+            with_redacted(df, out_col="out", min_digits=None).collect()}
+    assert "1234567" in keep[1]
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=30)
     feats = multimodal.extract_features(media, dim=16).collect()
