@@ -637,6 +637,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_redact"] = text_redact
 
+    # ---- decontamination: n-gram collision vs a derived benchmark ----
+    # benchmark = every 97th document truncated to its first 12
+    # normalized tokens (a deterministic stand-in for an eval set);
+    # a doc is contaminated if it shares >= 1 distinct 5-gram
+    def _bench(spark, sf):
+        from bm25s_spark.operators.dedup import normalize_text
+
+        return (
+            _documents(spark, sf)
+            .where(F.col("doc_id") % 97 == 0)
+            .select(
+                F.col("doc_id").alias("bench_id"),
+                F.array_join(
+                    F.slice(
+                        F.split(normalize_text(F.col("text")), " "),
+                        1, 12,
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+
+    def decontam_report(spark, sf):
+        from bm25s_spark.operators.decontam import contamination_report
+
+        return contamination_report(
+            _documents(spark, sf), _bench(spark, sf), n=5, min_hits=1
+        ).select("doc_id", "n_shared_ngrams", "n_bench_docs")
+
+    q["decontam_report"] = decontam_report
+
+    def decontam_kept(spark, sf):
+        from bm25s_spark.operators.decontam import decontaminate
+
+        return decontaminate(
+            _documents(spark, sf), _bench(spark, sf), n=5, min_hits=1
+        ).select("doc_id")
+
+    q["decontam_kept"] = decontam_kept
+
+    # ---- deterministic hash split (content-stable train/val/test) ----
+    def sample_hash_split(spark, sf):
+        from bm25s_spark.operators.sampling import hash_bucket, hash_split
+
+        d = _documents(spark, sf).select("doc_id")
+        return hash_split(
+            d, {"train": 8, "val": 1, "test": 1}, seed="gate"
+        ).withColumn("bucket", hash_bucket("doc_id", seed="gate")).select(
+            "doc_id", "bucket", "split"
+        )
+
+    q["sample_hash_split"] = sample_hash_split
+
     # ---- transcripts: conversation-level rollup (granularity flip) ----
     def conv_rollup(spark, sf):
         from bm25s_spark.transcripts import conversation_rollup
@@ -1188,6 +1241,61 @@ red AS (
 SELECT doc_id, text_redacted,
        trim(regexp_replace(regexp_replace(text_redacted, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS text_clean
 FROM red
+"""
+
+    # twin of contamination_report(n=5) vs the derived benchmark (every
+    # 97th doc, first 12 normalized tokens); same short-doc shingle rule
+    # as the operator (docs shorter than n yield one whole-text shingle)
+    _DECONTAM_CTE = f"""
+docs5 AS (
+  SELECT doc_id, string_split({_NORM_TEXT_SQL}, ' ') AS l FROM documents
+),
+dsh5 AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, greatest(len(l) - 4, 1))) AS i
+        FROM docs5)
+),
+bench AS (
+  SELECT doc_id AS bench_id, l[1:12] AS l FROM docs5 WHERE doc_id % 97 = 0
+),
+bsh5 AS (
+  SELECT DISTINCT bench_id, array_to_string(l[i:i+4], ' ') AS shingle
+  FROM (SELECT bench_id, l,
+               unnest(generate_series(1, greatest(len(l) - 4, 1))) AS i
+        FROM bench)
+),
+rep AS (
+  SELECT d.doc_id,
+         CAST(count(DISTINCT d.shingle) AS BIGINT) AS n_shared_ngrams,
+         CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+  FROM dsh5 d JOIN bsh5 b USING (shingle)
+  GROUP BY d.doc_id
+)"""
+
+    o["decontam_report"] = f"""
+WITH {_DECONTAM_CTE}
+SELECT doc_id, n_shared_ngrams, n_bench_docs FROM rep
+"""
+
+    o["decontam_kept"] = f"""
+WITH {_DECONTAM_CTE}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM rep)
+"""
+
+    # twin of hash_split(seed='gate', buckets=10000, 8/1/1) + hash_bucket
+    o["sample_hash_split"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('gate:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
 """
 
     # twin of transcripts.conversation_rollup over the derived

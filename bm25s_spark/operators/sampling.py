@@ -1,0 +1,100 @@
+"""Deterministic hash-based splitting and sampling.
+
+Training-data pipelines need *content-stable* corpus partitioning:
+train/val/test splits and subsampling that (a) never change when the
+corpus is re-partitioned, re-ordered, or incrementally re-processed,
+(b) need no stored assignment table, and (c) reproduce bit-identically
+on any engine.  Spark's ``df.sample``/``randomSplit`` give none of
+that (they are partition-order-dependent RNG).  The standard fix is a
+keyed-hash bucket:
+
+    bucket(id) = int(md5(seed ":" id)[:8 hex], 16) mod buckets
+
+and assignment by cumulative bucket ranges.  md5 exists in every
+engine (DuckDB included — the correctness oracle replays the exact
+formula), is uniform on the low bytes, and is keyed by ``seed`` so
+independent splits/samples decorrelate.
+
+Scale shape: pure column expressions — one md5 + modulo per row, no
+shuffle, no UDF, whole-stage codegen; filters push down past the
+operator since it only *adds* a column.
+
+Nesting property: ``hash_sample(f1)`` ⊆ ``hash_sample(f2)`` whenever
+``f1 <= f2`` (same seed), because both are prefix ranges of the same
+bucket value — useful for growing a sample without resampling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(
+    id_col: Column | str, seed: str = "split", buckets: int = 10_000
+) -> Column:
+    """Deterministic uniform bucket in ``[0, buckets)`` keyed by
+    ``seed`` — ``conv`` of the first 8 md5 hex chars (32 bits, so the
+    value fits a BIGINT exactly and the modulo is bias-free for any
+    ``buckets`` ≪ 2^32)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    buckets: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Append ``out_col``: a deterministic split label per row.
+
+    ``weights`` maps label → relative weight in iteration order
+    (insertion-ordered dict); they are normalized, so ``{"train": 8,
+    "val": 1, "test": 1}`` and ``{"train": .8, "val": .1, "test": .1}``
+    are identical.  Boundaries are ``round(cum_fraction * buckets)``,
+    so label populations are exact bucket counts, not RNG draws.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    weights = dict(weights)
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of >=0 weights")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    b = hash_bucket(id_col, seed=seed, buckets=buckets)
+    names = list(weights)
+    cum, bounds = 0.0, []
+    for name in names:
+        cum += weights[name] / total
+        bounds.append(round(cum * buckets))
+    bounds[-1] = buckets  # absorb float rounding: last label is the catch-all
+
+    expr = F.lit(names[-1])
+    for name, bound in zip(reversed(names[:-1]), reversed(bounds[:-1])):
+        expr = F.when(b < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows (same schema).  Exact
+    bucket-prefix filter, so repeated runs, different partitionings,
+    and incremental reprocessing all keep the identical row set, and
+    samples nest across fractions (see module docstring)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bound = round(fraction * buckets)
+    return df.where(hash_bucket(id_col, seed=seed, buckets=buckets) < bound)

@@ -264,6 +264,74 @@ def test_normalize_and_redact(spark):
     assert "1234567" in keep[1]
 
 
+def test_decontamination(spark):
+    from bm25s_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon"),        # == bench example
+            (2, "unrelated words entirely here today"),
+            (3, "zz alpha beta gamma delta epsilon yy"),  # bench gram inside
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "bench_id long, text string"
+    )
+
+    rep = {r["doc_id"]: r for r in
+           decontam.contamination_report(docs, bench, n=5).collect()}
+    assert set(rep) == {0, 1, 3}
+    assert all(r["n_shared_ngrams"] == 1 and r["n_bench_docs"] == 1
+               for r in rep.values())
+
+    kept = {r["doc_id"] for r in
+            decontam.decontaminate(docs, bench, n=5).collect()}
+    assert kept == {2}
+
+    # min_hits above any doc's overlap -> nothing contaminated
+    assert decontam.contamination_report(docs, bench, n=5, min_hits=2).count() == 0
+    # shuffle-join fallback gives identical results
+    rep2 = {r["doc_id"] for r in decontam.contamination_report(
+        docs, bench, n=5, broadcast_benchmark=False).collect()}
+    assert rep2 == {0, 1, 3}
+
+
+def test_hash_split_and_sample(spark):
+    from bm25s_spark.operators import sampling
+
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s = sampling.hash_split(ids, {"train": 8, "val": 1, "test": 1})
+    counts = {r["split"]: r["n"] for r in
+              s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert abs(counts["train"] - 1600) < 100   # md5-uniform +- ~5 sigma
+    assert abs(counts["val"] - 200) < 60
+    assert abs(counts["test"] - 200) < 60
+
+    # content-stable: re-run and pre-normalized weights agree row-by-row
+    s2 = sampling.hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert s.exceptAll(s2).count() == 0 and s2.exceptAll(s).count() == 0
+    # a different seed decorrelates
+    s3 = sampling.hash_split(ids, {"train": 8, "val": 1, "test": 1}, seed="other")
+    assert s.exceptAll(s3).count() > 0
+
+    a30 = {r["doc_id"] for r in sampling.hash_sample(ids, 0.30).collect()}
+    a50 = {r["doc_id"] for r in sampling.hash_sample(ids, 0.50).collect()}
+    assert a30 <= a50                       # samples nest across fractions
+    assert abs(len(a30) - 600) < 100 and abs(len(a50) - 1000) < 110
+    assert sampling.hash_sample(ids, 0.0).count() == 0
+    assert sampling.hash_sample(ids, 1.0).count() == 2000
+
+    with pytest.raises(ValueError):
+        sampling.hash_sample(ids, 1.5)
+    with pytest.raises(ValueError):
+        sampling.hash_split(ids, {})
+    with pytest.raises(ValueError):
+        sampling.hash_split(ids, {"a": -1.0, "b": 2.0})
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=30)
     feats = multimodal.extract_features(media, dim=16).collect()

@@ -152,3 +152,28 @@ def test_ivf_partitioned_cell_pruning(spark, tmp_path_factory):
         emb, qv, k=3, n_centroids=8, n_probe=2, seed=42
     )
     assert {tuple(r) for r in res.collect()} == {tuple(r) for r in mem.collect()}
+
+
+def test_decontam_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (tiny) benchmark n-gram side —
+    a shuffle join would repartition the full corpus n-gram explode by
+    shingle, the exact shuffle the operator exists to avoid — and the
+    hash-split bucket must stay a pure JVM expression (no Python)."""
+    from bm25s_spark.operators.decontam import contamination_report
+    from bm25s_spark.operators.sampling import hash_split
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon doc "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "bench_id long, text string"
+    )
+    plan = _plan(contamination_report(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+    plan2 = _plan(hash_split(docs))
+    assert "BatchEvalPython" not in plan2 and "Exchange" not in plan2
