@@ -690,6 +690,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_hash_split"] = sample_hash_split
 
+    # ---- stratified mixing: per-language deterministic keep fraction ----
+    def sample_stratified(spark, sf):
+        from bm25s_spark.operators.sampling import stratified_hash_sample
+
+        d = _documents(spark, sf).select("doc_id", "lang")
+        return stratified_hash_sample(
+            d, {"en": 1.0, "es": 0.5, "de": 0.25}, "lang",
+            seed="mix", default_fraction=0.1,
+        )
+
+    q["sample_stratified"] = sample_stratified
+
+    # ---- context-window chunking (32-token windows, 8-token overlap) ----
+    def chunk_docs(spark, sf):
+        from bm25s_spark.operators.chunking import chunk_documents
+
+        return chunk_documents(
+            _documents(spark, sf), chunk_size=32, overlap=8
+        )
+
+    q["chunk_documents"] = chunk_docs
+
     # ---- transcripts: conversation-level rollup (granularity flip) ----
     def conv_rollup(spark, sf):
         from bm25s_spark.transcripts import conversation_rollup
@@ -1296,6 +1318,46 @@ SELECT doc_id, bucket,
             WHEN bucket < 9000 THEN 'val'
             ELSE 'test' END AS split
 FROM b
+"""
+
+    # twin of stratified_hash_sample(seed='mix', en 1.0 / es 0.5 /
+    # de 0.25 / default 0.1)
+    o["sample_stratified"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 10000
+                         WHEN 'es' THEN 5000
+                         WHEN 'de' THEN 2500
+                         ELSE 1000 END
+"""
+
+    # twin of chunk_documents(chunk_size=32, overlap=8): stride 24,
+    # n_chunks = max(1, ceil((n-8)/24)), window i = tokens
+    # [i*24+1, i*24+32]; zero-token docs emit no rows
+    o["chunk_documents"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+  FROM documents
+),
+nz AS (
+  SELECT doc_id, tk,
+         greatest(CAST(ceil((len(tk) - 8) / 24.0) AS INT), 1) AS n_chunks
+  FROM t WHERE len(tk) > 0
+),
+e AS (
+  SELECT doc_id, tk, n_chunks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM nz
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, n_chunks,
+       CAST(len(tk[chunk_id*24+1 : chunk_id*24+32]) AS INT) AS n_tokens,
+       array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
+FROM e
 """
 
     # twin of transcripts.conversation_rollup over the derived

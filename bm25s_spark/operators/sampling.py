@@ -98,3 +98,37 @@ def hash_sample(
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     bound = round(fraction * buckets)
     return df.where(hash_bucket(id_col, seed=seed, buckets=buckets) < bound)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: str = "stratified",
+    buckets: int = 10_000,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows — the
+    data-mixing primitive (up/down-weight languages, sources, quality
+    tiers) of a training pipeline.  ``fractions`` maps stratum value →
+    keep fraction; strata not listed keep ``default_fraction``.
+
+    The fraction table is pipeline *config* (a handful of entries), so
+    it compiles to a literal CASE expression — no join, no shuffle, no
+    UDF; rows are filtered by the same keyed md5 bucket as
+    ``hash_sample`` (content-stable, nests across fractions per
+    stratum).  Spark's ``sampleBy`` is the RNG-based analog; this is
+    its deterministic, engine-portable twin.
+    """
+    for k, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    bound = F.lit(round(default_fraction * buckets))
+    for k, f in fractions.items():
+        bound = F.when(
+            F.col(strata_col) == F.lit(k), F.lit(round(f * buckets))
+        ).otherwise(bound)
+    return df.where(hash_bucket(id_col, seed=seed, buckets=buckets) < bound)

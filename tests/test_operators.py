@@ -332,6 +332,77 @@ def test_hash_split_and_sample(spark):
         sampling.hash_split(ids, {"a": -1.0, "b": 2.0})
 
 
+def test_chunk_documents(spark):
+    from bm25s_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(1, 11))),  # 10 tokens
+        (1, "a b c"),                                   # fits one chunk
+        (2, ""),                                        # zero tokens
+        (3, "x  y\tz  w q"),                            # messy whitespace, 5 toks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=4, overlap=1)
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+
+    # doc 0: stride 3 -> ceil((10-1)/3) = 3 chunks, windows 1-4, 4-7, 7-10
+    assert got[(0, 0)]["chunk_text"] == "t1 t2 t3 t4"
+    assert got[(0, 1)]["chunk_text"] == "t4 t5 t6 t7"
+    assert got[(0, 2)]["chunk_text"] == "t7 t8 t9 t10"
+    assert all(got[(0, i)]["n_chunks"] == 3 for i in range(3))
+    # doc 1: single chunk, shorter than the budget
+    assert got[(1, 0)]["chunk_text"] == "a b c" and got[(1, 0)]["n_chunks"] == 1
+    assert got[(1, 0)]["n_tokens"] == 3
+    # doc 2: no rows at all
+    assert not any(k[0] == 2 for k in got)
+    # doc 3: \s+ tokenization -> 5 tokens -> 2 chunks, last is partial
+    assert got[(3, 0)]["chunk_text"] == "x y z w"
+    assert got[(3, 1)]["chunk_text"] == "w q" and got[(3, 1)]["n_tokens"] == 2
+
+    # overlap=0 -> disjoint full coverage
+    dj = chunk_documents(df.where(F.col("doc_id") == 0), chunk_size=4, overlap=0)
+    texts = [r["chunk_text"] for r in dj.orderBy("chunk_id").collect()]
+    assert " ".join(texts) == rows[0][1]
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+
+
+def test_stratified_hash_sample(spark):
+    from bm25s_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(1500).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("stratum"),
+    )
+    kept = stratified_hash_sample(
+        df, {"a": 1.0, "b": 0.4}, "stratum"
+    ).groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    counts = {r["stratum"]: r["n"] for r in kept}
+    assert counts["a"] == 500                      # fraction 1.0 keeps all
+    assert abs(counts.get("b", 0) - 200) < 70      # 0.4 of 500, md5-uniform
+    assert "c" not in counts                       # default_fraction 0.0
+
+    # per-stratum nesting + determinism
+    b20 = {r["doc_id"] for r in stratified_hash_sample(
+        df, {"b": 0.2}, "stratum").collect()}
+    b40 = {r["doc_id"] for r in stratified_hash_sample(
+        df, {"b": 0.4}, "stratum").collect()}
+    assert b20 <= b40
+    assert b40 == {r["doc_id"] for r in stratified_hash_sample(
+        df, {"b": 0.4}, "stratum").collect()}
+
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, {"a": 1.5}, "stratum")
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, {"a": 1.0}, "stratum", default_fraction=-0.1)
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=30)
     feats = multimodal.extract_features(media, dim=16).collect()
