@@ -233,6 +233,54 @@ _CONV_DOCS_CTE = """SELECT doc_id // 4 AS doc_id,
   FROM documents GROUP BY doc_id // 4"""
 
 
+def _gate_topk_chunk_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene top-k over an index whose documents are 32-token sliding
+    WINDOWS (``chunk_documents`` output, overlap 8) — the RAG
+    passage-retrieval composition.  Chunk doc ids are
+    ``doc_id * 1000 + chunk_id`` (chunk counts are far below 1000 at
+    gate scale), which the DuckDB twin reproduces arithmetically from
+    the same stride formula."""
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.operators.chunking import chunk_documents
+    from bm25s_spark.retrieval import score_all
+
+    key = (os.path.abspath(sf_dir), "chunkidx")
+    if key not in _INDEX_CACHE:
+        chunks = chunk_documents(
+            _documents(spark, sf_dir), chunk_size=32, overlap=8
+        ).select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_doc"),
+            F.col("chunk_text").alias("text"),
+        )
+        idx = build_index(chunks, doc_id_col="chunk_doc").persist()
+        _INDEX_CACHE[key] = idx
+    idx = _INDEX_CACHE[key]
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return _rounded_topk(score_all(idx, qdf, method="lucene"))
+
+
+# chunk_documents(32, 8) as a docs source: stride 24, doc_id re-keyed
+# as doc_id*1000 + chunk_id (nested WITH inside the docs CTE)
+_CHUNK_DOCS_CTE = r"""WITH ct AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+    FROM documents
+  ),
+  cnz AS (
+    SELECT doc_id, tk,
+           greatest(CAST(ceil((len(tk) - 8) / 24.0) AS INT), 1) AS n_chunks
+    FROM ct WHERE len(tk) > 0
+  ),
+  ce AS (
+    SELECT doc_id, tk,
+           unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+    FROM cnz
+  )
+  SELECT doc_id * 1000 + chunk_id AS doc_id,
+         lower(array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' ')) AS t
+  FROM ce"""
+
+
 def _bm25_oracle_sql(method: str, idf_method: str | None = None,
                      mask: bool = False, shard_round: bool = False,
                      docs_cte: str | None = None) -> str:
@@ -396,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inverted, which transcript pipelines run both ways); proves the
     # rollup composes with the engine end-to-end
     q["bm25_topk_conv_granularity"] = _gate_topk_conv_granularity
+    q["bm25_topk_chunk_granularity"] = _gate_topk_chunk_granularity
 
     # ---- index internals ----
     def term_stats(spark, sf):
@@ -485,6 +534,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs64"] = lambda spark, sf: dedup.simhash_near_duplicates(
         _documents(spark, sf), max_hamming=3, bits=64, bands=4
     ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+    # paragraph-granularity dedup (CCNet keep-first): disjoint 3-token
+    # windows stand in for paragraphs on the newline-free synthetic
+    # corpus (the sf0.01 table has ~1.7k duplicated trigram windows, so
+    # the keep/drop machinery is genuinely exercised); newline splitting
+    # is pytest-covered (`test_dedup_lines`)
+    q["dedup_paragraphs"] = lambda spark, sf: dedup.dedup_chunk_windows(
+        _documents(spark, sf), chunk_size=3, keep="first"
+    )
 
     # ---- similarity search ----
     def knn_brute(spark, sf):
@@ -800,6 +858,48 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_conv_granularity"] = _bm25_oracle_sql(
         "lucene", docs_cte=_CONV_DOCS_CTE
     )
+    o["bm25_topk_chunk_granularity"] = _bm25_oracle_sql(
+        "lucene", docs_cte=_CHUNK_DOCS_CTE
+    )
+
+    # twin of dedup_chunk_windows(chunk_size=3, keep='first'): disjoint
+    # trigram windows, keep the globally-first occurrence of each
+    # distinct window text, reassemble in chunk order
+    o["dedup_paragraphs"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+  FROM documents
+),
+nz AS (
+  SELECT doc_id, tk,
+         greatest(CAST(ceil(len(tk) / 3.0) AS INT), 1) AS n_chunks
+  FROM t WHERE len(tk) > 0
+),
+e AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, n_chunks - 1)) AS piece_id
+  FROM nz
+),
+p AS (
+  SELECT doc_id, piece_id,
+         array_to_string(tk[piece_id*3+1 : piece_id*3+3], ' ') AS piece
+  FROM e
+),
+k AS (
+  SELECT doc_id, piece_id, piece,
+         row_number() OVER (
+           PARTITION BY piece ORDER BY doc_id, piece_id
+         ) AS rn
+  FROM p
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_pieces,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN piece END, ' '
+                           ORDER BY piece_id), '') AS text
+FROM k GROUP BY doc_id
+"""
 
     o["term_stats_idf"] = f"""
 WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -493,3 +493,113 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def _dedup_pieces(
+    pieces: DataFrame, joiner: str, keep: str, min_count: int
+) -> DataFrame:
+    """Shared core of line/window dedup over ``(doc_id, piece_id,
+    piece_text)`` rows: decide which pieces survive, then reassemble
+    one row per document.
+
+    ``keep="first"`` keeps the globally first occurrence (by
+    ``(doc_id, piece_id)``) of every distinct piece and drops the rest
+    (the CCNet paragraph-dedup convention); ``keep="none"`` drops EVERY
+    occurrence of a piece seen ``>= min_count`` times corpus-wide (the
+    RefinedWeb boilerplate-removal convention — a header duplicated a
+    million times should not survive even once).
+
+    Scale shape: per-piece stats come from ``groupBy(hash)`` with
+    map-side partial aggregation, so a boilerplate piece duplicated
+    10^9 times combines down to one row per input partition BEFORE the
+    shuffle — a window function over the hash would instead ship every
+    occurrence of the hot key to a single task.  The join back to the
+    pieces is a plain shuffle join AQE can skew-split.  Reassembly is
+    one more ``groupBy(doc_id)``.  Documents whose every piece was
+    dropped still emit a row (empty ``text``); zero-piece documents
+    emit nothing (same contract as ``chunk_documents``).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if keep == "none" and min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    marked = pieces.withColumn("_h", F.md5("piece_text"))
+    stats = marked.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "piece_id")).alias("_first"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    joined = marked.join(stats, "_h")
+    if keep == "first":
+        kept = F.struct("doc_id", "piece_id") == F.col("_first")
+    else:
+        kept = F.col("_cnt") < min_count
+    return (
+        joined.withColumn("_keep", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_pieces"),
+            F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_keep"),
+                               F.struct("piece_id", "piece_text"))
+                    )),
+                    lambda s: s["piece_text"],
+                ),
+                joiner,
+            ).alias("text"),
+        )
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    keep: str = "first",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide line/paragraph deduplication (CCNet keeps the first
+    occurrence of each paragraph; RefinedWeb drops lines repeated
+    across documents — ``keep="none"`` with ``min_count``).  Splits
+    ``text_col`` on ``sep``, drops empty pieces, and returns
+    ``(doc_id, n_pieces, n_kept, text)`` with surviving pieces
+    rejoined by ``sep`` in original order."""
+    pieces = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1))
+            .alias("piece_id", "piece_text"),
+        )
+        .where(F.trim("piece_text") != "")
+    )
+    return _dedup_pieces(pieces, sep, keep, min_count)
+
+
+def dedup_chunk_windows(
+    df: DataFrame,
+    chunk_size: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "first",
+    min_count: int = 2,
+) -> DataFrame:
+    """Window-granularity dedup for corpora without newline structure:
+    slice each document into disjoint ``chunk_size``-token windows
+    (``chunk_documents`` with ``overlap=0``), dedup the windows
+    corpus-wide, and reassemble (``(doc_id, n_pieces, n_kept, text)``,
+    space-joined).  The sliding-window twin of ``dedup_lines`` — the
+    training-pipeline primitive for stripping duplicated boilerplate
+    spans out of otherwise-distinct documents."""
+    from bm25s_spark.operators.chunking import chunk_documents
+
+    pieces = chunk_documents(
+        df, chunk_size=chunk_size, overlap=0,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        "doc_id", F.col("chunk_id").alias("piece_id"),
+        F.col("chunk_text").alias("piece_text"),
+    )
+    return _dedup_pieces(pieces, " ", keep, min_count)

@@ -370,6 +370,61 @@ def test_chunk_documents(spark):
         chunk_documents(df, chunk_size=0)
 
 
+def test_dedup_lines(spark):
+    rows = [
+        (0, "alpha beta\nboiler plate\ngamma"),
+        (1, "boiler plate\ndelta"),
+        (2, "boiler plate\nboiler plate\nepsilon"),
+        (3, "\n\n"),  # only empty pieces -> no output row
+        (4, "zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in dedup.dedup_lines(df).collect()}
+    # keep="first": the globally-first occurrence (doc 0) survives
+    assert out[0]["text"] == "alpha beta\nboiler plate\ngamma"
+    assert out[0]["n_pieces"] == 3 and out[0]["n_kept"] == 3
+    assert out[1]["text"] == "delta"
+    assert out[1]["n_pieces"] == 2 and out[1]["n_kept"] == 1
+    # doc 2's two copies are both non-first -> only epsilon remains
+    assert out[2]["text"] == "epsilon" and out[2]["n_kept"] == 1
+    assert 3 not in out
+    assert out[4]["text"] == "zeta"
+
+    # keep="none": every occurrence of a piece seen >= min_count dies,
+    # including the first one
+    none_out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(df, keep="none", min_count=2).collect()
+    }
+    assert none_out[0]["text"] == "alpha beta\ngamma"
+    assert none_out[2]["text"] == "epsilon" and none_out[2]["n_kept"] == 1
+    assert none_out[1]["text"] == "delta"
+
+    with pytest.raises(ValueError):
+        dedup.dedup_lines(df, keep="bogus")
+    with pytest.raises(ValueError):
+        dedup.dedup_lines(df, keep="none", min_count=1)
+
+
+def test_dedup_chunk_windows(spark):
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c x y z"),  # first window duplicates doc 0's
+        (2, "d e f"),        # entire doc is doc 0's second window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_chunk_windows(df, chunk_size=3).collect()
+    }
+    assert out[0]["text"] == "a b c d e f" and out[0]["n_kept"] == 2
+    assert out[1]["text"] == "x y z" and out[1]["n_kept"] == 1
+    # all pieces dropped -> row survives with empty text, not silence
+    assert out[2]["text"] == "" and out[2]["n_pieces"] == 1
+    assert out[2]["n_kept"] == 0
+
+
 def test_stratified_hash_sample(spark):
     from bm25s_spark.operators.sampling import stratified_hash_sample
 
