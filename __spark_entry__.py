@@ -611,6 +611,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embeddings(spark, sf), threshold=0.4, n_planes=16, bands=4
     ).select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
 
+    # ---- hybrid retrieval (RRF fusion of BM25 ⊕ cosine kNN) ----
+    # gate query vectors: embeddings vec_id<8 stand in for the dense
+    # encodings of GATE_QUERIES (vec_id i ↔ q%02d), matching the knn
+    # entries' convention; both sides use the rounded-rank contract so
+    # the fused order is FP-stable cross-engine
+    def hybrid_rrf(spark, sf):
+        from bm25s_spark.operators.hybrid import rrf_fuse
+
+        bm25 = _gate_topk(spark, sf, "lucene").select("query_id", "doc_id", "rank")
+        emb = _embeddings(spark, sf)
+        qv = emb.where(F.col("vec_id") < 8).select(
+            F.format_string("q%02d", (F.col("vec_id") + 1).cast("int")).alias("query_id"),
+            F.col("embedding"),
+        )
+        kn = similarity.brute_force_knn(emb, qv, k=2 * TOPK)
+        kw = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("cosine"), 4).desc(), F.col("vec_id").asc()
+        )
+        kn = (
+            kn.withColumn("rank", F.row_number().over(kw).cast("int"))
+            .where(F.col("rank") <= TOPK)
+            .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+        )
+        return rrf_fuse([bm25, kn], k=TOPK, rrf_k=60, round_to=6)
+
+    q["retrieval_hybrid_rrf"] = hybrid_rrf
+
     # ---- text analysis ----
     q["text_token_stats"] = lambda spark, sf: with_token_stats(
         _documents(spark, sf)
@@ -1154,6 +1181,50 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
     # the exact top-k bit-for-bit
     o["knn_cosine_lsh"] = _knn_exact_sql
     o["knn_cosine_ivf"] = _knn_exact_sql
+
+    # RRF fusion twin: BM25 lucene top-10 (the full relational scoring
+    # pipeline, nested WITH) ⊕ exact-cosine top-10 at the rounded-rank
+    # contract, fused as sum(1/(60+rank)) and re-ranked (score desc,
+    # doc_id asc) — DuckDB supports WITH inside a subquery, so the two
+    # existing oracles compose verbatim
+    o["retrieval_hybrid_rrf"] = f"""
+WITH bm AS (
+  SELECT query_id, doc_id, rank FROM ({_bm25_oracle_sql("lucene")})
+),
+kn AS (
+  SELECT printf('q%02d', query_id + 1) AS query_id, vec_id AS doc_id, rank
+  FROM (
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]), 4) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= {TOPK}
+  )
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM kn
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+       ) AS INTEGER) AS rank,
+       doc_id, rrf_score
+FROM fused
+QUALIFY rank <= {TOPK}
+"""
 
     # DuckDB twin of the banded sign-bit LSH near-dup pipeline: the
     # arithmetic hyperplanes (operators/similarity.py::_arith_planes)

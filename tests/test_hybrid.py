@@ -1,0 +1,106 @@
+"""RRF hybrid retrieval: fusion math, tie/weight contracts, and the
+end-to-end BM25 ⊕ kNN composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, doc_id long, rank int")
+
+
+def test_rrf_fuse_math(spark):
+    # doc 1 is rank 1 in A and rank 2 in B; doc 2 only in A; doc 3 only in B
+    a = _ranking(spark, [("q", 1, 1), ("q", 2, 2)])
+    b = _ranking(spark, [("q", 1, 2), ("q", 3, 1)])
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10, rrf_k=60).collect()}
+    assert out[1]["rrf_score"] == pytest.approx(1 / 61 + 1 / 62)
+    assert out[2]["rrf_score"] == pytest.approx(1 / 62)
+    assert out[3]["rrf_score"] == pytest.approx(1 / 61)
+    # doc 1 (two contributions) outranks both singles; the two singles
+    # order by score (1/61 > 1/62)
+    assert out[1]["rank"] == 1 and out[3]["rank"] == 2 and out[2]["rank"] == 3
+
+
+def test_rrf_fuse_tiebreak_and_k(spark):
+    # docs 5 and 3 tie exactly (same single-system rank) → doc_id asc wins
+    a = _ranking(spark, [("q", 5, 1), ("q", 3, 1), ("q", 9, 2)])
+    rows = rrf_fuse([a], k=2).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [3, 5]  # k=2 truncates doc 9
+    assert rows[0]["rank"] == 1 and rows[1]["rank"] == 2
+
+
+def test_rrf_fuse_weights(spark):
+    a = _ranking(spark, [("q", 1, 1)])
+    b = _ranking(spark, [("q", 2, 1)])
+    rows = rrf_fuse([a, b], k=2, weights=[1.0, 3.0]).orderBy("rank").collect()
+    # B's weight 3 → doc 2 scores 3/61 > doc 1's 1/61
+    assert [r["doc_id"] for r in rows] == [2, 1]
+    assert rows[0]["rrf_score"] == pytest.approx(3 / 61)
+
+
+def test_rrf_fuse_validation(spark):
+    a = _ranking(spark, [("q", 1, 1)])
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], weights=[1.0, 2.0])
+
+
+def test_rrf_fuse_multi_query_isolation(spark):
+    a = _ranking(spark, [("q1", 1, 1), ("q2", 2, 1)])
+    b = _ranking(spark, [("q1", 1, 1), ("q2", 7, 1)])
+    rows = rrf_fuse([a, b], k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert sorted(by_q["q1"]) == [1]
+    assert sorted(by_q["q2"]) == [2, 7]
+
+
+def test_hybrid_retrieve_end_to_end(spark):
+    """A doc that is mid-ranked lexically AND mid-ranked densely must
+    beat docs that only one system surfaces."""
+    from bm25s_spark.indexer import build_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark query engine with fast shuffle"),
+            (1, "spark query planner"),
+            (2, "cats and dogs and weather"),
+            (3, "fast shuffle service"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, doc_id_col="doc_id")
+    # embeddings: doc 1 is closest to the query vector; doc 2 second;
+    # doc 0 and 3 point away
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0]),
+            (1, [1.0, 0.1]),
+            (2, [0.9, 0.5]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [("qa", "spark query")], "query_id string, text string"
+    )
+    qvecs = spark.createDataFrame(
+        [("qa", [1.0, 0.0])], "query_id string, embedding array<float>"
+    )
+    rows = hybrid_retrieve(idx, emb, queries, qvecs, k=4).orderBy("rank").collect()
+    # doc 1 ranks high in both systems → fused rank 1
+    assert rows[0]["doc_id"] == 1
+    got = {r["doc_id"]: r["rrf_score"] for r in rows}
+    # every fused score is a sum of 1/(60+r) terms → positive, bounded
+    assert all(0 < s < 2 / 61 + 1e-12 for s in got.values())
+    # schema contract
+    assert rows[0]["rank"] == 1 and set(rows[0].asDict()) == {
+        "query_id", "rank", "doc_id", "rrf_score"
+    }
