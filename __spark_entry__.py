@@ -699,6 +699,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition"] = text_repetition
 
+    # Gopher quality-filter composition over the same multi-line rebuild
+    # with deterministic anomaly injections (doc_id%5 → bullet lines,
+    # %7 → ellipsis line endings, %11 → an appended symbol-only line) so
+    # every rule family fires on some slice of the corpus; thresholds
+    # loosened (min_words=20, min_stop_word_hits=1) to split this
+    # 10-99-token synthetic corpus non-trivially.  All ratios are exact
+    # integer divisions → threshold comparisons are FP-identical in the
+    # DuckDB twin; drop_reasons is emitted comma-joined in the fixed
+    # rule order
+    def text_gopher(spark, sf):
+        from bm25s_spark.functions.text import gopher_filter
+
+        d = _documents(spark, sf).withColumn("_t", F.split(F.col("text"), " "))
+        n_l = F.ceil(F.size(F.col("_t")) / F.lit(5.0)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_l - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(F.col("_t"), i * F.lit(5) + F.lit(1), F.lit(5)), " "
+            ),
+        )
+        d = d.withColumn("_ls", lines)
+        d = d.withColumn(
+            "_ls",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.transform(F.col("_ls"), lambda l: F.concat(F.lit("- "), l)),
+            ).otherwise(F.col("_ls")),
+        )
+        d = d.withColumn(
+            "_ls",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.transform(F.col("_ls"), lambda l: F.concat(l, F.lit("..."))),
+            ).otherwise(F.col("_ls")),
+        )
+        d = d.withColumn(
+            "text2",
+            F.concat(
+                F.array_join(F.col("_ls"), "\n"), F.lit("\n"),
+                F.element_at(F.col("_ls"), 1),
+            ),
+        )
+        d = d.withColumn(
+            "text2",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.col("text2"), F.lit("\n### ### ### … ... … ...")),
+            ).otherwise(F.col("text2")),
+        ).select("doc_id", "text2")
+        g = gopher_filter(
+            d, text_col="text2", min_words=20, min_stop_word_hits=1
+        )
+        return g.select(
+            "doc_id",
+            F.col("keep").cast("int").alias("keep"),
+            F.array_join(F.col("drop_reasons"), ",").alias("drop_reasons"),
+            F.col("n_words").cast("int").alias("n_words"),
+            F.round("mean_word_len", 4).alias("mean_word_len"),
+            F.round("symbol_word_ratio", 4).alias("symbol_word_ratio"),
+            F.round("bullet_start_frac", 4).alias("bullet_start_frac"),
+            F.round("ellipsis_end_frac", 4).alias("ellipsis_end_frac"),
+            F.round("alpha_word_frac", 4).alias("alpha_word_frac"),
+            F.col("stop_word_hits").cast("int").alias("stop_word_hits"),
+        )
+
+    q["text_gopher_filter"] = text_gopher
+
     # PII redaction + whitespace normalization over documents.text with
     # deterministically injected e-mail / URL / digit-run / messy
     # whitespace (regexes are RE2-compatible, so the DuckDB twin runs
@@ -1406,6 +1473,141 @@ SELECT base.doc_id,
 FROM base
 LEFT JOIN top2 ON top2.doc_id = base.doc_id
 LEFT JOIN top3 ON top3.doc_id = base.doc_id
+"""
+
+    # twin of gopher_filter over the same rebuild + injections: replay
+    # every rule as exact integer-ratio comparisons (FP-identical to
+    # Spark) and assemble drop_reasons in the operator's fixed rule
+    # order; thresholds mirror the gate call (min_words=20,
+    # min_stop_word_hits=1, rest at Gopher defaults)
+    o["text_gopher_filter"] = """
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+built AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(tk) / 5.0) AS INT) - 1),
+           i -> array_to_string(tk[i*5+1 : i*5+5], ' ')
+         ) AS ls
+  FROM b
+),
+inj1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN list_transform(ls, l -> '- ' || l) ELSE ls END AS ls
+  FROM built
+),
+inj2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN list_transform(ls, l -> l || '...') ELSE ls END AS ls
+  FROM inj1
+),
+t AS (
+  SELECT doc_id,
+         array_to_string(ls, chr(10)) || chr(10) || ls[1] AS t0
+  FROM inj2
+),
+t2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN t0 || chr(10) || '### ### ### … ... … ...'
+              ELSE t0 END AS text
+  FROM t
+),
+rep AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS lines,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x != '') AS ws,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x != '') AS toks
+  FROM t2
+),
+base AS (
+  SELECT doc_id, text, ws, toks, lines,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+         coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS dline_chars,
+         len(ws) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
+           / greatest(len(ws), 1) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+           / greatest(len(ws), 1) AS symbol_word_ratio,
+         CAST(len(list_filter(lines, l -> l[1:1] IN ('•', '‣', '▶', '-', '*'))) AS DOUBLE)
+           / greatest(len(lines), 1) AS bullet_start_frac,
+         CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+           / greatest(len(lines), 1) AS ellipsis_end_frac,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+           / greatest(len(ws), 1) AS alpha_word_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(toks, s))) AS stop_word_hits
+  FROM rep
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)), i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM rep
+),
+top2 AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+    FROM g2 GROUP BY doc_id, g
+  ) WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM rep
+),
+top3 AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+    FROM g3 GROUP BY doc_id, g
+  ) WHERE rn = 1
+),
+sig AS (
+  SELECT base.*,
+         CAST(n_lines - n_dlines AS DOUBLE) / greatest(n_lines, 1) AS dup_line_frac,
+         CAST(line_chars - dline_chars AS DOUBLE) / greatest(line_chars, 1) AS dup_line_char_frac,
+         CAST(coalesce(top2.cnt, 0) * length(coalesce(top2.g, '')) AS DOUBLE)
+           / greatest(length(base.text), 1) AS top_2gram_char_frac,
+         CAST(coalesce(top3.cnt, 0) * length(coalesce(top3.g, '')) AS DOUBLE)
+           / greatest(length(base.text), 1) AS top_3gram_char_frac
+  FROM base
+  LEFT JOIN top2 ON top2.doc_id = base.doc_id
+  LEFT JOIN top3 ON top3.doc_id = base.doc_id
+),
+reasons AS (
+  SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         bullet_start_frac, ellipsis_end_frac, alpha_word_frac,
+         stop_word_hits,
+         list_filter([
+           CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count' END,
+           CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_length' END,
+           CASE WHEN symbol_word_ratio > 0.1 THEN 'symbol_ratio' END,
+           CASE WHEN bullet_start_frac > 0.9 THEN 'bullet_lines' END,
+           CASE WHEN ellipsis_end_frac > 0.3 THEN 'ellipsis_lines' END,
+           CASE WHEN alpha_word_frac < 0.8 THEN 'alpha_words' END,
+           CASE WHEN stop_word_hits < 1 THEN 'stop_words' END,
+           CASE WHEN dup_line_frac > 0.3 THEN 'dup_line_frac' END,
+           CASE WHEN dup_line_char_frac > 0.2 THEN 'dup_line_char_frac' END,
+           CASE WHEN top_2gram_char_frac > 0.2 THEN 'top_2gram_char_frac' END,
+           CASE WHEN top_3gram_char_frac > 0.18 THEN 'top_3gram_char_frac' END
+         ], x -> x IS NOT NULL) AS dr
+  FROM sig
+)
+SELECT doc_id,
+       CAST(CASE WHEN len(dr) = 0 THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       coalesce(array_to_string(dr, ','), '') AS drop_reasons,
+       CAST(n_words AS INTEGER) AS n_words,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(symbol_word_ratio, 4) AS symbol_word_ratio,
+       round(bullet_start_frac, 4) AS bullet_start_frac,
+       round(ellipsis_end_frac, 4) AS ellipsis_end_frac,
+       round(alpha_word_frac, 4) AS alpha_word_frac,
+       CAST(stop_word_hits AS INTEGER) AS stop_word_hits
+FROM reasons
 """
 
     # twin of with_redacted + with_normalized over the same injected

@@ -282,3 +282,118 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("fp_md5", F.md5(norm))
         .withColumn("fp_head", F.md5(head))
     )
+
+
+# the eight function words Gopher requires at least two of (Rae et al.
+# 2021, §A1.1: "must contain at least 2 of the following English words")
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# fixed rule order — drop_reasons lists failures in this order, so the
+# output is deterministic and comparable across engines
+_GOPHER_RULES = (
+    "word_count", "mean_word_length", "symbol_ratio", "bullet_lines",
+    "ellipsis_lines", "alpha_words", "stop_words", "dup_line_frac",
+    "dup_line_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+)
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_start_frac: float = 0.9,
+    max_ellipsis_end_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_word_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_2gram_char_frac: float = 0.2,
+    max_top_3gram_char_frac: float = 0.18,
+) -> DataFrame:
+    """Compose the Gopher document-quality rules (Rae et al. 2021, §A1.1
+    Table A1 — the MassiveText filter; defaults are the published
+    thresholds) into a keep/drop decision.
+
+    Appends the underlying signals plus:
+
+    - ``drop_reasons``  ``array<string>`` of failed rules in the fixed
+      :data:`_GOPHER_RULES` order (empty → document survives)
+    - ``keep``          ``drop_reasons`` is empty
+
+    Signals reused from :func:`with_repetition` (dup-line / top-n-gram
+    family) plus the document-shape rules computed here: word count,
+    mean word length, symbol-to-word ratio (``#`` and ellipses), lines
+    starting with a bullet, lines ending in an ellipsis, fraction of
+    words with an alphabetic character, and required-stop-word hits.
+
+    Every rule is a pure column expression over per-row arrays — no
+    shuffle, no UDF, whole-stage-codegen'd; the filter costs one narrow
+    pass regardless of corpus size.  All ratios are exact integer
+    divisions, so threshold comparisons are FP-identical across engines
+    (the DuckDB oracle replays them verbatim).  Reference scope: the
+    reference engine has no quality filters; this implements the
+    beyond-reference training-data-pipeline mandate.
+    """
+    c = F.col(text_col)
+    df = with_repetition(df, text_col=text_col)
+
+    words = _ws_tokens(c)
+    lwords = _ws_tokens(F.lower(c))
+    n_words = F.size(words)
+    n_words1 = F.greatest(n_words, F.lit(1))
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines1 = F.greatest(F.size(lines), F.lit(1))
+
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.substring(l, 1, 1).isin("•", "‣", "▶", "-", "*"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    stop_hits = F.size(F.filter(req, lambda s: F.array_contains(lwords, s)))
+
+    df = (
+        df.withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+             / n_words1).cast("double"),
+        )
+        .withColumn("symbol_word_ratio", (n_symbols / n_words1).cast("double"))
+        .withColumn("bullet_start_frac", (n_bullet / n_lines1).cast("double"))
+        .withColumn("ellipsis_end_frac", (n_ellipsis / n_lines1).cast("double"))
+        .withColumn("alpha_word_frac", (n_alpha_words / n_words1).cast("double"))
+        .withColumn("stop_word_hits", stop_hits)
+    )
+    checks = {
+        "word_count": (F.col("n_words") < min_words)
+        | (F.col("n_words") > max_words),
+        "mean_word_length": (F.col("mean_word_len") < min_mean_word_len)
+        | (F.col("mean_word_len") > max_mean_word_len),
+        "symbol_ratio": F.col("symbol_word_ratio") > max_symbol_word_ratio,
+        "bullet_lines": F.col("bullet_start_frac") > max_bullet_start_frac,
+        "ellipsis_lines": F.col("ellipsis_end_frac") > max_ellipsis_end_frac,
+        "alpha_words": F.col("alpha_word_frac") < min_alpha_word_frac,
+        "stop_words": F.col("stop_word_hits") < min_stop_word_hits,
+        "dup_line_frac": F.col("dup_line_frac") > max_dup_line_frac,
+        "dup_line_char_frac": F.col("dup_line_char_frac") > max_dup_line_char_frac,
+        "top_2gram_char_frac": F.col("top_2gram_char_frac") > max_top_2gram_char_frac,
+        "top_3gram_char_frac": F.col("top_3gram_char_frac") > max_top_3gram_char_frac,
+    }
+    reasons = F.filter(
+        F.array(*[F.when(checks[r], F.lit(r)) for r in _GOPHER_RULES]),
+        lambda x: x.isNotNull(),
+    )
+    return df.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size(F.col("drop_reasons")) == 0
+    )

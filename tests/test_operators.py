@@ -239,6 +239,62 @@ def test_repetition_signals(spark):
     assert d3["dup_word_frac"] == pytest.approx(4 / 6)
 
 
+def test_gopher_filter(spark):
+    from bm25s_spark.functions.text import GOPHER_REQUIRED_WORDS, gopher_filter
+
+    clean = "the quick method works with " + " ".join(
+        f"unique{i:02d} token{i:02d}" for i in range(30)
+    )
+    rows = [
+        (0, clean),                                  # survives every rule
+        (1, "- alpha beta\n- gamma delta\n- epsilon zeta"),   # bullets
+        (2, "alpha beta...\ngamma delta...\nepsilon zeta..."),  # ellipses
+        (3, "### lots of symbols ### here ..."),     # symbol ratio
+        (4, ""),                                     # empty: shape rules
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {row["doc_id"]: row for row in gopher_filter(df).collect()}
+
+    assert r[0]["keep"] and r[0]["drop_reasons"] == []
+    assert r[0]["n_words"] == 65
+    assert r[0]["stop_word_hits"] == 2  # 'the', 'with'
+
+    assert not r[1]["keep"] and "bullet_lines" in r[1]["drop_reasons"]
+    assert r[1]["bullet_start_frac"] == 1.0
+    # '-' counts as a non-alphabetic word too
+    assert "alpha_words" in r[1]["drop_reasons"]
+
+    assert not r[2]["keep"] and "ellipsis_lines" in r[2]["drop_reasons"]
+    assert r[2]["ellipsis_end_frac"] == 1.0
+    assert "bullet_lines" not in r[2]["drop_reasons"]
+
+    assert "symbol_ratio" in r[3]["drop_reasons"]
+    # '###' = 3 symbol hits x2 + '...' = 7 hits over 7 ws tokens
+    assert r[3]["symbol_word_ratio"] == pytest.approx(7 / 7)
+
+    # empty doc: failures surface in the fixed rule order
+    assert r[4]["drop_reasons"] == [
+        "word_count", "mean_word_length", "alpha_words", "stop_words"
+    ]
+
+    # thresholds are overridable: loosen until the bullet doc survives
+    loose = {
+        row["doc_id"]: row
+        for row in gopher_filter(
+            df,
+            min_words=2,
+            max_bullet_start_frac=1.0,
+            min_alpha_word_frac=0.5,
+            min_stop_word_hits=0,
+            min_mean_word_len=1.0,
+            max_top_2gram_char_frac=1.0,
+            max_top_3gram_char_frac=1.0,
+        ).collect()
+    }
+    assert loose[1]["keep"] and loose[1]["drop_reasons"] == []
+    assert tuple(GOPHER_REQUIRED_WORDS)[:2] == ("the", "be")
+
+
 def test_normalize_and_redact(spark):
     from bm25s_spark.functions.text import with_normalized, with_redacted
 
