@@ -864,6 +864,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_documents"] = chunk_docs
 
+    # ---- sequence packing (128-token bins, 8 hash groups) ----
+    def pack_docs(spark, sf):
+        from bm25s_spark.operators.packing import pack_sequences
+
+        return pack_sequences(
+            _documents(spark, sf), max_tokens=128, n_groups=8
+        )
+
+    q["pack_sequences"] = pack_docs
+
     # ---- transcripts: conversation-level rollup (granularity flip) ----
     def conv_rollup(spark, sf):
         from bm25s_spark.transcripts import conversation_rollup
@@ -1731,6 +1741,40 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, n_chunks,
        CAST(len(tk[chunk_id*24+1 : chunk_id*24+32]) AS INT) AS n_tokens,
        array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
 FROM e
+"""
+
+    # twin of pack_sequences(max_tokens=128, n_groups=8): the keyed-md5
+    # group mirrors hash_bucket(seed="pack") exactly, then a recursive
+    # CTE replays the greedy scan in lockstep across groups (rn joins
+    # advance every group one document per iteration); "group" quoted —
+    # reserved word in DuckDB
+    o["pack_sequences"] = r"""
+WITH RECURSIVE d0 AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS INT) AS n_tokens,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS grp
+  FROM documents
+),
+d AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS INT) AS rn
+  FROM d0
+),
+s AS (
+  SELECT grp, rn, doc_id, n_tokens, 0 AS seq, n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN s.acc + d.n_tokens <= 128 THEN s.seq ELSE s.seq + 1 END,
+         CASE WHEN s.acc + d.n_tokens <= 128 THEN s.acc + d.n_tokens ELSE d.n_tokens END
+  FROM s JOIN d ON d.grp = s.grp AND d.rn = s.rn + 1
+)
+SELECT CAST(grp AS INT) AS "group",
+       CAST(seq AS INT) AS seq,
+       CAST(row_number() OVER (PARTITION BY grp, seq ORDER BY doc_id) - 1 AS INT) AS pos,
+       doc_id,
+       n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY grp, seq) AS INT) AS seq_tokens
+FROM s
 """
 
     # twin of transcripts.conversation_rollup over the derived

@@ -32,11 +32,14 @@ from bm25s_spark.index_io import (
 )
 from bm25s_spark.session import get_spark
 from bm25s_spark.transcripts import conversation_rollup
+from bm25s_spark.functions.text import gopher_filter
 from bm25s_spark.operators.events import session_summary, sessionize
+from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
+from bm25s_spark.operators.packing import pack_sequences, packing_stats
 from bm25s_spark.streaming.sessions import session_window_rollup
 from bm25s_spark.streaming.windows import windowed_event_rollup
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "tokenize",
@@ -60,4 +63,9 @@ __all__ = [
     "session_summary",
     "session_window_rollup",
     "windowed_event_rollup",
+    "gopher_filter",
+    "rrf_fuse",
+    "hybrid_retrieve",
+    "pack_sequences",
+    "packing_stats",
 ]

@@ -354,6 +354,56 @@ def test_decontamination(spark):
     assert rep2 == {0, 1, 3}
 
 
+def test_pack_sequences(spark):
+    from bm25s_spark.operators.packing import pack_sequences, packing_stats
+
+    lens = [50, 60, 30, 128, 5, 200, 10]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens int"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, max_tokens=128, n_tokens_col="n_tokens", n_groups=1
+        ).collect()
+    }
+    # greedy in doc_id order: [50,60]=110 | [30] (next would overflow but
+    # 30 alone can't host 128) | [128] exactly full | [5] | [200] oversize
+    # alone | [10]
+    assert [(out[i]["seq"], out[i]["pos"]) for i in range(7)] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0)
+    ]
+    assert out[1]["seq_tokens"] == 110
+    assert out[3]["seq_tokens"] == 128
+    assert out[5]["seq_tokens"] == 200  # oversize doc owns its sequence
+
+    stats = {
+        (r["group"], r["seq"]): r
+        for r in packing_stats(
+            pack_sequences(df, 128, n_tokens_col="n_tokens", n_groups=1), 128
+        ).collect()
+    }
+    g = next(iter(stats))[0]
+    assert stats[(g, 0)]["n_docs"] == 2
+    assert stats[(g, 2)]["fill_frac"] == pytest.approx(1.0)
+
+    # text path counts whitespace tokens; content-stable across layouts
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = pack_sequences(docs, max_tokens=64, n_groups=4)
+    b = pack_sequences(docs.repartition(7).sortWithinPartitions(F.desc("doc_id")),
+                       max_tokens=64, n_groups=4)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.where(F.col("seq_tokens") > 64).count() == 0  # no doc >64 here
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, max_tokens=10, n_groups=0)
+
+
 def test_hash_split_and_sample(spark):
     from bm25s_spark.operators import sampling
 
