@@ -177,3 +177,37 @@ def test_decontam_broadcasts_benchmark(spark):
 
     plan2 = _plan(hash_split(docs))
     assert "BatchEvalPython" not in plan2 and "Exchange" not in plan2
+
+
+def test_gopher_filter_is_narrow(spark):
+    """The quality filter must stay a single narrow projection — no
+    shuffle, no Python eval: every rule is a column expression, so the
+    filter costs one codegen'd pass at any corpus size."""
+    from bm25s_spark.functions.text import gopher_filter
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words in a line of text number "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(gopher_filter(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_single_group_shuffle(spark):
+    """Packing must shuffle exactly once (hash-partition by group) into
+    the Arrow-grouped packer; the group key must be a JVM md5 expression
+    (no row-at-a-time Python upstream of the exchange)."""
+    from bm25s_spark.operators.packing import pack_sequences
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w w w w w w w w").alias("text"),
+    )
+    plan = _plan(pack_sequences(docs, max_tokens=32, n_groups=8))
+    # formatted explain prints each node twice (tree + detail): count
+    # tree occurrences only
+    assert plan.count("- Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "BatchEvalPython" not in plan
