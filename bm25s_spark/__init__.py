@@ -36,6 +36,7 @@ from bm25s_spark.functions.text import gopher_filter
 from bm25s_spark.operators.events import session_summary, sessionize
 from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
 from bm25s_spark.operators.packing import pack_sequences, packing_stats
+from bm25s_spark.streaming.dedup import streaming_deduplicate
 from bm25s_spark.streaming.sessions import session_window_rollup
 from bm25s_spark.streaming.windows import windowed_event_rollup
 
@@ -67,5 +68,6 @@ __all__ = [
     "rrf_fuse",
     "hybrid_retrieve",
     "pack_sequences",
+    "streaming_deduplicate",
     "packing_stats",
 ]

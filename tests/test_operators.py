@@ -1207,3 +1207,95 @@ def test_deduplicate_near_end_to_end(spark, docs):
     assert 0 in kept
     assert not {1, 2} & set(kept)
     assert {4, 5, 6, 7, 8} <= set(kept)
+
+
+def test_streaming_dedup_batch_stream_parity(spark, tmp_path):
+    """streaming_deduplicate over a parquet stream (append, availableNow)
+    must keep the same content-key set as the batch path on identical
+    input — and exactly one row per distinct key."""
+    import datetime as dt
+
+    from bm25s_spark.streaming.dedup import streaming_deduplicate
+
+    schema = "doc_id long, ts timestamp, text string"
+    t0 = dt.datetime(2026, 3, 1, 10, 0, 0)
+    texts = ["alpha beta", "  Alpha   BETA ", "gamma delta", "epsilon", "gamma delta"]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), texts[i % len(texts)])
+        for i in range(25)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    batch = streaming_deduplicate(spark.read.parquet(src)).collect()
+    batch_keys = {r["dedup_key"] for r in batch}
+    # 'alpha beta' and its messy-case twin normalize to ONE key
+    assert len(batch) == len(batch_keys) == 3
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_deduplicate(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    streamed = spark.sql("SELECT * FROM sdedup").collect()
+    assert {r["dedup_key"] for r in streamed} == batch_keys
+    assert len(streamed) == 3
+
+    # explicit-column dedup path: no derived key column appended
+    byid = streaming_deduplicate(
+        spark.read.parquet(src), key_cols=("text",)
+    )
+    assert "dedup_key" not in byid.columns
+    assert byid.count() == 4  # case/whitespace twins stay distinct
+
+
+def test_streaming_dedup_state_eviction(spark, tmp_path):
+    """A duplicate arriving within the watermark of its first occurrence
+    is dropped; after the first occurrence's state expired, the same key
+    is emitted again — the bounded-state contract."""
+    import datetime as dt
+
+    from bm25s_spark.streaming.dedup import streaming_deduplicate
+
+    schema = "doc_id long, ts timestamp, text string"
+    t0 = dt.datetime(2026, 3, 1, 10, 0, 0)
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_deduplicate(stream, watermark="10 minutes")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # batch 1: key A twice within 10 min (second dropped) + a clock row
+    rows1 = [
+        (0, t0, "dup me"),
+        (1, t0 + dt.timedelta(minutes=5), "dup me"),
+        (2, t0 + dt.timedelta(minutes=30), "other"),
+    ]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert sum(r["text"] == "dup me" for r in first) == 1
+
+    # batch 2: same key, 3 hours later — state long evicted → re-emitted
+    rows2 = [(3, t0 + dt.timedelta(hours=3), "dup me")]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run_once()
+    again = spark.read.parquet(out).collect()
+    assert sum(r["text"] == "dup me" for r in again) == 2
