@@ -32,6 +32,30 @@ def _ws_tokens(col):
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
 
 
+def _lines(col):
+    """Non-empty trimmed lines.  Splits on ``\\r?\\n`` so CRLF text does
+    not leave ``\\r`` remnants (Spark's trim strips only spaces) — a
+    remnant would make blank lines count as equal non-empty lines and
+    defeat suffix rules like the ellipsis check."""
+    return F.filter(
+        F.transform(F.split(col, r"\r?\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def _content_norm(col):
+    """Whitespace-normalized, lowercased text — the shared content
+    identity for fingerprinting and streaming dedup keys."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def content_md5(col) -> "F.Column":
+    """md5 of :func:`_content_norm` — equal to ``fp_md5`` from
+    :func:`with_fingerprint`; the single definition both batch
+    fingerprinting and :mod:`~bm25s_spark.streaming.dedup` key on."""
+    return F.md5(_content_norm(col))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append n_chars_text / n_ws_tokens / n_regex_tokens (the BM25
     tokenizer's ``\\w\\w+`` count, pre-stopword)."""
@@ -171,9 +195,7 @@ def with_repetition(
     c = F.col(text_col)
     doc_chars = F.greatest(F.length(c), F.lit(1))
 
-    lines = F.filter(
-        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
-    )
+    lines = _lines(c)
     df = df.withColumn("_lines", lines).withColumn(
         "_dlines", F.array_distinct(F.col("_lines"))
     )
@@ -268,6 +290,10 @@ def with_redacted(
             "<EMAIL>",
         )
     if min_digits is not None:
+        if min_digits < 1:
+            # \d{0,} matches the empty string at every offset and would
+            # interleave <NUM> through the whole text
+            raise ValueError(f"min_digits must be >= 1 or None, got {min_digits}")
         out = F.regexp_replace(out, r"\d{%d,}" % min_digits, "<NUM>")
     return df.withColumn(out_col or f"{text_col}_redacted", out)
 
@@ -276,7 +302,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append content digests: ``fp_md5`` (exact content identity on
     normalized text) and ``fp_head`` (digest of the first 5 normalized
     tokens — a cheap prefix fingerprint for clustering boilerplate)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = _content_norm(F.col(text_col))
     head = F.array_join(F.slice(F.split(norm, " "), 1, 5), " ")
     return (
         df.withColumn("fp_md5", F.md5(norm))
@@ -346,9 +372,7 @@ def gopher_filter(
     lwords = _ws_tokens(F.lower(c))
     n_words = F.size(words)
     n_words1 = F.greatest(n_words, F.lit(1))
-    lines = F.filter(
-        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
-    )
+    lines = _lines(c)
     n_lines1 = F.greatest(F.size(lines), F.lit(1))
 
     n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))

@@ -115,20 +115,21 @@ def hybrid_retrieve(
     Returns the fused ``(query_id, rank, doc_id, rrf_score)`` top-k.
     """
     from bm25s_spark.operators.similarity import brute_force_knn
-    from bm25s_spark.retrieval import score_all
+    from bm25s_spark.retrieval import retrieve
 
-    depth = depth or 4 * k
+    # clamp: retrieve() raises on k > num_docs, and fusing deeper than
+    # the corpus is meaningless anyway
+    depth = min(depth or 4 * k, index.num_docs)
     knn = knn or brute_force_knn
 
-    bw = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    bm25 = (
-        score_all(index, queries_df, method=method, idf_method=idf_method)
-        .withColumn("rank", F.row_number().over(bw).cast("int"))
-        .where(F.col("rank") <= depth)
-        .select("query_id", "doc_id", "rank")
-    )
+    # the engine's own top-k path (MaxScore pruning, sharded strategy
+    # available, (score desc, doc_id asc) tie contract) — not a full
+    # score_all + window, which would rank every matched doc per query.
+    # pad=False: padded null doc_ids must not enter the fusion
+    bm25 = retrieve(
+        index, queries_df, k=depth, method=method, idf_method=idf_method,
+        pad=False,
+    ).select("query_id", "doc_id", "rank")
     dense = knn(emb_df, query_vecs, k=depth, **knn_kwargs).select(
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )

@@ -41,9 +41,6 @@ from pyspark.sql import functions as F
 from bm25s_spark.functions.text import _ws_tokens
 from bm25s_spark.operators.sampling import hash_bucket
 
-_OUT_SCHEMA = (
-    "group int, seq int, pos int, doc_id long, n_tokens int, seq_tokens int"
-)
 
 
 def pack_sequences(
@@ -81,10 +78,22 @@ def pack_sequences(
         if n_tokens_col
         else F.size(_ws_tokens(F.col(text_col)))
     )
+    # null text / null length → 0 tokens: a null would reach the greedy
+    # loop as NaN, and NaN comparisons silently disable the budget check
+    # for the rest of the group
+    n_tok = F.coalesce(n_tok, F.lit(0))
     meta = df.select(
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),
         hash_bucket(id_col, seed=seed, buckets=n_groups).cast("int").alias("group"),
+    )
+    # carry the caller's id type through the Arrow boundary (string,
+    # int, … all hash-bucket fine; a hardcoded long would crash the
+    # executor at serialization for non-bigint ids)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"group int, seq int, pos int, doc_id {id_type}, "
+        "n_tokens int, seq_tokens int"
     )
 
     cap = int(max_tokens)
@@ -118,7 +127,7 @@ def pack_sequences(
     # one shuffle keyed by group; each stream packs in a single task.
     # applyInPandas (not mapInPandas) so a group is never split across
     # Arrow batches — the greedy scan needs the whole stream at once
-    return meta.groupBy("group").applyInPandas(pack_group, _OUT_SCHEMA)
+    return meta.groupBy("group").applyInPandas(pack_group, out_schema)
 
 
 def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:

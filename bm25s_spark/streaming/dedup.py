@@ -30,14 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bm25s_spark.functions.text import content_md5
+
 
 def content_key(text_col: str = "text") -> F.Column:
-    """md5 of whitespace-normalized, lowercased text — the same content
-    identity as :func:`~bm25s_spark.functions.text.with_fingerprint`'s
-    ``fp_md5`` (trailing/leading/repeated whitespace and case do not
-    defeat the dedup)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    return F.md5(norm)
+    """md5 of whitespace-normalized, lowercased text — the SAME
+    expression as :func:`~bm25s_spark.functions.text.with_fingerprint`'s
+    ``fp_md5`` (both call :func:`~bm25s_spark.functions.text.content_md5`,
+    so batch fingerprints and streaming dedup keys cannot drift)."""
+    return content_md5(F.col(text_col))
 
 
 def streaming_deduplicate(

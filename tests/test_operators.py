@@ -1299,3 +1299,52 @@ def test_streaming_dedup_state_eviction(spark, tmp_path):
     run_once()
     again = spark.read.parquet(out).collect()
     assert sum(r["text"] == "dup me" for r in again) == 2
+
+
+def test_crlf_and_null_robustness(spark):
+    """Review regressions: CRLF text must not leave '\\r' remnant lines
+    (false dup-lines, dead ellipsis rule); null text must not disable the
+    packing budget; min_digits=0 must be rejected; streaming dedup keys
+    must equal batch fingerprints by construction."""
+    from bm25s_spark.functions.text import (
+        gopher_filter, with_fingerprint, with_redacted, with_repetition,
+    )
+    from bm25s_spark.operators.packing import pack_sequences
+    from bm25s_spark.streaming.dedup import content_key
+
+    # CRLF: 2 real lines + blank CRLF lines; LF twin must agree
+    crlf = "line one...\r\n\r\nline two...\r\n"
+    lf = "line one...\n\nline two...\n"
+    df = spark.createDataFrame(
+        [(0, crlf), (1, lf)], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in with_repetition(df).collect()}
+    assert rep[0]["n_lines"] == rep[1]["n_lines"] == 2
+    assert rep[0]["dup_line_frac"] == 0.0
+    gop = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert gop[0]["ellipsis_end_frac"] == 1.0 == gop[1]["ellipsis_end_frac"]
+
+    # null text: packs as 0 tokens, budget still enforced for the rest
+    lens = spark.createDataFrame(
+        [(0, "w " * 30), (1, None), (2, "w " * 30), (3, "w " * 30)],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(lens, max_tokens=32, n_groups=1).collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in packed}[1] == 0
+    assert all(r["seq_tokens"] <= 32 for r in packed)
+
+    # string ids survive the Arrow boundary
+    sids = spark.createDataFrame(
+        [("u1", "a b c"), ("u2", "d e f")], "doc_id string, text string"
+    )
+    srows = pack_sequences(sids, max_tokens=4, n_groups=1).collect()
+    assert {r["doc_id"] for r in srows} == {"u1", "u2"}
+
+    with pytest.raises(ValueError):
+        with_redacted(df, min_digits=0)
+
+    # one shared content identity: dedup key == fp_md5
+    both = with_fingerprint(df.where("text IS NOT NULL")).withColumn(
+        "dk", content_key()
+    )
+    assert both.where(F.col("dk") != F.col("fp_md5")).count() == 0
