@@ -144,6 +144,43 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         brute_force_knn(emb, qv, k=10).collect()
         steps["knn_cosine_brute"] = round(time.time() - t, 3)
 
+        # NEW in round 4 — hybrid RRF fusion: BM25 top-10 (join path)
+        # ⊕ brute-cosine top-10 over the 8 gate queries (vec_id<8 as
+        # their dense encodings, the gate convention)
+        t = time.time()
+        from bm25s_spark.operators.hybrid import rrf_fuse
+
+        bm = idx.retrieve(qdf, k=10, strategy="join", pad=False).select(
+            "query_id", "doc_id", "rank"
+        )
+        qv8 = emb.where(F.col("vec_id") < 8).select(
+            F.format_string("q%02d", (F.col("vec_id") + 1).cast("int")
+                            ).alias("query_id"),
+            "embedding",
+        )
+        kn = brute_force_knn(emb, qv8, k=10).select(
+            "query_id", F.col("vec_id").alias("doc_id"), "rank"
+        )
+        rrf_fuse([bm, kn], k=10).collect()
+        steps["hybrid_rrf_8q"] = round(time.time() - t, 3)
+
+        # NEW in round 4 — full-corpus quality-filter pass (pure column
+        # expressions; measures the narrow-scan throughput floor)
+        t = time.time()
+        from bm25s_spark.functions.text import gopher_filter
+
+        gopher_filter(docs, min_words=20, min_stop_word_hits=1).where(
+            F.col("keep")
+        ).count()
+        steps["gopher_filter_pass"] = round(time.time() - t, 3)
+
+        # NEW in round 4 — sequence packing over the documents table
+        t = time.time()
+        from bm25s_spark.operators.packing import pack_sequences
+
+        pack_sequences(docs, max_tokens=512, n_groups=32).count()
+        steps["pack_sequences_pass"] = round(time.time() - t, 3)
+
         # IVF as a REAL partition key: write the corpus partitionBy(cell),
         # query with a probe partition-filter; scan volume is
         # cells_probed/cells_total of the table (the 100 TB pruning story)
