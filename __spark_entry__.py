@@ -925,6 +925,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_session_window"] = events_session_window
 
+    # ---- events: as-of join (click ← latest preceding view per user);
+    # the DuckDB twin is its NATIVE ASOF LEFT JOIN, an independent
+    # implementation of the same published semantics.  gap_us as integer
+    # micros (timestampdiff on NTZ — no float seconds, no tz cast)
+    def events_asof(spark, sf):
+        from bm25s_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        views = ev.where(F.col("event_type") == "view").select(
+            "ts", "user_id", "event_id", "value"
+        )
+        out = asof_join(
+            clicks, views, on="ts", by=["user_id"],
+            right_cols=["event_id", "value"],
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("ts_right").alias("view_ts"),
+            F.col("event_id_right").alias("view_event_id"),
+            F.round("value_right", 4).alias("view_value"),
+            F.expr(
+                "timestampdiff(MICROSECOND, ts_right, ts)"
+            ).cast("long").alias("gap_us"),
+        )
+
+    q["events_asof_join"] = events_asof
+
     # ---- events: tumbling-window rollup (streaming-shaped agg) ----
     def events_hourly(spark, sf):
         ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
@@ -1835,6 +1867,22 @@ FROM sess GROUP BY 1, 2
     # mode: same lag/boundary construction as events_sessionize (Spark's
     # session window merges at EXACTLY the gap, matching `> gap` splits),
     # window_end = last event + gap
+    # twin of asof_join via DuckDB's NATIVE ASOF LEFT JOIN (>= tie
+    # inclusion = the operator's equal-ts match rule); gap in exact
+    # integer micros
+    o["events_asof_join"] = """
+SELECT l.event_id,
+       l.user_id,
+       l.ts,
+       r.ts AS view_ts,
+       r.event_id AS view_event_id,
+       round(r.value, 4) AS view_value,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS gap_us
+FROM (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT ts, user_id, event_id, value FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
     o["events_session_window"] = """
 WITH lagged AS (
   SELECT user_id, event_id, ts, value,

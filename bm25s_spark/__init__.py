@@ -33,6 +33,7 @@ from bm25s_spark.index_io import (
 from bm25s_spark.session import get_spark
 from bm25s_spark.transcripts import conversation_rollup
 from bm25s_spark.functions.text import gopher_filter
+from bm25s_spark.operators.asof import asof_join
 from bm25s_spark.operators.events import session_summary, sessionize
 from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
 from bm25s_spark.operators.packing import pack_sequences, packing_stats
@@ -61,6 +62,7 @@ __all__ = [
     "get_spark",
     "conversation_rollup",
     "sessionize",
+    "asof_join",
     "session_summary",
     "session_window_rollup",
     "windowed_event_rollup",

@@ -1348,3 +1348,46 @@ def test_crlf_and_null_robustness(spark):
         "dk", content_key()
     )
     assert both.where(F.col("dk") != F.col("fp_md5")).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """Backward/forward direction, equal-ts tie inclusion, tolerance
+    nulling, unmatched-left nulls, multi-key isolation."""
+    import datetime as dt
+
+    from bm25s_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m, 0)
+    left = spark.createDataFrame(
+        [(1, t(10), "u"), (2, t(20), "u"), (3, t(5), "v"), (4, t(0), "w")],
+        "lid long, ts timestamp, user string",
+    )
+    right = spark.createDataFrame(
+        # u: candidates at 10:08, 10:20 (exact tie with lid=2), 10:25
+        # v: only at 10:30 (after lid=3) ; w: none
+        [(100, t(8), "u"), (101, t(20), "u"), (102, t(25), "u"),
+         (200, t(30), "v")],
+        "rid long, ts timestamp, user string",
+    )
+    back = {r["lid"]: r["rid_right"] for r in asof_join(
+        left, right, on="ts", by=["user"], right_cols=["rid"]
+    ).collect()}
+    assert back == {1: 100, 2: 101, 3: None, 4: None}  # tie at 10:20 matches
+
+    fwd = {r["lid"]: r["rid_right"] for r in asof_join(
+        left, right, on="ts", by=["user"], right_cols=["rid"],
+        direction="forward",
+    ).collect()}
+    assert fwd == {1: 101, 2: 101, 3: 200, 4: None}
+
+    # tolerance: lid=1's nearest-backward match (10:08) is 120s away
+    tol = {r["lid"]: r["rid_right"] for r in asof_join(
+        left, right, on="ts", by=["user"], right_cols=["rid"],
+        tolerance_us=60_000_000,
+    ).collect()}
+    assert tol == {1: None, 2: 101, 3: None, 4: None}
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join(left, right, tolerance_us=-1)

@@ -211,3 +211,25 @@ def test_pack_sequences_single_group_shuffle(spark):
     assert plan.count("- Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_is_join_free(spark):
+    """The as-of join must compile to union + one windowed sort — no
+    join operator at all (the naive range-join formulation explodes to
+    O(|l|x|r|) intermediate rows per key) and no Python."""
+    from bm25s_spark.operators.asof import asof_join
+
+    l = spark.range(100).select(
+        F.col("id").alias("lid"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        (F.col("id") % 7).alias("user"),
+    )
+    r = spark.range(100).select(
+        F.col("id").alias("rid"),
+        F.timestamp_seconds(F.col("id") * 45).alias("ts"),
+        (F.col("id") % 7).alias("user"),
+    )
+    plan = _plan(asof_join(l, r, on="ts", by=["user"], right_cols=["rid"]))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
