@@ -842,6 +842,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_hash_split"] = sample_hash_split
 
+    # ---- end-to-end curation pipeline (filter → exact dedup →
+    # decontaminate → split); each stage's oracle already exists and the
+    # twin composes them in the same order.  Raw documents.text (no
+    # injections): the line-shaped rules are replayed but trivially
+    # non-firing on this single-line corpus
+    def curate_pipeline(spark, sf):
+        from bm25s_spark.operators.curate import curate_corpus
+
+        out = curate_corpus(
+            _documents(spark, sf),
+            quality_kwargs=dict(min_words=20, min_stop_word_hits=1),
+            dedup="exact",
+            benchmark=_bench(spark, sf),
+            decontam_kwargs=dict(n=5, min_hits=1),
+            splits={"train": 8, "val": 1, "test": 1},
+            split_seed="gate",
+        )
+        return out.select("doc_id", "split")
+
+    q["curate_pipeline"] = curate_pipeline
+
     # ---- stratified mixing: per-language deterministic keep fraction ----
     def sample_stratified(spark, sf):
         from bm25s_spark.operators.sampling import stratified_hash_sample
@@ -1719,6 +1740,113 @@ SELECT doc_id, n_shared_ngrams, n_bench_docs FROM rep
 WITH {_DECONTAM_CTE}
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM rep)
+"""
+
+    # twin of curate_corpus(filter → exact dedup → decontam → split):
+    # the gopher rules replayed on RAW single-line text (thresholds
+    # min_words=20, min_stop_word_hits=1, rest Gopher defaults), then
+    # keep-lowest-id per normalized-md5 digest, then NOT IN the
+    # decontamination report (rep, from _DECONTAM_CTE), then the
+    # seed='gate' md5 split buckets
+    o["curate_pipeline"] = f"""
+WITH {_DECONTAM_CTE},
+gq AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS lines,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x != '') AS ws,
+         list_filter(string_split({_NORM_TEXT_SQL}, ' '), x -> x != '') AS toks
+  FROM documents
+),
+gbase AS (
+  SELECT doc_id, text, toks,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS line_chars,
+         coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS dline_chars,
+         len(ws) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
+           / greatest(len(ws), 1) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+           / greatest(len(ws), 1) AS symbol_word_ratio,
+         CAST(len(list_filter(lines, l -> l[1:1] IN ('•', '‣', '▶', '-', '*'))) AS DOUBLE)
+           / greatest(len(lines), 1) AS bullet_start_frac,
+         CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+           / greatest(len(lines), 1) AS ellipsis_end_frac,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+           / greatest(len(ws), 1) AS alpha_word_frac,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(toks, s))) AS stop_word_hits
+  FROM gq
+),
+gg2 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)), i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM gq
+),
+gtop2 AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+    FROM gg2 GROUP BY doc_id, g
+  ) WHERE rn = 1
+),
+gg3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM gq
+),
+gtop3 AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+    FROM gg3 GROUP BY doc_id, g
+  ) WHERE rn = 1
+),
+gsig AS (
+  SELECT gbase.*,
+         CAST(n_lines - n_dlines AS DOUBLE) / greatest(n_lines, 1) AS dup_line_frac,
+         CAST(line_chars - dline_chars AS DOUBLE) / greatest(line_chars, 1) AS dup_line_char_frac,
+         CAST(coalesce(gtop2.cnt, 0) * length(coalesce(gtop2.g, '')) AS DOUBLE)
+           / greatest(length(gbase.text), 1) AS top_2gram_char_frac,
+         CAST(coalesce(gtop3.cnt, 0) * length(coalesce(gtop3.g, '')) AS DOUBLE)
+           / greatest(length(gbase.text), 1) AS top_3gram_char_frac
+  FROM gbase
+  LEFT JOIN gtop2 ON gtop2.doc_id = gbase.doc_id
+  LEFT JOIN gtop3 ON gtop3.doc_id = gbase.doc_id
+),
+gkept AS (
+  SELECT doc_id FROM gsig
+  WHERE NOT (n_words < 20 OR n_words > 100000)
+    AND NOT (mean_word_len < 3.0 OR mean_word_len > 10.0)
+    AND symbol_word_ratio <= 0.1
+    AND bullet_start_frac <= 0.9
+    AND ellipsis_end_frac <= 0.3
+    AND alpha_word_frac >= 0.8
+    AND stop_word_hits >= 1
+    AND dup_line_frac <= 0.3
+    AND dup_line_char_frac <= 0.2
+    AND top_2gram_char_frac <= 0.2
+    AND top_3gram_char_frac <= 0.18
+),
+dd AS (
+  SELECT d.doc_id,
+         row_number() OVER (
+           PARTITION BY md5({_NORM_TEXT_SQL}) ORDER BY d.doc_id
+         ) AS rn
+  FROM documents d JOIN gkept USING (doc_id)
+),
+kept2 AS (SELECT doc_id FROM dd WHERE rn = 1),
+kept3 AS (
+  SELECT doc_id FROM kept2
+  WHERE doc_id NOT IN (SELECT doc_id FROM rep)
+)
+SELECT doc_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('gate:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM kept3
+)
 """
 
     # twin of hash_split(seed='gate', buckets=10000, 8/1/1) + hash_bucket

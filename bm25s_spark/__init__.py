@@ -34,6 +34,7 @@ from bm25s_spark.session import get_spark
 from bm25s_spark.transcripts import conversation_rollup
 from bm25s_spark.functions.text import gopher_filter
 from bm25s_spark.operators.asof import asof_join
+from bm25s_spark.operators.curate import curate_corpus
 from bm25s_spark.operators.events import session_summary, sessionize
 from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
 from bm25s_spark.operators.packing import pack_sequences, packing_stats
@@ -63,6 +64,7 @@ __all__ = [
     "conversation_rollup",
     "sessionize",
     "asof_join",
+    "curate_corpus",
     "session_summary",
     "session_window_rollup",
     "windowed_event_rollup",

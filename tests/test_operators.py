@@ -1391,3 +1391,48 @@ def test_asof_join_semantics(spark):
         asof_join(left, right, direction="sideways")
     with pytest.raises(ValueError):
         asof_join(left, right, tolerance_us=-1)
+
+
+def test_curate_corpus_pipeline(spark):
+    """Stage composition + stats: filter drops junk, dedup keeps lowest
+    id, decontamination removes benchmark-overlapping docs, split labels
+    the survivors; every stage is individually toggleable."""
+    from bm25s_spark.operators.curate import curate_corpus
+
+    good = ("the quick method works with plenty of words here to pass "
+            + " ".join(f"tok{i:02d} filler{i:02d}" for i in range(25)))
+    rows = [
+        (0, good),                   # survives
+        (1, good),                   # exact dup of 0 → dropped by dedup
+        (2, "short junk"),           # dropped by quality (word_count)
+        (3, good + " extra suffix marker"),  # survives (distinct content)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, good[:60])], "bench_id long, text string"
+    )
+
+    stats: dict = {}
+    out = curate_corpus(
+        docs, dedup="exact", benchmark=bench,
+        decontam_kwargs=dict(n=5, min_hits=1),
+        splits={"train": 1.0}, stats=stats,
+    )
+    rows_out = out.collect()
+    # doc 0/1/3 share the benchmark's opening 5-gram → all decontaminated
+    assert stats == {
+        "input": 4, "after_quality": 3, "after_dedup": 2, "after_decontam": 0,
+    }
+    assert rows_out == []
+
+    # without the benchmark, the survivors get split labels
+    out2 = curate_corpus(docs, dedup="exact", splits={"train": 1.0}).collect()
+    assert sorted(r["doc_id"] for r in out2) == [0, 3]
+    assert all(r["split"] == "train" for r in out2)
+    assert set(out2[0].asDict()) == {"doc_id", "text", "split"}
+
+    # all stages off = identity
+    assert curate_corpus(docs, quality=False, dedup=None).count() == 4
+
+    with pytest.raises(ValueError):
+        curate_corpus(docs, dedup="fuzzy")
