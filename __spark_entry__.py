@@ -228,6 +228,31 @@ def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(score_all(idx, qdf, method="lucene"))
 
 
+def _gate_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene top-k through ``merge_indexes``: the corpus is split into
+    three doc_id%3 slices, each indexed independently, then merged — the
+    partitioned-ingest build path.  The merge recomputes every
+    corpus-level statistic exactly, so the result must hash-match the
+    same full-corpus oracle as the ordinary build entries."""
+    from bm25s_spark.indexer import build_index, merge_indexes
+    from bm25s_spark.ids import assign_doc_ids
+    from bm25s_spark.retrieval import score_all
+
+    key = (os.path.abspath(sf_dir), "merged")
+    if key not in _INDEX_CACHE:
+        docs = assign_doc_ids(
+            _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
+        )
+        parts = [
+            build_index(docs.where(F.col("doc_id") % 3 == i), doc_id_col="doc_id")
+            for i in range(3)
+        ]
+        _INDEX_CACHE[key] = merge_indexes(*parts).persist()
+    idx = _INDEX_CACHE[key]
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return _rounded_topk(score_all(idx, qdf, method="lucene"))
+
+
 _CONV_DOCS_CTE = """SELECT doc_id // 4 AS doc_id,
          lower(string_agg(text, ' ' ORDER BY doc_id % 4)) AS t
   FROM documents GROUP BY doc_id // 4"""
@@ -445,6 +470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rollup composes with the engine end-to-end
     q["bm25_topk_conv_granularity"] = _gate_topk_conv_granularity
     q["bm25_topk_chunk_granularity"] = _gate_topk_chunk_granularity
+    # partitioned build: three independent per-slice indexes merged into
+    # one (merge_indexes recomputes df/N/avgdl-dependent impacts exactly)
+    # must be indistinguishable from the full-corpus build → same oracle
+    q["bm25_topk_merged_index"] = _gate_topk_merged
 
     # ---- index internals ----
     def term_stats(spark, sf):
@@ -604,6 +633,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_cosine_ivf"] = knn_ivf
 
+    # int8 scalar-quantized brute kNN: the quantizer (floor(x/s + 0.5)
+    # clamp) and the integer-exact cosine are bit-reproducible in SQL,
+    # so the full quantized ranking gets its own DuckDB twin (exact-
+    # rescore recall is pytest-asserted: test_quantized_knn_rescore)
+    def knn_quantized(spark, sf):
+        emb = _embeddings(spark, sf)
+        qv = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        res = similarity.quantized_knn(emb, qv, k=5)
+        return res.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
+
+    q["knn_cosine_quantized"] = knn_quantized
+
     # banded-LSH embedding near-duplicates: deterministic arithmetic
     # hyperplanes make the banding reproducible in SQL, so candidate
     # generation + exact-cosine filter get a full DuckDB twin
@@ -641,7 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- text analysis ----
     q["text_token_stats"] = lambda spark, sf: with_token_stats(
         _documents(spark, sf)
-    ).select("doc_id", "n_chars_text", "n_ws_tokens", "n_regex_tokens")
+    ).select("doc_id", "n_chars_text", "n_ws_tokens", "n_regex_tokens",
+             "n_bpe_tokens")
     q["text_quality"] = lambda spark, sf: with_quality(
         _documents(spark, sf)
     ).select(
@@ -1018,6 +1067,8 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_chunk_granularity"] = _bm25_oracle_sql(
         "lucene", docs_cte=_CHUNK_DOCS_CTE
     )
+    # a merged partitioned build must equal the full-corpus build exactly
+    o["bm25_topk_merged_index"] = _bm25_oracle_sql("lucene")
 
     # twin of dedup_chunk_windows(chunk_size=3, keep='first'): disjoint
     # trigram windows, keep the globally-first occurrence of each
@@ -1312,6 +1363,45 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
     o["knn_cosine_lsh"] = _knn_exact_sql
     o["knn_cosine_ivf"] = _knn_exact_sql
 
+    # int8 quantizer twin: floor(x/s + 0.5) clamp to ±127 (round-half-up
+    # spelled as floor so Spark and DuckDB agree bitwise), then the
+    # integer-exact cosine — products and partial sums are small ints,
+    # so the double arithmetic matches the Spark kernel bit for bit
+    o["knn_cosine_quantized"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS s
+  FROM e
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> greatest(least(floor(x / s + 0.5), 127.0), -127.0)) AS q
+  FROM sc
+),
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+cs AS (SELECT vec_id, q AS cq FROM qz),
+scored AS (
+  SELECT qs.query_id, cs.vec_id,
+         CASE WHEN list_dot_product(qs.qq, qs.qq) > 0 AND list_dot_product(cs.cq, cs.cq) > 0
+              THEN list_dot_product(qs.qq, cs.cq)
+                   / (sqrt(list_dot_product(qs.qq, qs.qq)) * sqrt(list_dot_product(cs.cq, cs.cq)))
+              ELSE 0.0 END AS cosine
+  FROM qs CROSS JOIN cs
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
     # RRF fusion twin: BM25 lucene top-10 (the full relational scoring
     # pipeline, nested WITH) ⊕ exact-cosine top-10 at the rounded-rank
     # contract, fused as sum(1/(60+rank)) and re-ranked (score desc,
@@ -1393,11 +1483,15 @@ cos AS (
 SELECT vec_a, vec_b, round(craw, 4) AS cosine FROM cos WHERE craw >= 0.4
 """
 
-    o["text_token_stats"] = """
+    from bm25s_spark.functions.text import BPE_SPLIT_PATTERN
+
+    _bpe_pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    o["text_token_stats"] = f"""
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS n_chars_text,
        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x != '')) AS INTEGER) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '\\w\\w+')) AS INTEGER) AS n_regex_tokens
+       CAST(len(regexp_extract_all(lower(text), '\\w\\w+')) AS INTEGER) AS n_regex_tokens,
+       CAST(len(regexp_extract_all(text, '{_bpe_pat}')) AS INTEGER) AS n_bpe_tokens
 FROM documents
 """
 

@@ -24,6 +24,7 @@ from bm25s_spark.indexer import (
     build_index,
     build_index_from_token_ids,
     build_index_from_tokens,
+    merge_indexes,
 )
 from bm25s_spark.index_io import (
     load_index,
@@ -32,7 +33,8 @@ from bm25s_spark.index_io import (
 )
 from bm25s_spark.session import get_spark
 from bm25s_spark.transcripts import conversation_rollup
-from bm25s_spark.functions.text import gopher_filter
+from bm25s_spark.functions.text import bpe_token_count, gopher_filter
+from bm25s_spark.operators.similarity import quantize_embeddings, quantized_knn
 from bm25s_spark.operators.asof import asof_join
 from bm25s_spark.operators.curate import curate_corpus
 from bm25s_spark.operators.events import session_summary, sessionize
@@ -57,6 +59,10 @@ __all__ = [
     "build_index",
     "build_index_from_tokens",
     "build_index_from_token_ids",
+    "merge_indexes",
+    "quantize_embeddings",
+    "quantized_knn",
+    "bpe_token_count",
     "save_index",
     "load_index",
     "read_term_postings",

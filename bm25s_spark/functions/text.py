@@ -56,9 +56,31 @@ def content_md5(col) -> "F.Column":
     return F.md5(_content_norm(col))
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free: English contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, and
+# whitespace runs.  The published GPT-2 pattern ends in ``\s+(?!\S)|\s+``;
+# RE2 engines (DuckDB's regexp) have no lookahead, so this drops the
+# trailing-space special case — counts differ from tiktoken's
+# pre-tokenizer only on interior-whitespace boundaries ("BPE-ish").
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(col) -> "F.Column":
+    """Count of BPE pre-tokenizer pieces (:data:`BPE_SPLIT_PATTERN`) —
+    the standard proxy for "LLM tokens" when the real BPE merges aren't
+    needed (each piece splits into ≥1 BPE token, so this is a lower
+    bound and tracks the true count closely on natural text).  A pure
+    column expression (one regex scan per row, linear-time — the
+    pattern is backtracking-free)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append n_chars_text / n_ws_tokens / n_regex_tokens (the BM25
-    tokenizer's ``\\w\\w+`` count, pre-stopword)."""
+    tokenizer's ``\\w\\w+`` count, pre-stopword) / n_bpe_tokens (the
+    BPE pre-tokenizer piece count)."""
     c = F.col(text_col)
     return (
         df.withColumn("n_chars_text", F.length(c))
@@ -66,6 +88,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "n_regex_tokens", F.size(F.regexp_extract_all(F.lower(c), F.lit(r"\w\w+"), 0))
         )
+        .withColumn("n_bpe_tokens", bpe_token_count(c))
     )
 
 

@@ -249,11 +249,17 @@ def _index_from_tf(
     b: float,
     delta: float,
     tok_kwargs: dict,
+    dfreq: DataFrame | None = None,
 ) -> BM25Index:
-    """(doc_id, dl, term, tf) rows → the eager index tables."""
+    """(doc_id, dl, term, tf) rows → the eager index tables.
+
+    ``dfreq`` (term, df), when given, skips the posting-sized DF
+    aggregation — :func:`merge_indexes` passes the vocab-sized sum of
+    the sides' document frequencies instead."""
     # DF per term: reference/bm25s/scoring.py:28-57 — map-side partial
     # aggregation bounds the shuffle at one row per term per partition
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if dfreq is None:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     # vocab with the empty-token patch (reference/bm25s/__init__.py:562-564):
     # "" joins the vocab (df=0 → contributes nothing, but OOV lookups hit it)
@@ -394,6 +400,112 @@ def build_index_from_token_ids(
     return _index_from_tf(
         spark, tf, doc_lens, doc_map, num_docs, avgdl, k1, b, delta,
         dict(query_tokenizer_kwargs or {}),
+    )
+
+
+def merge_indexes(
+    *indexes: BM25Index, check_disjoint: bool = True
+) -> BM25Index:
+    """Merge independently built indexes over DISJOINT doc-id sets into
+    one index **exactly equal** to a single build over the union corpus.
+
+    The reference rebuilds from scratch when the corpus grows; at 100 TB
+    the natural pattern is instead *partitioned builds* — index each
+    ingest batch (or each corpus partition) independently, then merge.
+    The merge is cheap because the per-(doc, term) facts (``tf``, ``dl``)
+    are corpus-independent: only the corpus-level statistics (``df``,
+    ``num_docs``, ``avg_doc_len`` → idf/impacts) change, and those are
+    recomputed exactly:
+
+    - ``df``       = sum of the sides' per-term df (vocab-sized shuffle,
+      NOT a posting re-aggregation — doc sets are disjoint so the counts
+      add)
+    - ``num_docs`` / ``avg_doc_len`` = one tiny agg over the unioned
+      ``doc_lens`` (integer token counts sum exactly, so the mean is
+      bit-identical to the full build's)
+    - impacts      = the standard impact expressions over the unioned
+      (doc_id, dl, term, tf) rows with the merged scalars — deterministic
+      double arithmetic, so every posting matches a from-scratch build
+      bit for bit (asserted in tests)
+
+    Scale shape: no tokenization re-run, no posting-sized groupBy; the
+    only posting-sized work is the narrow union + the vocab join that
+    every build already does.  ``check_disjoint`` (one doc-sized
+    aggregation) guards against overlapping doc ids — disable it when
+    the partitioning scheme guarantees disjointness.
+
+    Reference scope: the reference has no index merge (a corpus change
+    re-runs ``index()``, ``reference/bm25s/__init__.py:326-438``); this
+    implements the beyond-reference incremental-build mandate.
+    """
+    if not indexes:
+        raise ValueError("merge_indexes needs at least one index")
+    if len(indexes) == 1:
+        return indexes[0]
+    head = indexes[0]
+    for i, idx in enumerate(indexes[1:], start=1):
+        if (idx.k1, idx.b, idx.delta) != (head.k1, head.b, head.delta):
+            raise ValueError(
+                f"index {i} has (k1, b, delta)=({idx.k1}, {idx.b}, {idx.delta}) "
+                f"!= index 0's ({head.k1}, {head.b}, {head.delta}); impacts "
+                "would be inconsistent"
+            )
+        if idx.tokenizer_kwargs != head.tokenizer_kwargs:
+            raise ValueError(
+                f"index {i} was built with tokenizer_kwargs="
+                f"{idx.tokenizer_kwargs!r} != index 0's "
+                f"{head.tokenizer_kwargs!r}; query tokenization would be "
+                "ambiguous"
+            )
+
+    spark = head.spark
+    from functools import reduce
+
+    doc_lens = reduce(
+        lambda a, b: a.unionByName(b), (i.doc_lens for i in indexes)
+    ).persist()
+    if check_disjoint:
+        clash = (
+            doc_lens.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .take(1)
+        )
+        if clash:
+            doc_lens.unpersist()
+            raise ValueError(
+                f"doc_id {clash[0]['doc_id']} appears in more than one "
+                "index; merge_indexes requires disjoint doc-id sets"
+            )
+
+    agg = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+
+    tf = reduce(
+        lambda a, b: a.unionByName(b),
+        (i.postings.select("doc_id", "dl", "term", "tf") for i in indexes),
+    )
+    # disjoint doc sets → per-term df adds; the "" vocab patch rows carry
+    # df=0 (or the true count when empty_fallback produced real "" tokens)
+    # on every side, so the sum is the union corpus's df for "" too
+    dfreq = reduce(
+        lambda a, b: a.unionByName(b),
+        (i.term_stats.select("term", "df") for i in indexes),
+    ).groupBy("term").agg(F.sum("df").alias("df"))
+
+    doc_maps = [i.doc_map for i in indexes]
+    doc_map = None
+    if all(m is not None for m in doc_maps) and all(
+        set(m.columns) == set(doc_maps[0].columns) for m in doc_maps
+    ):
+        doc_map = reduce(lambda a, b: a.unionByName(b), doc_maps)
+
+    return _index_from_tf(
+        spark, tf, doc_lens, doc_map, num_docs, avgdl,
+        head.k1, head.b, head.delta, dict(head.tokenizer_kwargs),
+        dfreq=dfreq,
     )
 
 

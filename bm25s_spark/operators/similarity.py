@@ -432,6 +432,123 @@ def ivf_knn_partitioned(
     return _rescore_topk(cand, k)
 
 
+def quantize_embeddings(
+    emb_df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: append
+    ``out_col`` (``array<tinyint>``, 4× smaller than float32 / 8× than
+    float64) and ``scale_col`` (the per-vector dequantization factor).
+
+    ``scale = max(|v|) / 127``; ``q[d] = clamp(floor(v[d]/scale + 0.5),
+    -127, 127)`` — explicit ``floor(x + 0.5)`` (round-half-up) instead of
+    an engine ``round()`` so the arithmetic is bit-reproducible across
+    engines (Spark HALF_UP vs others' HALF_EVEN), which is what lets the
+    correctness gate replay the quantizer in SQL.  A zero vector gets
+    scale 1 and an all-zero code.
+
+    Pure column expressions — no UDF, whole-stage codegen, one narrow
+    pass at any corpus size.  The scale factor is materialized as a
+    column BEFORE the per-element lambda uses it (an inline ``array_max``
+    inside the lambda would re-evaluate per element — O(dim²))."""
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    df = emb_df.withColumn(
+        scale_col,
+        F.when(absmax > 0.0, absmax / F.lit(127.0)).otherwise(F.lit(1.0)),
+    )
+    s = F.col(scale_col)
+    return df.withColumn(
+        out_col,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.least(F.floor(x / s + F.lit(0.5)), F.lit(127.0)),
+                F.lit(-127.0),
+            ).cast("tinyint"),
+        ),
+    )
+
+
+def _int_cosine(a, b):
+    """Exact cosine over two integer-code arrays: products and partial
+    sums are small integers (≤ 127²·dim ≪ 2⁵³), so the double arithmetic
+    is exact and any engine computing the same formula agrees bitwise."""
+    al, bl = a.cast("array<long>"), b.cast("array<long>")
+    dot = F.aggregate(
+        F.zip_with(al, bl, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    na = F.aggregate(al, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    nb = F.aggregate(bl, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return F.when(
+        (na > 0) & (nb > 0),
+        dot / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    ).otherwise(F.lit(0.0))
+
+
+def quantized_knn(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    rescore: bool = False,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over int8-quantized embeddings — the memory-bound
+    scale path: the corpus scan moves 4× fewer bytes than float32 (8×
+    vs float64) and the dot products are small-integer arithmetic.
+
+    ``rescore=False`` ranks by the quantized cosine directly
+    (deterministic, SQL-reproducible — the gate mode).  ``rescore=True``
+    takes the top ``k × rescore_factor`` quantized candidates per query
+    and re-scores them with the exact float cosine — the standard
+    two-stage ANN refinement (recall asserted in tests).
+
+    Scale shape: identical to :func:`brute_force_knn` (broadcast query
+    side, narrow corpus scan, per-query window top-k) with the scan
+    reading ``array<tinyint>`` instead of floats; at 100 TB the
+    quantized corpus table is the one you keep hot."""
+    qq = quantize_embeddings(
+        query_df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ),
+        vec_col="qvec", out_col="qcode", scale_col="qs",
+    ).select("query_id", "qvec", "qcode")
+    cc = quantize_embeddings(
+        emb_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+        ),
+        vec_col="cvec", out_col="ccode", scale_col="cs",
+    ).select("vec_id", "cvec", "ccode")
+
+    cand = F.broadcast(qq).crossJoin(cc).where(F.col("vec_id").isNotNull())
+    scored = cand.withColumn(
+        "qcosine", _int_cosine(F.col("qcode"), F.col("ccode"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("vec_id").asc()
+    )
+    if not rescore:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", F.col("qcosine").alias("cosine"))
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rescore_factor)
+        .select("query_id", "qvec", "vec_id", "cvec")
+    )
+    return _rescore_topk(shortlist, k)
+
+
 def cosine_near_duplicates(
     emb_df: DataFrame,
     threshold: float = 0.95,

@@ -1436,3 +1436,79 @@ def test_curate_corpus_pipeline(spark):
 
     with pytest.raises(ValueError):
         curate_corpus(docs, dedup="fuzzy")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + quantized kNN
+# ---------------------------------------------------------------------------
+
+def test_quantize_embeddings_values(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in v]), (1, [0.0] * 16)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(emb).collect()}
+
+    s = max(abs(v)) / 127.0
+    expect = np.clip(np.floor(v / s + 0.5), -127, 127).astype(int)
+    assert list(out[0]["qvec"]) == list(expect)
+    assert abs(out[0]["qscale"] - s) < 1e-15
+    # zero vector: scale 1, all-zero code (no NaN/ANSI division)
+    assert out[1]["qscale"] == 1.0
+    assert all(x == 0 for x in out[1]["qvec"])
+    # stored as tinyint (the 4x-vs-float32 storage claim is real)
+    field = dict(
+        (f.name, f.dataType.simpleString())
+        for f in similarity.quantize_embeddings(emb).schema.fields
+    )
+    assert field["qvec"] == "array<tinyint>"
+
+
+def test_quantized_knn_rescore(spark):
+    """Two-stage refinement: quantized shortlist + exact rescore must
+    reproduce the exact brute-force top-k at a generous factor, and the
+    quantized-only ranking must already be a good approximation."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6))
+        for r in similarity.brute_force_knn(emb, qv, k=5)
+        .orderBy("query_id", "rank").collect()
+    ]
+    rescored = [
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6))
+        for r in similarity.quantized_knn(
+            emb, qv, k=5, rescore=True, rescore_factor=20
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert rescored == brute
+
+    bsets: dict = {}
+    for q, _, vid, _ in brute:
+        bsets.setdefault(q, set()).add(vid)
+    qsets: dict = {}
+    for r in similarity.quantized_knn(emb, qv, k=5).collect():
+        qsets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(qsets[q] & bsets[q]) / len(bsets[q]) for q in bsets]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_bpe_token_count(spark):
+    from bm25s_spark.functions.text import bpe_token_count
+
+    rows = [
+        (0, "it's a test, don't stop"),   # contractions split off
+        (1, "hello   world"),             # interior ws run = one piece
+        (2, ""),                          # empty -> 0
+        (3, "abc123!?"),                  # letter/digit/punct runs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    # 0: [it]['s][ a][ test][,][ don]['t][ stop] = 8
+    # 1: [hello][   ][world] = 3 ; 3: [abc][123][!?] = 3
+    assert got == {0: 8, 1: 3, 2: 0, 3: 3}
