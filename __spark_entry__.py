@@ -519,6 +519,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_term_frequencies"] = doc_tf
 
+    # keyword extraction: per-doc top-3 terms by tf·ln(N/df), reusing
+    # the postings table's (tf, df) — deterministic (rounded score,
+    # term-asc ties), so the DuckDB twin replays it exactly
+    def top_terms(spark, sf):
+        from bm25s_spark.operators.keywords import top_terms_per_doc
+
+        idx = _index_for(spark, sf)
+        return top_terms_per_doc(idx, k=3).select(
+            "doc_id", "rank", "term",
+            F.col("tf").cast("long").alias("tf"), "tfidf",
+        )
+
+    q["index_top_terms"] = top_terms
+
     # ---- dedup family ----
     q["dedup_exact_groups"] = lambda spark, sf: dedup.exact_duplicates(
         _documents(spark, sf)
@@ -1147,6 +1161,29 @@ WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
 tok_raw AS (SELECT doc_id, unnest(regexp_extract_all(t, '\\w\\w+')) AS term FROM docs),
 toks AS (SELECT doc_id, term FROM tok_raw WHERE term NOT IN ({_SW_SQL}))
 SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+"""
+
+    o["index_top_terms"] = f"""
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+tok_raw AS (SELECT doc_id, unnest(regexp_extract_all(t, '\\w\\w+')) AS term FROM docs),
+toks AS (SELECT doc_id, term FROM tok_raw WHERE term NOT IN ({_SW_SQL})),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(s.n / d.df), 6) AS tfidf
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN s
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, tfidf
+FROM ranked WHERE rank <= 3
 """
 
     o["dedup_exact_groups"] = f"""

@@ -39,6 +39,7 @@ from bm25s_spark.operators.asof import asof_join
 from bm25s_spark.operators.curate import curate_corpus
 from bm25s_spark.operators.events import session_summary, sessionize
 from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
+from bm25s_spark.operators.keywords import top_terms_per_doc
 from bm25s_spark.operators.packing import pack_sequences, packing_stats
 from bm25s_spark.streaming.dedup import streaming_deduplicate
 from bm25s_spark.streaming.sessions import session_window_rollup
@@ -77,6 +78,7 @@ __all__ = [
     "gopher_filter",
     "rrf_fuse",
     "hybrid_retrieve",
+    "top_terms_per_doc",
     "pack_sequences",
     "streaming_deduplicate",
     "packing_stats",

@@ -1512,3 +1512,37 @@ def test_bpe_token_count(spark):
     # 0: [it]['s][ a][ test][,][ don]['t][ stop] = 8
     # 1: [hello][   ][world] = 3 ; 3: [abc][123][!?] = 3
     assert got == {0: 8, 1: 3, 2: 0, 3: 3}
+
+
+def test_top_terms_per_doc(spark):
+    """tf-idf keyword extraction over the index tables: hand-checked
+    scores, term-asc tie order, k clamp, and the rare-term-beats-common
+    property."""
+    import math
+
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.operators.keywords import top_terms_per_doc
+
+    rows = [
+        (0, "zebra zebra common common common"),   # zebra rare, common everywhere
+        (1, "common apple common banana"),
+        (2, "common common common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, doc_id_col="doc_id", stopwords=None)
+    out = top_terms_per_doc(idx, k=2)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+        for r in out.collect()
+    }
+    # doc 0: zebra tf=2 df=1 -> 2*ln(3); common tf=3 df=3 -> 0
+    assert got[(0, 1)] == ("zebra", 2, round(2 * math.log(3.0), 6))
+    assert got[(0, 2)] == ("common", 3, 0.0)
+    # doc 1: apple/banana tie at 1*ln(3) -> term-asc order
+    assert got[(1, 1)][0] == "apple" and got[(1, 2)][0] == "banana"
+    # doc 2 has only one distinct term -> a single row despite k=2
+    assert (2, 1) in got and (2, 2) not in got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        top_terms_per_doc(idx, k=0)
