@@ -927,6 +927,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curate_pipeline"] = curate_pipeline
 
     # ---- stratified mixing: per-language deterministic keep fraction ----
+    # epoch-weighted upsampling: stratum "0" → 2.5 epochs, "1" → 1,
+    # "2" → 0.25; the fractional extra copy is the same keyed-md5 bucket
+    # the split/sample family uses, so DuckDB replays it exactly
+    def sample_upsample(spark, sf):
+        from bm25s_spark.operators.sampling import upsample_corpus
+
+        d = _documents(spark, sf).withColumn(
+            "stratum", (F.col("doc_id") % 3).cast("string")
+        )
+        return upsample_corpus(
+            d, {"0": 2.5, "1": 1.0, "2": 0.25}, "stratum"
+        ).select("doc_id", "stratum", F.col("epoch").cast("int").alias("epoch"))
+
+    q["sample_upsample"] = sample_upsample
+
     def sample_stratified(spark, sf):
         from bm25s_spark.operators.sampling import stratified_hash_sample
 
@@ -2007,6 +2022,27 @@ WHERE bucket < CASE lang WHEN 'en' THEN 10000
                          WHEN 'es' THEN 5000
                          WHEN 'de' THEN 2500
                          ELSE 1000 END
+"""
+
+    # twin of upsample_corpus({"0": 2.5, "1": 1.0, "2": 0.25}): floor(w)
+    # copies + one more iff the keyed-md5 bucket < frac(w)·buckets
+    o["sample_upsample"] = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS stratum,
+         CAST(('0x' || substr(md5('upsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+  FROM documents
+),
+n AS (
+  SELECT doc_id, stratum,
+         CASE stratum WHEN '0' THEN 2 WHEN '1' THEN 1 WHEN '2' THEN 0 ELSE 1 END
+         + CASE WHEN b < CASE stratum WHEN '0' THEN 5000 WHEN '1' THEN 0
+                              WHEN '2' THEN 2500 ELSE 0 END
+                THEN 1 ELSE 0 END AS n
+  FROM d
+)
+SELECT doc_id, stratum,
+       CAST(unnest(generate_series(0, n - 1)) AS INTEGER) AS epoch
+FROM n WHERE n > 0
 """
 
     # twin of chunk_documents(chunk_size=32, overlap=8): stride 24,

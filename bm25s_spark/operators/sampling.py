@@ -100,6 +100,62 @@ def hash_sample(
     return df.where(hash_bucket(id_col, seed=seed, buckets=buckets) < bound)
 
 
+def upsample_corpus(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: str = "upsample",
+    buckets: int = 10_000,
+    default_weight: float = 1.0,
+    copy_col: str = "epoch",
+) -> DataFrame:
+    """Emit each row ``weight``-many times (fractional weights allowed)
+    — the *epoch-weighted mixing* primitive of a training pipeline
+    ("2.5 epochs of source A, 0.3 of source B"), the ≥1 counterpart of
+    :func:`stratified_hash_sample`'s keep-fractions.
+
+    A row in stratum with weight ``w`` gets ``floor(w)`` copies plus one
+    more iff its keyed md5 bucket falls under ``frac(w)`` — so expected
+    copy counts are exact, the extra-copy set is content-stable (same
+    rows on every run/partitioning/engine), and it NESTS: the rows
+    upsampled at w=2.3 contain those at w=2.2.  Copies are labeled
+    ``copy_col`` = 0..n-1 so downstream shuffles (e.g. a pack/shuffle
+    stage) can keep copies apart; weight 0 drops the stratum.
+
+    Scale shape: the weight table is pipeline config → a literal CASE;
+    one md5 + one ``explode(sequence(...))`` per row — narrow, no join,
+    no shuffle, output size = Σ w_s·|stratum_s| exactly.
+    """
+    for k, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+
+    def _parts(w: float) -> tuple[int, int]:
+        base = int(w)
+        return base, round((w - base) * buckets)
+
+    d_base, d_bound = _parts(default_weight)
+    base = F.lit(d_base)
+    bound = F.lit(d_bound)
+    for k, w in weights.items():
+        k_base, k_bound = _parts(w)
+        is_k = F.col(strata_col) == F.lit(k)
+        base = F.when(is_k, F.lit(k_base)).otherwise(base)
+        bound = F.when(is_k, F.lit(k_bound)).otherwise(bound)
+    n = base + F.when(
+        hash_bucket(id_col, seed=seed, buckets=buckets) < bound, F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(0, n-1) would COUNT DOWN for n=0 (Spark generates
+    # descending sequences when start > stop) — guard with an empty array
+    copies = F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(copies))
+
+
 def stratified_hash_sample(
     df: DataFrame,
     fractions: Mapping[str, float],

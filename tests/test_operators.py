@@ -1546,3 +1546,40 @@ def test_top_terms_per_doc(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         top_terms_per_doc(idx, k=0)
+
+
+def test_upsample_corpus(spark):
+    """Epoch-weighted mixing: exact copy counts per the md5-bucket
+    formula, copy labels 0..n-1, weight-0 drop, and nesting in w."""
+    import hashlib
+
+    from bm25s_spark.operators.sampling import upsample_corpus
+
+    rows = [(i, str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    weights = {"0": 2.5, "1": 1.0, "2": 0.0}
+
+    def bucket(i):
+        return int(hashlib.md5(f"upsample:{i}".encode()).hexdigest()[:8], 16) % 10_000
+
+    def expected_n(i):
+        w = weights[str(i % 3)]
+        return int(w) + (1 if bucket(i) < round((w - int(w)) * 10_000) else 0)
+
+    out = upsample_corpus(df, weights, "stratum").collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i in range(60):
+        n = expected_n(i)
+        assert sorted(got.get(i, [])) == list(range(n)), (i, n, got.get(i))
+
+    # nesting: every row upsampled at w=2.2 is upsampled at w=2.3
+    a = {(r["doc_id"], r["epoch"]) for r in
+         upsample_corpus(df, {"0": 2.2}, "stratum", default_weight=0).collect()}
+    b = {(r["doc_id"], r["epoch"]) for r in
+         upsample_corpus(df, {"0": 2.3}, "stratum", default_weight=0).collect()}
+    assert a <= b and len(b) > len(a)
+
+    with pytest.raises(ValueError):
+        upsample_corpus(df, {"0": -1.0}, "stratum")
