@@ -117,3 +117,27 @@ def test_merge_empty_side(spark, merge_setup):
     assert _sorted_rows(
         merged.postings.select(pcols), "term", "doc_id"
     ) == _sorted_rows(full.postings.select(pcols), "term", "doc_id")
+
+
+def test_merge_loaded_indexes(spark, merge_setup, tmp_path):
+    """merge_indexes composes with save/load: two halves saved to disk
+    (float32 impact storage), loaded back, and merged must reproduce the
+    FRESH full build bit-for-bit — the merge recomputes impacts from the
+    exact (tf, dl, df) ints, so it doubles as an impact-refresh pass."""
+    from bm25s_spark.index_io import load_index, save_index
+
+    docs, full, _ = merge_setup
+    for i in range(2):
+        half = build_index(docs.where(F.col("doc_id") % 2 == i),
+                           doc_id_col="doc_id")
+        save_index(half, str(tmp_path / f"half{i}"))
+    loaded = [load_index(spark, str(tmp_path / f"half{i}")) for i in range(2)]
+    merged = merge_indexes(*loaded)
+    assert merged.num_docs == full.num_docs
+    assert merged.avg_doc_len == full.avg_doc_len
+    pcols = ["term", "doc_id", "tf", "dl"] + [
+        c for c in full.postings.columns if c.startswith("impact_")
+    ]
+    assert _sorted_rows(
+        merged.postings.select(pcols), "term", "doc_id"
+    ) == _sorted_rows(full.postings.select(pcols), "term", "doc_id")
