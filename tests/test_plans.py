@@ -233,3 +233,48 @@ def test_asof_join_is_join_free(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quantized_knn_broadcasts_queries(spark):
+    """Quantized kNN must keep the brute-force scan shape: broadcast the
+    tiny query side (a shuffled join would repartition the corpus per
+    batch) and keep the quantizer + integer cosine as pure JVM column
+    expressions — no Python anywhere."""
+    from bm25s_spark.operators.similarity import quantized_knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(quantized_knn(emb, qv, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_upsample_is_narrow(spark):
+    """Epoch upsampling must stay a narrow generate pass — literal CASE
+    + explode, no shuffle, no join, no Python."""
+    from bm25s_spark.operators.sampling import upsample_corpus
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+    )
+    plan = _plan(upsample_corpus(docs, {"0": 2.5, "2": 0.25}, "stratum"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_top_terms_map_side_prune(spark, idx):
+    """Keyword extraction's per-doc window must compile with the
+    Partial→Exchange→Final WindowGroupLimit shape: each map task prunes
+    to ≤k rows per doc BEFORE the shuffle, so the exchange carries
+    O(docs·k), not the full postings."""
+    from bm25s_spark.operators.keywords import top_terms_per_doc
+
+    plan = _plan(top_terms_per_doc(idx, k=3))
+    assert "row_number(), 3, Partial" in plan, plan[-2000:]
+    assert "row_number(), 3, Final" in plan
+    assert "BatchEvalPython" not in plan
