@@ -918,3 +918,219 @@ class SnowballSpanishStemmer:
 
     def stemWords(self, words) -> list[str]:
         return [stem_spanish(wrd) for wrd in words]
+
+
+# ---------------------------------------------------------------------------
+# Snowball Italian
+# ---------------------------------------------------------------------------
+# Independent implementation of the published Snowball Italian stemming
+# algorithm (https://snowballstem.org/algorithms/italian/stemmer.html),
+# further widening the reference's Snowball language matrix
+# (``reference/bm25s/tokenization.py:675-699``).  Implements the classic
+# published revision; the spec's unreachable legacy 'Yamo' verb entry is
+# carried as 'Iamo' (the form the prelude's i-marking actually produces,
+# e.g. "creiamo" → "creIamo").
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRONOUNS = (
+    "gliela", "gliele", "glieli", "glielo", "gliene",
+    "sene", "mela", "mele", "meli", "melo", "mene",
+    "tela", "tele", "teli", "telo", "tene",
+    "cela", "cele", "celi", "celo", "cene",
+    "vela", "vele", "veli", "velo", "vene",
+    "gli", "ci", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+)
+_IT_S1_DEL_R2 = (
+    "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+    "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+    "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+    "ose", "mente", "atrice", "atrici", "ante", "anti",
+)
+_IT_S1_AZIONE = ("azione", "azioni", "atore", "atori")
+_IT_S1_ALL = (
+    _IT_S1_DEL_R2 + _IT_S1_AZIONE
+    + ("logia", "logie", "uzione", "uzioni", "usione", "usioni",
+       "enza", "enze", "amento", "amenti", "imento", "imenti",
+       "amente", "ità", "ivo", "ivi", "iva", "ive")
+)
+_IT_S2_VERB = (
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "Iamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti",
+    "irete", "irò", "irono", "isca", "iscano", "isce", "isci",
+    "isco", "iscono", "issero", "ita", "ite", "iti", "ito", "iva",
+    "ivamo", "ivano", "ivate", "ivi", "ivo", "ono", "uta", "ute",
+    "uti", "uto", "ar", "ir",
+)
+_IT_UNMARK = str.maketrans("IU", "iu")
+
+
+def _it_prelude(w: str) -> str:
+    """Acute→grave accent normalization, then mark u-after-q and u/i
+    between vowels as non-vowels (U/I), left to right — a mark removes
+    the letter from the vowel set for the letters that follow it."""
+    w = w.translate(_IT_ACUTE).replace("qu", "qU")
+    out = list(w)
+    for i in range(1, len(out) - 1):
+        if (out[i] in "ui" and out[i - 1] in _IT_VOWELS
+                and out[i + 1] in _IT_VOWELS):
+            out[i] = "U" if out[i] == "u" else "I"
+    return "".join(out)
+
+
+def _it_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _IT_VOWELS:
+        for i in range(2, n):
+            if w[i] in _IT_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _IT_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _IT_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def _it_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _IT_VOWELS and w[i - 1] in _IT_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _IT_VOWELS and w[i - 1] in _IT_VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def stem_italian(word: str) -> str:
+    w = _it_prelude(word)
+    rv = _it_rv(w)
+    r1, r2 = _it_r1r2(w)
+
+    def in_rv(wl, ln):
+        return wl - ln >= rv
+
+    def in_r1(wl, ln):
+        return wl - ln >= r1
+
+    def in_r2(wl, ln):
+        return wl - ln >= r2
+
+    # ---- step 0: attached pronoun — the pronoun is deleted (after
+    # ando/endo) or replaced by 'e' (after ar/er/ir); the verb ending
+    # itself must lie in RV
+    suf = _fr_longest(w, _IT_PRONOUNS)
+    if suf is not None:
+        base = w[: -len(suf)]
+        if base.endswith(("ando", "endo")) and in_rv(len(base), 4):
+            w = base
+        elif base.endswith(("ar", "er", "ir")) and in_rv(len(base), 2):
+            w = base + "e"
+
+    # ---- step 1: standard suffixes (longest match, NO fallback — a
+    # matched suffix whose region test fails blocks step 1 and hands the
+    # original word to step 2, per Snowball's `standard_suffix or
+    # verb_suffix`)
+    step1_removed = False
+    suf = _fr_longest(w, _IT_S1_ALL)
+    if suf is not None:
+        L, sl = len(w), len(suf)
+        if suf in _IT_S1_DEL_R2:
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_removed = True
+        elif suf in _IT_S1_AZIONE:
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_removed = True
+                if w.endswith("ic") and in_r2(len(w), 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "log"
+                step1_removed = True
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "u"
+                step1_removed = True
+        elif suf in ("enza", "enze"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "ente"
+                step1_removed = True
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(L, sl):
+                w = w[:-sl]
+                step1_removed = True
+        elif suf == "amente":
+            if in_r1(L, 6):
+                w = w[:-6]
+                step1_removed = True
+                if w.endswith("iv") and in_r2(len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w), 2):
+                        w = w[:-2]
+                elif w.endswith("abil") and in_r2(len(w), 4):
+                    w = w[:-4]
+                elif w.endswith(("os", "ic")) and in_r2(len(w), 2):
+                    w = w[:-2]
+        elif suf == "ità":
+            if in_r2(L, 3):
+                w = w[:-3]
+                step1_removed = True
+                if w.endswith("abil") and in_r2(len(w), 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w), 2):
+                    w = w[:-2]
+        elif suf in ("ivo", "ivi", "iva", "ive"):
+            if in_r2(L, sl):
+                w = w[:-sl]
+                step1_removed = True
+                if w.endswith("at") and in_r2(len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(len(w), 2):
+                        w = w[:-2]
+
+    # ---- step 2: verb suffixes (only if step 1 took no action; the
+    # suffix must lie entirely in RV — Snowball setlimit semantics, so a
+    # longer out-of-region match does not block a shorter in-region one)
+    if not step1_removed:
+        suf = _fr_longest(w, _IT_S2_VERB, min_start=rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+
+    # ---- step 3a: final vowel (and then a preceding i), in RV ----
+    if w and w[-1] in "aeioàèìò" and in_rv(len(w), 1):
+        w = w[:-1]
+        if w.endswith("i") and in_rv(len(w), 1):
+            w = w[:-1]
+
+    # ---- step 3b: ch → c, gh → g, in RV ----
+    if w.endswith(("ch", "gh")) and in_rv(len(w), 2):
+        w = w[:-1]
+
+    return w.translate(_IT_UNMARK)
+
+
+class SnowballItalianStemmer:
+    """PyStemmer-compatible surface (``stemWord`` / ``stemWords``)."""
+
+    def stemWord(self, word: str) -> str:
+        return stem_italian(word)
+
+    def stemWords(self, words) -> list[str]:
+        return [stem_italian(wrd) for wrd in words]

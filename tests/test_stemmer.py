@@ -551,3 +551,101 @@ def test_spanish_token_stream_parity(spark, ref_bm25s):
         return_ids=False, show_progress=False,
     )
     assert ours == ref
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+# Hand-traced vectors exercising the published Snowball Italian algorithm
+# (https://snowballstem.org/algorithms/italian/stemmer.html) step by
+# step: the prelude (acute→grave, qu→qU, inter-vowel u/i marking), step-0
+# attached pronouns after ando/endo (delete) and ar/er/ir (→e), every
+# step-1 group (R2 deletes, azione+ic, logia→log, uzione→u, enza→ente,
+# amento in RV, amente in R1 with iv/at sub-rules, ità, ivo+at+ic),
+# step-2 verb suffixes under RV setlimit, step-3a final vowel (+ the
+# preceding-i rule), step-3b ch/gh undoubling, and the postlude.
+ITALIAN_VECTORS = [
+    ("abbandonata", "abbandon"),      # step-2 ata in RV
+    ("abbandonati", "abbandon"),
+    ("pronto", "pront"),              # 3a final vowel
+    ("nazionale", "nazional"),
+    ("azioni", "azion"),              # azioni fails R2 → 3a path
+    ("organizzazione", "organizz"),   # azione in R2
+    ("comunicazione", "comun"),       # azione in R2, then ic in R2
+    ("felicemente", "felic"),         # mente in R2, then final e
+    ("guardandogli", "guard"),        # pronoun after ando
+    ("mangiarla", "mang"),            # pronoun after ar → e, then are
+    ("crocchio", "crocc"),            # 3a vowel+i, 3b ch→c
+    ("crocchi", "crocc"),             # 3a i, 3b ch→c (spec's example)
+    ("quale", "qual"),                # qu → qU marking
+    ("però", "per"),                  # grave accent kept until 3a
+    ("città", "citt"),                # ità fails R2 → final à dropped
+    ("attivamente", "attiv"),         # amente in R1
+    ("negativa", "negat"),            # iva in R2
+    ("emergenza", "emergent"),        # enza → ente, then final e
+    ("metodologia", "metodolog"),     # logia → log in R2
+    ("esecuzione", "esecu"),          # uzione → u (u survives 3a)
+    ("finiscono", "fin"),             # iscono verb suffix
+    ("gioia", "gioi"),                # inter-vowel i marked I, survives 3a
+]
+
+
+@pytest.mark.parametrize("word,expected", ITALIAN_VECTORS)
+def test_italian_vectors(word, expected):
+    from bm25s_spark.stemmer import stem_italian
+
+    assert stem_italian(word) == expected, word
+
+
+def test_italian_stemwords_surface_and_tokenizer():
+    from bm25s_spark.stemmer import SnowballItalianStemmer
+    from bm25s_spark.tokenization import load_stemmer
+
+    st = SnowballItalianStemmer()
+    assert st.stemWords(["abbandonata", "felicemente"]) == ["abbandon", "felic"]
+    assert st.stemWord("finiscono") == "fin"
+    assert load_stemmer("italian")(["organizzazione"]) == ["organizz"]
+    assert load_stemmer("it")(["nazionale"]) == ["nazional"]
+
+
+def test_italian_totality():
+    """The stemmer must be total: never crash, never grow the word, and
+    never emit marker capitals, on arbitrary short letter strings."""
+    import itertools
+
+    from bm25s_spark.stemmer import stem_italian
+
+    alphabet = "aeiouàèìòùqcrt"
+    for n in (1, 2, 3):
+        for tup in itertools.product(alphabet, repeat=n):
+            w = "".join(tup)
+            out = stem_italian(w)
+            assert len(out) <= len(w)
+            assert "I" not in out and "U" not in out
+
+
+def test_italian_token_stream_parity(spark, ref_bm25s):
+    """Tokenizer plumbing parity for stopwords='it', stemmer='italian'
+    (both sides stem with the vendored implementation; correctness
+    anchor is ITALIAN_VECTORS)."""
+    from bm25s_spark.stemmer import SnowballItalianStemmer
+
+    texts = [
+        "le azioni della organizzazione nazionale",
+        "guardandogli mangiarla felicemente però",
+        "",
+        "il lo la le di che è",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ours = [
+        list(r["tokens"])
+        for r in tokenize(df, "text", stopwords="it", stemmer="italian")
+        .orderBy("doc_id").collect()
+    ]
+    ref = ref_bm25s.tokenize(
+        texts, stopwords="it", stemmer=SnowballItalianStemmer(),
+        return_ids=False, show_progress=False,
+    )
+    assert ours == ref
