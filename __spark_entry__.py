@@ -721,6 +721,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf)
     ).select("doc_id", "fp_md5", "fp_head")
 
+    # per-document cross-entropy under the add-0.5-smoothed corpus
+    # unigram model (CCNet-style LM quality signal); the DuckDB twin
+    # replays the identical tokenization + arithmetic
+    def text_lm(spark, sf):
+        from bm25s_spark.operators.lm import with_lm_score
+
+        return with_lm_score(_documents(spark, sf), round_to=4).select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "cross_entropy",
+        )
+
+    q["text_lm_score"] = text_lm
+
+    # top-20 PMI collocations (adjacent-bigram association mining);
+    # PMI rounded before ranking so the top-k boundary is FP-stable
+    def text_pmi(spark, sf):
+        from bm25s_spark.operators.collocations import pmi_collocations
+
+        return pmi_collocations(
+            _documents(spark, sf), min_count=5, k=20, round_to=4
+        )
+
+    q["text_pmi_collocations"] = text_pmi
+
     # Gopher-style repetition signals over a deterministic multi-line
     # rebuild of documents.text (5-token lines + the first line repeated,
     # so line-duplication signals are non-trivially nonzero); the DuckDB
@@ -1572,6 +1597,55 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
              + 0.3 * greatest(1.0 - abs(stopword_ratio - 0.3) / 0.7, 0.0)
              + 0.3 * alpha_ratio, 4) AS quality_score
 FROM m
+"""
+
+    o["text_lm_score"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x != '') AS toks
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM ex GROUP BY w),
+tot AS (SELECT sum(c) AS T, CAST(count(*) AS DOUBLE) AS V FROM cnt)
+SELECT e.doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       round(-avg(ln((c + 0.5) / (T + 0.5 * V))), 4) AS cross_entropy
+FROM ex e JOIN cnt USING (w) CROSS JOIN tot
+GROUP BY e.doc_id
+"""
+
+    o["text_pmi_collocations"] = """
+WITH tok AS (
+  SELECT list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x != '') AS toks
+  FROM documents
+),
+ex AS (SELECT unnest(toks) AS w FROM tok),
+ucnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM ex GROUP BY w),
+bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i FROM tok)
+),
+bcnt AS (SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY w1, w2),
+tots AS (
+  SELECT (SELECT CAST(sum(pair_count) AS DOUBLE) FROM bcnt) AS tb,
+         (SELECT sum(c) FROM ucnt) AS tu
+),
+scored AS (
+  SELECT b.w1, b.w2, b.pair_count,
+         round(ln(CAST(b.pair_count AS DOUBLE) * tu * tu
+                  / (tb * u1.c * u2.c)), 4) AS pmi
+  FROM bcnt b
+  JOIN ucnt u1 ON b.w1 = u1.w
+  JOIN ucnt u2 ON b.w2 = u2.w
+  CROSS JOIN tots
+  WHERE b.pair_count >= 5
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rank,
+       w1, w2, CAST(pair_count AS INTEGER) AS pair_count, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
 """
 
     langs = {

@@ -36,6 +36,8 @@ from bm25s_spark.transcripts import conversation_rollup
 from bm25s_spark.functions.text import bpe_token_count, gopher_filter
 from bm25s_spark.operators.similarity import quantize_embeddings, quantized_knn
 from bm25s_spark.operators.asof import asof_join
+from bm25s_spark.operators.collocations import pmi_collocations
+from bm25s_spark.operators.lm import unigram_counts, with_lm_score
 from bm25s_spark.operators.curate import curate_corpus
 from bm25s_spark.operators.events import session_summary, sessionize
 from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
@@ -82,4 +84,7 @@ __all__ = [
     "pack_sequences",
     "streaming_deduplicate",
     "packing_stats",
+    "pmi_collocations",
+    "unigram_counts",
+    "with_lm_score",
 ]
