@@ -206,6 +206,26 @@ def _gate_topk_pretokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(scores)
 
 
+def _gate_topk_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PRF retrieval: expand each gate query with the top-3
+    new terms mined (by summed tf·idf) from its top-5 round-1 documents,
+    then re-retrieve — proves the engine composes with itself (round-2
+    queries re-enter through the reference's token-list query path).
+    Both ranking boundaries are rounded before their cuts so the
+    feedback set is engine-stable."""
+    from bm25s_spark.operators.prf import prf_expand
+    from bm25s_spark.retrieval import score_all
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    q2 = prf_expand(
+        idx, qdf, feedback_docs=5, expansion_terms=3, method="lucene",
+        round_to=4, expansion_round_to=6,
+    )
+    scores = score_all(idx, q2, method="lucene")
+    return _rounded_topk(scores)
+
+
 def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are whole
     CONVERSATIONS (``conversation_rollup`` output), not turns — doc ids
@@ -306,27 +326,21 @@ _CHUNK_DOCS_CTE = r"""WITH ct AS (
   FROM ce"""
 
 
-def _bm25_oracle_sql(method: str, idf_method: str | None = None,
-                     mask: bool = False, shard_round: bool = False,
+def _bm25_common_cte(method: str, idf_method: str | None = None,
                      docs_cte: str | None = None) -> str:
+    """The shared oracle prefix — tokenization, corpus stats, tf/df,
+    gate queries, idf, impacts — used by both the single-stage BM25
+    oracle and the two-stage PRF oracle so the scoring arithmetic can
+    never drift between them."""
     idf_method = idf_method or method
     nnoc_f = _NNOC_FACTOR[method]
     idf = _IDF_SQL[idf_method]
     tfc = _TFC_SQL[method]
     nnoc_expr = f"({idf} * {nnoc_f})" if nnoc_f else "0.0"
-    weight = "(r.doc_id % 2)" if mask else "1.0"
     # ``docs_cte`` parameterizes the document source (doc_id, t) — the
     # default is per-turn granularity (one doc per documents row); the
     # conversation-granularity entry passes a rollup CTE instead
     docs_cte = docs_cte or "SELECT doc_id, lower(text) AS t FROM documents"
-    # the sharded kernel's gate mode rounds the accumulated (masked) raw
-    # score BEFORE the per-query nnoc add-back (which the final merge
-    # adds in full precision, then the gate rounds once more) — mirror
-    # that double-rounding exactly
-    if shard_round:
-        score_expr = f"round(round({weight} * r.raw, 4) + coalesce(ns.ns, 0.0), 4)"
-    else:
-        score_expr = f"round({weight} * r.raw + coalesce(ns.ns, 0.0), 4)"
     return f"""
 WITH docs AS (
   {docs_cte}
@@ -370,7 +384,22 @@ impacts AS (
   JOIN idf i USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN s
-),
+)"""
+
+
+def _bm25_oracle_sql(method: str, idf_method: str | None = None,
+                     mask: bool = False, shard_round: bool = False,
+                     docs_cte: str | None = None) -> str:
+    weight = "(r.doc_id % 2)" if mask else "1.0"
+    # the sharded kernel's gate mode rounds the accumulated (masked) raw
+    # score BEFORE the per-query nnoc add-back (which the final merge
+    # adds in full precision, then the gate rounds once more) — mirror
+    # that double-rounding exactly
+    if shard_round:
+        score_expr = f"round(round({weight} * r.raw, 4) + coalesce(ns.ns, 0.0), 4)"
+    else:
+        score_expr = f"round({weight} * r.raw + coalesce(ns.ns, 0.0), 4)"
+    return _bm25_common_cte(method, idf_method, docs_cte) + f""",
 raw AS (
   SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
   FROM qterms q JOIN impacts im USING (term)
@@ -393,6 +422,87 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _bm25_prf_oracle_sql(method: str, m: int, t: int,
+                         idf_method: str | None = None) -> str:
+    """Two-stage PRF twin: round-1 top-``m`` per query (scores rounded
+    to 4 before the cut, doc_id tiebreak — the gate contract), mine the
+    top-``t`` new terms by summed tf·ln(N/df) (rounded to 6, term-asc
+    tiebreak), append them with multiplicity 1, re-score, final top-k."""
+    return _bm25_common_cte(method, idf_method) + f""",
+raw1 AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM qterms q JOIN impacts im USING (term)
+  GROUP BY q.query_id, im.doc_id
+),
+ns1 AS (
+  SELECT q.query_id, sum(q.mult * i.nnoc) AS ns
+  FROM qterms q JOIN idf i USING (term) GROUP BY q.query_id
+),
+ranked1 AS (
+  SELECT r.query_id, r.doc_id,
+         row_number() OVER (
+           PARTITION BY r.query_id
+           ORDER BY round(r.raw + coalesce(ns.ns, 0.0), 4) DESC,
+                    r.doc_id ASC
+         ) AS rn
+  FROM raw1 r LEFT JOIN ns1 ns USING (query_id)
+),
+hits AS (SELECT query_id, doc_id FROM ranked1 WHERE rn <= {m}),
+fb AS (
+  SELECT h.query_id, tf.term,
+         round(sum(tf.tf * ln(s.n / d.df)), 6) AS escore
+  FROM hits h
+  JOIN tf ON tf.doc_id = h.doc_id
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN s
+  GROUP BY h.query_id, tf.term
+),
+fbnew AS (
+  SELECT f.* FROM fb f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qterms q
+    WHERE q.query_id = f.query_id AND q.term = f.term
+  )
+),
+expterms AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY escore DESC, term ASC
+           ) AS rn
+    FROM fbnew
+  ) WHERE rn <= {t}
+),
+qterms2 AS (
+  SELECT query_id, term, mult FROM qterms
+  UNION ALL
+  SELECT query_id, term, 1.0 AS mult FROM expterms
+),
+raw2 AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM qterms2 q JOIN impacts im USING (term)
+  GROUP BY q.query_id, im.doc_id
+),
+ns2 AS (
+  SELECT q.query_id, sum(q.mult * i.nnoc) AS ns
+  FROM qterms2 q JOIN idf i USING (term) GROUP BY q.query_id
+),
+scored2 AS (
+  SELECT r.query_id, r.doc_id,
+         round(r.raw + coalesce(ns.ns, 0.0), 4) AS score
+  FROM raw2 r LEFT JOIN ns2 ns USING (query_id)
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored2
+)
+SELECT query_id, rank, doc_id, score FROM ranked2 WHERE rank <= {TOPK}
 """
 
 
@@ -464,6 +574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda spark, sf: _gate_topk_sharded(spark, sf, "lucene", chunk=3)
     )
     q["bm25_topk_lucene_pretokenized"] = _gate_topk_pretokenized
+    # two-stage pseudo-relevance-feedback retrieval (expand from top-5
+    # feedback docs, +3 terms, re-retrieve) — the composition gate for
+    # prf_expand + score_all
+    q["bm25_topk_prf_expanded"] = _gate_topk_prf
     # granularity flip: conversation_rollup → build_index → top-k — one
     # document = one CONVERSATION (the input hint's per-turn granularity
     # inverted, which transcript pipelines run both ways); proves the
@@ -1115,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "lucene", shard_round=True
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
+    o["bm25_topk_prf_expanded"] = _bm25_prf_oracle_sql("lucene", m=5, t=3)
     o["bm25_topk_conv_granularity"] = _bm25_oracle_sql(
         "lucene", docs_cte=_CONV_DOCS_CTE
     )

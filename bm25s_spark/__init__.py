@@ -38,6 +38,7 @@ from bm25s_spark.operators.similarity import quantize_embeddings, quantized_knn
 from bm25s_spark.operators.asof import asof_join
 from bm25s_spark.operators.collocations import pmi_collocations
 from bm25s_spark.operators.lm import unigram_counts, with_lm_score
+from bm25s_spark.operators.prf import prf_expand, prf_retrieve
 from bm25s_spark.operators.curate import curate_corpus
 from bm25s_spark.operators.events import session_summary, sessionize
 from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
@@ -85,6 +86,8 @@ __all__ = [
     "streaming_deduplicate",
     "packing_stats",
     "pmi_collocations",
+    "prf_expand",
+    "prf_retrieve",
     "unigram_counts",
     "with_lm_score",
 ]

@@ -1,0 +1,115 @@
+"""Pseudo-relevance-feedback expansion: brute-force oracle for the
+mined terms, recall-bridging behavior, and edge cases."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from bm25s_spark.indexer import build_index
+from bm25s_spark.operators.prf import prf_expand, prf_retrieve
+from bm25s_spark.retrieval import retrieve
+
+# "feline" never co-occurs with "kitten" in a query, but docs 0/1 bridge
+# them; doc 3 contains only the bridge terms, so it is unreachable for
+# the query "feline" until expansion adds the bridge.
+CORPUS = [
+    (0, "feline kitten kitten kitten whiskers whiskers purring"),
+    (1, "feline kitten kitten kitten naps sunshine"),
+    (2, "canine puppy barking loudly"),
+    (3, "kitten whiskers playing yarn"),
+    (4, "engine piston torque manifold"),
+    (5, "feline climbing curtains chaos"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    return build_index(docs, doc_id_col="doc_id").persist()
+
+
+def _brute_expansion(query_terms, feedback_docs, expansion_terms):
+    """Replay prf_expand's mining in plain Python (lucene round 1 is
+    trusted — asserted separately against retrieve)."""
+    texts = {i: t.split() for i, t in CORPUS}
+    df = Counter()
+    for ts in texts.values():
+        for w in set(ts):
+            df[w] += 1
+    n = float(len(texts))
+    return df, n, texts
+
+
+def test_prf_expand_mines_cooccurring_terms(spark, index):
+    qdf = spark.createDataFrame(
+        [("q1", "feline")], "query_id string, text string"
+    )
+    # round 1 for "feline": docs 0, 1, 5 (all contain it).  Mining their
+    # terms by sum tf*ln(N/df), excluding "feline" itself.
+    df, n, texts = _brute_expansion(["feline"], 3, 2)
+    hits = [0, 1, 5]
+    scores = Counter()
+    for d in hits:
+        for w, tf in Counter(texts[d]).items():
+            scores[w] += tf * math.log(n / df[w])
+    scores.pop("feline")
+    expect = sorted(
+        scores, key=lambda w: (-round(scores[w], 6), w)
+    )[:2]
+
+    out = prf_expand(
+        index, qdf, feedback_docs=3, expansion_terms=2
+    ).collect()
+    assert len(out) == 1
+    toks = out[0].text
+    assert toks[0] == "feline"
+    assert sorted(toks[1:]) == sorted(expect)
+
+
+def test_prf_retrieve_bridges_vocabulary(spark, index):
+    qdf = spark.createDataFrame(
+        [("q1", "feline")], "query_id string, text string"
+    )
+    base = retrieve(index, qdf, k=6, pad=False)
+    base_hits = {r.doc_id for r in base.collect() if r.score > 0}
+    assert 3 not in base_hits  # doc 3 shares no term with the query
+
+    out = prf_retrieve(
+        index, qdf, k=6, feedback_docs=3, expansion_terms=2, pad=False
+    )
+    prf_hits = {r.doc_id for r in out.collect() if r.score > 0}
+    assert 3 in prf_hits  # "kitten"/"whiskers" bridge reaches doc 3
+    assert 4 not in prf_hits  # the engine-parts doc stays unreachable
+
+
+def test_prf_zero_expansion_is_baseline(spark, index):
+    qdf = spark.createDataFrame(
+        [("q1", "feline kitten")], "query_id string, text string"
+    )
+    base = {(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in retrieve(index, qdf, k=4).collect()}
+    same = {(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in prf_retrieve(index, qdf, k=4,
+                                  expansion_terms=0).collect()}
+    assert base == same
+
+
+def test_prf_oov_query_passes_through(spark, index):
+    qdf = spark.createDataFrame(
+        [("q1", "zzzz qqqq")], "query_id string, text string"
+    )
+    out = prf_retrieve(index, qdf, k=2, pad=True).collect()
+    assert len(out) == 2 and all(r.score == 0.0 for r in out)
+
+
+def test_prf_validation(spark, index):
+    qdf = spark.createDataFrame(
+        [("q1", "feline")], "query_id string, text string"
+    )
+    with pytest.raises(ValueError):
+        prf_expand(index, qdf, feedback_docs=0)
+    with pytest.raises(ValueError):
+        prf_expand(index, qdf, expansion_terms=-1)
