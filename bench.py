@@ -181,6 +181,38 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         pack_sequences(docs, max_tokens=512, n_groups=32).count()
         steps["pack_sequences_pass"] = round(time.time() - t, 3)
 
+        # NEW late round 4 — two-stage PRF retrieval over the 8 gate
+        # queries (round-1 retrieve + feedback mining + expanded round 2
+        # against the full bench index)
+        t = time.time()
+        from bm25s_spark.operators.prf import prf_retrieve
+
+        prf_retrieve(idx, qdf, k=10, feedback_docs=5, expansion_terms=3,
+                     pad=False).collect()
+        steps["prf_8q"] = round(time.time() - t, 3)
+
+        # NEW late round 4 — corpus-analytics passes over the FULL bench
+        # corpus (not just the 5k documents table): unigram-LM scoring
+        # (two scans + vocab broadcast) and PMI collocation mining
+        t = time.time()
+        from bm25s_spark.operators.lm import with_lm_score
+
+        with_lm_score(
+            corpus.select(
+                F.concat_ws(
+                    "#", "conv_id", F.col("turn_idx").cast("string")
+                ).alias("doc_id"),
+                "text",
+            )
+        ).count()
+        steps["lm_score_pass"] = round(time.time() - t, 3)
+
+        t = time.time()
+        from bm25s_spark.operators.collocations import pmi_collocations
+
+        pmi_collocations(corpus, min_count=5, k=20).collect()
+        steps["pmi_collocations"] = round(time.time() - t, 3)
+
         # IVF as a REAL partition key: write the corpus partitionBy(cell),
         # query with a probe partition-filter; scan volume is
         # cells_probed/cells_total of the table (the 100 TB pruning story)

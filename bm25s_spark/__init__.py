@@ -48,7 +48,7 @@ from bm25s_spark.streaming.dedup import streaming_deduplicate
 from bm25s_spark.streaming.sessions import session_window_rollup
 from bm25s_spark.streaming.windows import windowed_event_rollup
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "tokenize",

@@ -96,7 +96,7 @@ def prf_expand(
         .groupBy("query_id", "term")
         .agg(escore)
         .join(
-            qterms.select("query_id", "term"),
+            F.broadcast(qterms.select("query_id", "term")),
             ["query_id", "term"],
             "left_anti",
         )
@@ -123,11 +123,13 @@ def prf_expand(
         ).alias("toks")
     )
     empty = F.array().cast("array<string>")
+    # every frame here is batch-sized (≤ Q rows) — broadcast them so the
+    # assembly never sort-merge-shuffles on query_id
     return (
         queries_df.select(F.col(query_id_col).alias("query_id"))
         .distinct()
-        .join(orig, "query_id", "left")
-        .join(exp, "query_id", "left")
+        .join(F.broadcast(orig), "query_id", "left")
+        .join(F.broadcast(exp), "query_id", "left")
         .select(
             "query_id",
             F.concat(

@@ -278,3 +278,52 @@ def test_top_terms_map_side_prune(spark, idx):
     assert "row_number(), 3, Partial" in plan, plan[-2000:]
     assert "row_number(), 3, Final" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_score_broadcasts_model(spark):
+    """LM scoring must broadcast the vocab-sized count table into the
+    exploded corpus — a sort-merge join there shuffles every token."""
+    from bm25s_spark.operators.lm import with_lm_score
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(with_lm_score(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pmi_broadcasts_unigrams(spark):
+    """PMI joins the vocab-sized unigram table into the bigram counts
+    twice — both must be broadcast; bigrams build in-row (zip_with),
+    so there is no self-join."""
+    from bm25s_spark.operators.collocations import pmi_collocations
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma alpha beta").alias("text"),
+    )
+    plan = _plan(pmi_collocations(docs, min_count=2, k=5))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # top-k is TakeOrdered (per-partition heap), not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_prf_expansion_broadcasts_hits(spark, idx):
+    """PRF's feedback join must broadcast the (queries × m) hit set into
+    the postings table, and the whole two-stage pipeline stays free of
+    row-at-a-time Python."""
+    from bm25s_spark.operators.prf import prf_expand
+
+    qdf = spark.createDataFrame(
+        [("q0", "telemetry checkpoint shuffle")],
+        "query_id string, text string",
+    )
+    plan = _plan(prf_expand(idx, qdf, feedback_docs=3, expansion_terms=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
