@@ -49,6 +49,18 @@ GATE_QUERIES = [
 ]
 _QUERIES_SQL = ", ".join(f"('{q}', '{t}')" for q, t in GATE_QUERIES)
 
+# phrase/proximity gate queries: adjacency-sensitive (p02/p04 repeat a
+# term, p03 is a trigram, p06 matches nothing) over the documents table
+PHRASE_QUERIES = [
+    ("p01", "fast key"),
+    ("p02", "table table"),
+    ("p03", "group value sort"),
+    ("p04", "big big"),
+    ("p05", "stream batch"),
+    ("p06", "zzqx zzqx"),
+]
+_PHRASES_SQL = ", ".join(f"('{q}', '{t}')" for q, t in PHRASE_QUERIES)
+
 _IDF_SQL = {
     "robertson": "ln(greatest((s.n - d.df + 0.5) / (d.df + 0.5), 1.0))",
     "lucene": "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))",
@@ -701,6 +713,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(spark, sf), chunk_size=3, keep="first"
     )
 
+    # ---- phrase / proximity search (positional index) ----
+    def phrase_gate(spark, sf):
+        from bm25s_spark.operators.phrase import phrase_topk
+
+        qdf = spark.createDataFrame(
+            PHRASE_QUERIES, "query_id string, text string"
+        )
+        return phrase_topk(_documents(spark, sf), qdf, k=TOPK)
+
+    q["phrase_match_topk"] = phrase_gate
+
+    def prox_gate(spark, sf):
+        from bm25s_spark.operators.phrase import proximity_match
+
+        qdf = spark.createDataFrame(
+            PHRASE_QUERIES, "query_id string, text string"
+        )
+        return proximity_match(_documents(spark, sf), qdf, window=5)
+
+    q["phrase_proximity"] = prox_gate
+
     # ---- similarity search ----
     def knn_brute(spark, sf):
         emb = _embeddings(spark, sf)
@@ -1238,6 +1271,81 @@ def oracle_sql() -> dict[str, str]:
     )
     # a merged partitioned build must equal the full-corpus build exactly
     o["bm25_topk_merged_index"] = _bm25_oracle_sql("lucene")
+
+    # positional-index twins: DuckDB rebuilds (doc_id, pos, term) via
+    # regexp_extract_all + generate_subscripts and replays the
+    # start = pos - j pigeonhole count (phrase) / anchored-window
+    # distinct-term count (proximity) exactly — all-integer outputs,
+    # so the hash comparison is FP-noise-free by construction
+    _POS_CTE = rf"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w\w+') AS arr FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(arr) AS term,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM docs
+),
+pq(query_id, qtext) AS (VALUES {_PHRASES_SQL}),
+qarr AS (
+  SELECT query_id, regexp_extract_all(lower(qtext), '\w\w+') AS arr FROM pq
+)"""
+    o["phrase_match_topk"] = _POS_CTE + r""",
+qtok AS (
+  SELECT query_id, unnest(arr) AS term,
+         generate_subscripts(arr, 1) - 1 AS j
+  FROM qarr
+),
+qlen AS (SELECT query_id, count(*) AS qlen FROM qtok GROUP BY query_id),
+starts AS (
+  SELECT t.query_id, p.doc_id, p.pos - t.j AS start, count(*) AS n_off
+  FROM qtok t JOIN pos p USING (term)
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT s.query_id, s.doc_id, s.start
+  FROM starts s JOIN qlen q USING (query_id)
+  WHERE s.n_off = q.qlen
+),
+agg AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS INT) AS n_matches,
+         CAST(min(start) AS INT) AS first_pos
+  FROM m GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, n_matches, first_pos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY n_matches DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM agg
+)
+SELECT query_id, rank, doc_id, n_matches, first_pos
+FROM ranked WHERE rank <= """ + str(TOPK)
+    o["phrase_proximity"] = _POS_CTE + r""",
+qdist AS (SELECT DISTINCT query_id, unnest(arr) AS term FROM qarr),
+nt AS (SELECT query_id, count(*) AS nt FROM qdist GROUP BY query_id),
+hits AS (
+  SELECT q.query_id, p.doc_id, p.term, p.pos
+  FROM qdist q JOIN pos p USING (term)
+),
+spans AS (
+  SELECT a.query_id, a.doc_id, a.pos AS anchor,
+         count(DISTINCT b.term) AS seen
+  FROM hits a JOIN hits b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+   AND b.pos >= a.pos AND b.pos < a.pos + 5
+  GROUP BY 1, 2, 3
+),
+ok AS (
+  SELECT s.query_id, s.doc_id, s.anchor
+  FROM spans s JOIN nt USING (query_id)
+  WHERE s.seen = nt.nt
+)
+SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_windows,
+       CAST(min(anchor) AS INT) AS first_window
+FROM ok GROUP BY 1, 2
+"""
 
     # twin of dedup_chunk_windows(chunk_size=3, keep='first'): disjoint
     # trigram windows, keep the globally-first occurrence of each
