@@ -238,6 +238,18 @@ def _gate_topk_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(scores)
 
 
+def _gate_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND retrieval: only docs containing EVERY distinct query
+    term, BM25-ranked (gate ordering).  q05 carries an OOV term and q06
+    is all stopwords — both must return zero rows on both engines."""
+    from bm25s_spark.retrieval import score_all
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    scores = score_all(idx, qdf, method="lucene", require_all_terms=True)
+    return _rounded_topk(scores)
+
+
 def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are whole
     CONVERSATIONS (``conversation_rollup`` output), not turns — doc ids
@@ -401,7 +413,8 @@ impacts AS (
 
 def _bm25_oracle_sql(method: str, idf_method: str | None = None,
                      mask: bool = False, shard_round: bool = False,
-                     docs_cte: str | None = None) -> str:
+                     docs_cte: str | None = None,
+                     conjunctive: bool = False) -> str:
     weight = "(r.doc_id % 2)" if mask else "1.0"
     # the sharded kernel's gate mode rounds the accumulated (masked) raw
     # score BEFORE the per-query nnoc add-back (which the final merge
@@ -411,11 +424,23 @@ def _bm25_oracle_sql(method: str, idf_method: str | None = None,
         score_expr = f"round(round({weight} * r.raw, 4) + coalesce(ns.ns, 0.0), 4)"
     else:
         score_expr = f"round({weight} * r.raw + coalesce(ns.ns, 0.0), 4)"
-    return _bm25_common_cte(method, idf_method, docs_cte) + f""",
+    # boolean-AND: a (query, doc) group's row count over the term join is
+    # its matched-distinct-term count (qterms is distinct per (query,
+    # term), impacts unique per (term, doc)); requiring it to equal the
+    # query's full post-tokenizer type count replays require_all_terms
+    conj_filter = (
+        "\nqn AS (SELECT query_id, count(*) AS qn FROM qterms GROUP BY query_id),"
+        if conjunctive else ""
+    )
+    conj_having = (
+        " HAVING count(*) = any_value(qn.qn)" if conjunctive else ""
+    )
+    conj_join = " JOIN qn ON qn.query_id = q.query_id" if conjunctive else ""
+    return _bm25_common_cte(method, idf_method, docs_cte) + f""",{conj_filter}
 raw AS (
   SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
-  FROM qterms q JOIN impacts im USING (term)
-  GROUP BY q.query_id, im.doc_id
+  FROM qterms q JOIN impacts im USING (term){conj_join}
+  GROUP BY q.query_id, im.doc_id{conj_having}
 ),
 ns AS (
   SELECT q.query_id, sum(q.mult * i.nnoc) AS ns
@@ -586,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda spark, sf: _gate_topk_sharded(spark, sf, "lucene", chunk=3)
     )
     q["bm25_topk_lucene_pretokenized"] = _gate_topk_pretokenized
+    # boolean-AND retrieval: docs containing EVERY distinct query term
+    # (require_all_terms=True); OOV / all-stopword queries → zero rows
+    q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
     # two-stage pseudo-relevance-feedback retrieval (expand from top-5
     # feedback docs, +3 terms, re-retrieve) — the composition gate for
     # prf_expand + score_all
@@ -1262,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "lucene", shard_round=True
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
+    o["bm25_topk_conjunctive"] = _bm25_oracle_sql("lucene", conjunctive=True)
     o["bm25_topk_prf_expanded"] = _bm25_prf_oracle_sql("lucene", m=5, t=3)
     o["bm25_topk_conv_granularity"] = _bm25_oracle_sql(
         "lucene", docs_cte=_CONV_DOCS_CTE

@@ -127,14 +127,30 @@ def _nnoc_per_query(index: BM25Index, qterms: DataFrame,
 
 def _matched_scores(index: BM25Index, qterms: DataFrame,
                     method: str, idf_method: str,
-                    weight_mask_df: DataFrame | None) -> DataFrame:
-    """(query_id, doc_id, score) for docs sharing ≥1 term with the query.
+                    weight_mask_df: DataFrame | None,
+                    require_all: bool = False) -> DataFrame:
+    """(query_id, doc_id, score) for docs sharing ≥1 term with the query
+    (``require_all=True``: docs containing EVERY distinct query term).
     Scores include mask and nnoc add-back."""
     impact = _impact_col(index, method, idf_method)
     joined = F.broadcast(qterms).join(index.postings, "term")
     matched = joined.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("mult").cast("double") * impact.cast("double")).alias("raw")
+        F.sum(F.col("mult").cast("double") * impact.cast("double")).alias("raw"),
+        F.count(F.lit(1)).alias("_n_terms"),
     )
+    if require_all:
+        # qterms is distinct per (query, term) and postings unique per
+        # (term, doc), so the group's row count IS the matched-distinct-
+        # term count; requiring it to equal the query's full token-type
+        # count (computed BEFORE the vocab join) gives true boolean-AND
+        # semantics — an out-of-vocabulary term matches no document
+        qlen = qterms.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_qlen")
+        )
+        matched = matched.join(F.broadcast(qlen), "query_id").where(
+            F.col("_n_terms") == F.col("_qlen")
+        )
+    matched = matched.drop("_n_terms", "_qlen")
     if weight_mask_df is not None:
         matched = matched.join(
             F.broadcast(weight_mask_df.select("doc_id", F.col("weight").cast("double").alias("_w"))),
@@ -162,6 +178,7 @@ def retrieve(
     strategy: str = "join",
     pad: bool = True,
     prune: bool = True,
+    require_all_terms: bool = False,
     exact: bool = False,
     round_to: int | None = None,
     query_chunk_size: int = 16384,
@@ -184,6 +201,11 @@ def retrieve(
     Sharded-strategy extras: ``exact`` (float64 impacts recomputed from
     tf/dl), ``round_to`` (gate-mode rounding before local top-k),
     ``query_chunk_size`` (bounded per-chunk broadcast for huge batches).
+    ``require_all_terms=True`` (join strategy): boolean-AND semantics —
+    only docs containing EVERY distinct query term are returned (an OOV
+    term therefore matches nothing, and an empty/all-stopword query
+    returns no rows); BM25 ranking is unchanged on the qualifying set.
+    Padding is skipped (padding would inject docs that fail the AND).
     """
     if method not in METHODS:
         raise ValueError(f"Invalid method {method!r}")
@@ -200,6 +222,11 @@ def retrieve(
             f"exact/round_to are only supported by strategy='sharded' "
             f"(got strategy={strategy!r})"
         )
+    if require_all_terms and strategy != "join":
+        raise ValueError(
+            "require_all_terms is only supported by strategy='join' "
+            f"(got strategy={strategy!r})"
+        )
     if strategy == "sharded":
         from bm25s_spark.shards import retrieve_sharded
 
@@ -212,7 +239,8 @@ def retrieve(
         return _maybe_docs(index, out, with_docs)
 
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
-    scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df)
+    scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df,
+                             require_all=require_all_terms)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -221,7 +249,7 @@ def retrieve(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
-    if not pad:
+    if not pad or require_all_terms:
         return _maybe_docs(index, topk, with_docs)
     # padding needs a count of topk; persist so the scoring job runs once
     topk = topk.persist()
@@ -286,6 +314,7 @@ def score_all(
     idf_method: str | None = None,
     weight_mask_df: DataFrame | None = None,
     dense: bool = False,
+    require_all_terms: bool = False,
     query_id_col: str = "query_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -293,10 +322,15 @@ def score_all(
 
     ``dense=True`` emits a row for *every* (query, doc) pair, including
     zero/nnoc-only scores — the distributed twin of the reference's dense
-    score vector (test-scale tool; at 10^12 docs use ``retrieve``)."""
+    score vector (test-scale tool; at 10^12 docs use ``retrieve``).
+    ``require_all_terms=True`` keeps only docs containing every distinct
+    query term (boolean AND; incompatible with ``dense``)."""
     idf_method = idf_method or method
+    if require_all_terms and dense:
+        raise ValueError("require_all_terms and dense are mutually exclusive")
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
-    scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df)
+    scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df,
+                             require_all=require_all_terms)
     if not dense:
         return scores
     all_pairs = (

@@ -128,3 +128,48 @@ def test_empty_and_oov_queries(spark, ref_bm25s):
     for qid, rows in by_q.items():
         assert len(rows) == 2, (qid, rows)
         assert all(abs(r["score"]) < 1e-12 for r in rows), (qid, rows)
+
+
+def test_require_all_terms_boolean_and(spark, ref_bm25s):
+    """require_all_terms=True: boolean-AND doc filtering with unchanged
+    BM25 scores on the qualifying set; OOV / all-stopword queries match
+    nothing; sharded strategy rejects the flag."""
+    import re
+
+    tdf = transcripts_df(spark, "t2").persist()
+    engine = SparkBM25(method="lucene")
+    engine.index(tdf)
+    queries = [
+        ("qa", "cat dog"),
+        ("qb", "cat zzznope"),          # OOV term → nothing
+        ("qc", "the and of"),           # all stopwords → nothing
+    ]
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    got = engine.retrieve(qdf, k=5, require_all_terms=True).collect()
+
+    # brute-force twin over the same tokenizer semantics
+    from bm25s_spark.tokenization import STOPWORDS_EN
+    texts = _corpus_texts(tdf)
+    tok = lambda s: [t for t in re.findall(r"(?u)\b\w\w+\b", s.lower())
+                     if t not in STOPWORDS_EN]
+    doc_tokens = [set(tok(t)) for t in texts]
+    for qid, qtext in queries:
+        need = set(tok(qtext))
+        want = {i for i, dt in enumerate(doc_tokens) if need and need <= dt}
+        ours = {r["doc_id"] for r in got if r["query_id"] == qid}
+        assert ours <= want, (qid, ours - want)
+        if len(want) <= 5:
+            assert ours == want, (qid, want - ours)
+    assert not [r for r in got if r["query_id"] in ("qb", "qc")]
+
+    # scores on qualifying docs equal the plain (OR) retrieval scores
+    plain = {(r["query_id"], r["doc_id"]): r["score"]
+             for r in engine.retrieve(qdf, k=50).collect()}
+    for r in got:
+        key = (r["query_id"], r["doc_id"])
+        if key in plain:
+            assert abs(r["score"] - plain[key]) < 1e-9
+
+    with pytest.raises(ValueError, match="require_all_terms"):
+        engine.retrieve(qdf, k=5, strategy="sharded", require_all_terms=True)
+    tdf.unpersist()
