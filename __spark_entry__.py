@@ -61,6 +61,10 @@ PHRASE_QUERIES = [
 ]
 _PHRASES_SQL = ", ".join(f"('{q}', '{t}')" for q, t in PHRASE_QUERIES)
 
+# seed documents for the more-like-this gate (plain doc ids)
+MLT_SEEDS = [0, 7, 42, 137, 256]
+_SEEDS_SQL = ", ".join(f"({i})" for i in MLT_SEEDS)
+
 _IDF_SQL = {
     "robertson": "ln(greatest((s.n - d.df + 0.5) / (d.df + 0.5), 1.0))",
     "lucene": "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))",
@@ -614,6 +618,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boolean-AND retrieval: docs containing EVERY distinct query term
     # (require_all_terms=True); OOV / all-stopword queries → zero rows
     q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
+
+    # more-like-this: seed docs → mined top-tf-idf terms → BM25 re-rank
+    # (doc→docs composition through the index's own statistics)
+    def mlt_gate(spark, sf):
+        from bm25s_spark.operators.mlt import more_like_this
+
+        idx = _index_for(spark, sf)
+        seeds = spark.createDataFrame(
+            [(i,) for i in MLT_SEEDS], "doc_id long"
+        )
+        return more_like_this(idx, seeds, m_terms=5, k=TOPK, round_to=4)
+
+    q["bm25_topk_more_like_this"] = mlt_gate
     # two-stage pseudo-relevance-feedback retrieval (expand from top-5
     # feedback docs, +3 terms, re-retrieve) — the composition gate for
     # prf_expand + score_all
@@ -1291,6 +1308,43 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
     o["bm25_topk_conjunctive"] = _bm25_oracle_sql("lucene", conjunctive=True)
+    # more-like-this twin: mined terms replay keywords' tf·ln(N/df)
+    # (rounded-before-rank, term-asc ties), then standard lucene scoring
+    # over the mined bag (mult=1 per term), self excluded, round(.,4)
+    # before the rank cut — the same two-boundary stability contract as
+    # the PRF oracle
+    o["bm25_topk_more_like_this"] = _bm25_common_cte("lucene") + f""",
+seeds(seed) AS (VALUES {_SEEDS_SQL}),
+mined AS (
+  SELECT tf.doc_id AS seed, tf.term,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(s.n / d.df), 6) DESC, tf.term ASC
+         ) AS trank
+  FROM tf
+  JOIN dfreq d USING (term)
+  CROSS JOIN s
+  JOIN seeds ON seeds.seed = tf.doc_id
+),
+mq AS (SELECT seed, term FROM mined WHERE trank <= 5),
+raw2 AS (
+  SELECT mq.seed, im.doc_id, sum(im.impact) AS raw
+  FROM mq JOIN impacts im USING (term)
+  GROUP BY mq.seed, im.doc_id
+),
+scored2 AS (
+  SELECT seed AS seed_doc_id, doc_id, round(raw, 4) AS score
+  FROM raw2 WHERE doc_id != seed
+),
+ranked2 AS (
+  SELECT seed_doc_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY seed_doc_id ORDER BY score DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM scored2
+)
+SELECT seed_doc_id, rank, doc_id, score FROM ranked2 WHERE rank <= {TOPK}
+"""
     o["bm25_topk_prf_expanded"] = _bm25_prf_oracle_sql("lucene", m=5, t=3)
     o["bm25_topk_conv_granularity"] = _bm25_oracle_sql(
         "lucene", docs_cte=_CONV_DOCS_CTE
