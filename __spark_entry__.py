@@ -779,6 +779,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phrase_proximity"] = prox_gate
 
+    def snippets_gate(spark, sf):
+        from bm25s_spark.operators.snippets import snippets
+
+        qdf = spark.createDataFrame(
+            PHRASE_QUERIES, "query_id string, text string"
+        )
+        return snippets(_documents(spark, sf), qdf, window=6)
+
+    q["search_snippets"] = snippets_gate
+
     # ---- similarity search ----
     def knn_brute(spark, sf):
         emb = _embeddings(spark, sf)
@@ -1428,6 +1438,42 @@ ok AS (
 SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_windows,
        CAST(min(anchor) AS INT) AS first_window
 FROM ok GROUP BY 1, 2
+"""
+    # snippet twin: argmax anchored window (seen desc, anchor asc), then
+    # the render itself — slice, per-token highlight, space-join —
+    # replayed with DuckDB list functions so the STRING output is
+    # hash-compared byte-for-byte
+    o["search_snippets"] = _POS_CTE + r""",
+qdist AS (SELECT DISTINCT query_id, unnest(arr) AS term FROM qarr),
+hits AS (
+  SELECT q.query_id, p.doc_id, p.term, p.pos
+  FROM qdist q JOIN pos p USING (term)
+),
+spans AS (
+  SELECT a.query_id, a.doc_id, a.pos AS anchor,
+         count(DISTINCT b.term) AS seen
+  FROM hits a JOIN hits b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+   AND b.pos >= a.pos AND b.pos < a.pos + 6
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, seen, anchor,
+         row_number() OVER (
+           PARTITION BY query_id, doc_id ORDER BY seen DESC, anchor ASC
+         ) AS rn
+  FROM spans
+),
+qa AS (SELECT query_id, list(term) AS qterms FROM qdist GROUP BY query_id)
+SELECT b.query_id, b.doc_id, CAST(b.seen AS INT) AS n_hit_terms,
+       CAST(b.anchor AS INT) AS anchor,
+       array_to_string(
+         list_transform(d.arr[b.anchor + 1 : b.anchor + 6],
+           x -> CASE WHEN list_contains(qa.qterms, x)
+                THEN '**' || x || '**' ELSE x END),
+         ' ') AS snippet
+FROM best b JOIN docs d USING (doc_id) JOIN qa USING (query_id)
+WHERE b.rn = 1
 """
 
     # twin of dedup_chunk_windows(chunk_size=3, keep='first'): disjoint
