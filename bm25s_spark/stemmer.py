@@ -1134,3 +1134,197 @@ class SnowballItalianStemmer:
 
     def stemWords(self, words) -> list[str]:
         return [stem_italian(wrd) for wrd in words]
+
+
+# ---------------------------------------------------------------------------
+# Snowball Portuguese
+# ---------------------------------------------------------------------------
+# Independent implementation of the published Snowball Portuguese stemming
+# algorithm (https://snowballstem.org/algorithms/portuguese/stemmer.html),
+# the next-most-common language in the reference's Snowball matrix
+# (``reference/bm25s/tokenization.py:675-699``).  Nasal vowels are carried
+# through the algorithm in the spec's two-character form (ã → "a~",
+# õ → "o~"; '~' is a consonant for region purposes) and restored by the
+# postlude.
+
+_PT_VOWELS = frozenset("aeiouáéíóúâêô")
+
+# step 1 groups (post-prelude spellings)
+_PT_S1_DEL_R2 = (
+    "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+    "amento", "amentos", "imento", "imentos", "adora", "ador",
+    "aça~o", "adoras", "adores", "aço~es", "ante", "antes", "ância",
+)
+_PT_S1_ALL = _PT_S1_DEL_R2 + (
+    "logia", "logias", "uça~o", "uço~es", "ência", "ências",
+    "amente", "mente", "idade", "idades",
+    "iva", "ivo", "ivas", "ivos", "ira", "iras",
+)
+_PT_S2_VERB = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+    "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+    "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+    "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+    "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir",
+    "as", "adas", "idas", "ias", "arias", "erias", "irias", "arás",
+    "aras", "erás", "eras", "irás", "avas", "es", "ardes", "erdes",
+    "irdes", "ares", "eres", "ires", "asses", "esses", "isses",
+    "astes", "estes", "istes", "is", "ais", "eis", "íeis", "aríeis",
+    "eríeis", "iríeis", "áreis", "areis", "éreis", "ereis", "íreis",
+    "ireis", "ásseis", "ésseis", "ísseis", "áveis", "ados", "idos",
+    "ámos", "amos", "íamos", "aríamos", "eríamos", "iríamos",
+    "áramos", "éramos", "íramos", "ávamos", "emos", "aremos",
+    "eremos", "iremos", "ássemos", "êssemos", "íssemos", "imos",
+    "armos", "ermos", "irmos", "eu", "iu", "ou",
+)
+_PT_RESIDUAL = ("os", "a", "i", "o", "á", "í", "ó")
+
+
+def _pt_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _PT_VOWELS:
+        for i in range(2, n):
+            if w[i] in _PT_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _PT_VOWELS:
+        for i in range(2, n):
+            if w[i] not in _PT_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def _pt_r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _PT_VOWELS and w[i - 1] in _PT_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _PT_VOWELS and w[i - 1] in _PT_VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def stem_portuguese(word: str) -> str:
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _pt_rv(w)
+    r1, r2 = _pt_r1r2(w)
+
+    def in_rv(wl, ln):
+        return wl - ln >= rv
+
+    def in_r1(wl, ln):
+        return wl - ln >= r1
+
+    def in_r2(wl, ln):
+        return wl - ln >= r2
+
+    # ---- step 1: standard suffixes (longest match; a matched suffix
+    # whose region test fails blocks step 1 entirely and hands the
+    # ORIGINAL word to step 2 — Snowball `standard_suffix or verb_suffix`)
+    removed = False
+    suf = _fr_longest(w, _PT_S1_ALL)
+    if suf is not None:
+        L, sl = len(w), len(suf)
+        if suf in _PT_S1_DEL_R2:
+            if in_r2(L, sl):
+                w = w[:-sl]
+                removed = True
+        elif suf in ("logia", "logias"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "log"
+                removed = True
+        elif suf in ("uça~o", "uço~es"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "u"
+                removed = True
+        elif suf in ("ência", "ências"):
+            if in_r2(L, sl):
+                w = w[:-sl] + "ente"
+                removed = True
+        elif suf == "amente":
+            if in_r1(L, 6):
+                w = w[:-6]
+                removed = True
+                if w.endswith("iv") and in_r2(len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w), 2):
+                        w = w[:-2]
+                elif w.endswith(("os", "ic", "ad")) and in_r2(len(w), 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r2(L, 5):
+                w = w[:-5]
+                removed = True
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r2(len(w), len(pre)):
+                        w = w[:-len(pre)]
+                        break
+        elif suf in ("idade", "idades"):
+            if in_r2(L, sl):
+                w = w[:-sl]
+                removed = True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w), len(pre)):
+                        w = w[:-len(pre)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(L, sl):
+                w = w[:-sl]
+                removed = True
+                if w.endswith("at") and in_r2(len(w), 2):
+                    w = w[:-2]
+        elif suf in ("ira", "iras"):
+            if in_rv(L, sl) and w[: -sl].endswith("e"):
+                w = w[:-sl] + "ir"
+                removed = True
+
+    # ---- step 2: verb suffixes (only if step 1 took no action; the
+    # suffix must lie entirely in RV — setlimit semantics, so a longer
+    # out-of-region match does not block a shorter in-region one)
+    if not removed:
+        suf = _fr_longest(w, _PT_S2_VERB, min_start=rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+            removed = True
+
+    if removed:
+        # ---- step 3: final i after c, in RV ----
+        if w.endswith("ci") and in_rv(len(w), 1):
+            w = w[:-1]
+    else:
+        # ---- step 4: residual suffix (longest), in RV ----
+        suf = _fr_longest(w, _PT_RESIDUAL, min_start=rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+
+    # ---- step 5: residual form (always) ----
+    if w and w[-1] in "eéê" and in_rv(len(w), 1):
+        w = w[:-1]
+        if w.endswith("gu") and in_rv(len(w), 1):
+            w = w[:-1]
+        elif w.endswith("ci") and in_rv(len(w), 1):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+class SnowballPortugueseStemmer:
+    """PyStemmer-compatible surface (``stemWord`` / ``stemWords``)."""
+
+    def stemWord(self, word: str) -> str:
+        return stem_portuguese(word)
+
+    def stemWords(self, words) -> list[str]:
+        return [stem_portuguese(wrd) for wrd in words]

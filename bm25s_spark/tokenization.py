@@ -91,11 +91,11 @@ def load_stemmer(stemmer: str | Callable | None):
     Accepts a language name, a callable (``stemWords``-style or plain),
     or None.  ``"english"`` (the reference's recommended configuration,
     ``reference/bm25s/tokenization.py:675-699``), ``"german"``,
-    ``"french"``, ``"spanish"`` and ``"italian"`` (its most common
-    non-English settings) always resolve to the vendored pure-Python
-    Snowball implementations so behavior does not depend on whether
-    PyStemmer is installed; other languages use PyStemmer when
-    available (gated behind import-try).
+    ``"french"``, ``"spanish"``, ``"italian"`` and ``"portuguese"``
+    (its most common non-English settings) always resolve to the
+    vendored pure-Python Snowball implementations so behavior does not
+    depend on whether PyStemmer is installed; other languages use
+    PyStemmer when available (gated behind import-try).
     """
     if stemmer is None:
         return None
@@ -123,6 +123,10 @@ def load_stemmer(stemmer: str | Callable | None):
         from bm25s_spark.stemmer import SnowballItalianStemmer
 
         return SnowballItalianStemmer().stemWords
+    if stemmer.lower() in ("pt", "portuguese"):
+        from bm25s_spark.stemmer import SnowballPortugueseStemmer
+
+        return SnowballPortugueseStemmer().stemWords
     try:
         import Stemmer  # type: ignore
 

@@ -649,3 +649,114 @@ def test_italian_token_stream_parity(spark, ref_bm25s):
         return_ids=False, show_progress=False,
     )
     assert ours == ref
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+# ---------------------------------------------------------------------------
+# Hand-traced vectors exercising the published Snowball Portuguese
+# algorithm (https://snowballstem.org/algorithms/portuguese/stemmer.html)
+# step by step: the nasal prelude/postlude (ã ↔ a~, õ ↔ o~), every
+# step-1 group (R2 deletes incl. aça~o/aço~es, logia→log, uça~o→u,
+# ência→ente, amente-in-R1 with iv/at and os/ic/ad sub-rules, mente with
+# ante/avel/ível, idade with abil/ic/iv, ivo/iva with at, eira→eir),
+# the matched-but-out-of-region block that hands the ORIGINAL word to
+# step 2, step-2 verb suffixes under RV setlimit (incl. accented and
+# nasal forms), step-3 c+i deletion, step-4 residual vowels, and
+# step-5 residual form (final e/é/ê with the gu/ci follow-up).
+PORTUGUESE_VECTORS = [
+    ("quilométricas", "quilométr"),        # icas in R2
+    ("capacidade", "capac"),               # idade in R2
+    ("felicidade", "felic"),               # idade; ic fails R2
+    ("logicamente", "logic"),              # amente in R1; ic fails R2
+    ("significativamente", "signific"),    # amente + iv + at chain
+    ("confortavelmente", "confort"),       # mente + avel
+    ("atividade", "ativ"),                 # idade; iv fails R2
+    ("ativas", "ativ"),                    # ivas fails R2 → verb 'as'
+    ("organizações", "organiz"),           # aço~es in R2
+    ("solução", "soluçã"),                 # uça~o fails R2 → residual o
+    ("evolução", "evolu"),                 # uça~o → u in R2
+    ("transparência", "transparent"),      # ência → ente, step-5 e
+    ("agência", "agênc"),                  # ência fails R2 → verb 'ia'
+    ("psicologia", "psicolog"),            # logia fails R2 → verb 'ia'
+    ("metodologia", "metodolog"),          # logia → log in R2
+    ("primeira", "primeir"),               # ira preceded by e → ir
+    ("pensamento", "pensament"),           # amento fails R2 → residual o
+    ("falaram", "fal"),                    # verb aram
+    ("falarão", "fal"),                    # verb ara~o (nasal form)
+    ("faríamos", "far"),                   # verb íamos (accented form)
+    ("chegou", "cheg"),                    # verb ou
+    ("chegue", "cheg"),                    # step-5 e, then gu → g
+    ("bebeu", "beb"),                      # verb eu
+    ("bonecas", "bonec"),                  # verb as
+    ("bonito", "bonit"),                   # residual o
+    ("menina", "menin"),                   # residual a
+    ("meninas", "menin"),                  # verb as (agrees with menina)
+    ("grandes", "grand"),                  # verb es
+    ("grande", "grand"),                   # step-5 e (agrees with grandes)
+    ("felicias", "felic"),                 # verb ias, then step-3 c+i
+    ("coração", "coraçã"),                 # residual o; nasal postlude
+    ("corações", "coraçõ"),                # verb es; nasal postlude
+    ("importantíssimo", "importantíssim"), # residual o only
+]
+
+
+@pytest.mark.parametrize("word,expected", PORTUGUESE_VECTORS)
+def test_portuguese_vectors(word, expected):
+    from bm25s_spark.stemmer import stem_portuguese
+
+    assert stem_portuguese(word) == expected, word
+
+
+def test_portuguese_stemwords_surface_and_tokenizer():
+    from bm25s_spark.stemmer import SnowballPortugueseStemmer
+    from bm25s_spark.tokenization import load_stemmer
+
+    st = SnowballPortugueseStemmer()
+    assert st.stemWords(["falaram", "capacidade"]) == ["fal", "capac"]
+    assert st.stemWord("chegou") == "cheg"
+    assert load_stemmer("portuguese")(["organizações"]) == ["organiz"]
+    assert load_stemmer("pt")(["metodologia"]) == ["metodolog"]
+
+
+def test_portuguese_totality():
+    """Total on arbitrary short letter strings: never crash, never grow
+    the word, never leak the internal a~/o~ nasal marking."""
+    import itertools
+
+    from bm25s_spark.stemmer import stem_portuguese
+
+    alphabet = "aeiouãõáéíóçgcs"
+    for n in (1, 2, 3):
+        for tup in itertools.product(alphabet, repeat=n):
+            w = "".join(tup)
+            out = stem_portuguese(w)
+            assert len(out) <= len(w)
+            assert "~" not in out
+
+
+def test_portuguese_token_stream_parity(spark, ref_bm25s):
+    """Tokenizer plumbing parity for stopwords='pt', stemmer='portuguese'
+    (both sides stem with the vendored implementation; correctness
+    anchor is PORTUGUESE_VECTORS)."""
+    from bm25s_spark.stemmer import SnowballPortugueseStemmer
+
+    texts = [
+        "as organizações falaram da capacidade",
+        "a evolução chegou primeira na agência",
+        "",
+        "o a os as de que em",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ours = [
+        list(r["tokens"])
+        for r in tokenize(df, "text", stopwords="pt", stemmer="portuguese")
+        .orderBy("doc_id").collect()
+    ]
+    ref = ref_bm25s.tokenize(
+        texts, stopwords="pt", stemmer=SnowballPortugueseStemmer(),
+        return_ids=False, show_progress=False,
+    )
+    assert ours == ref
