@@ -65,6 +65,19 @@ _PHRASES_SQL = ", ".join(f"('{q}', '{t}')" for q, t in PHRASE_QUERIES)
 MLT_SEEDS = [0, 7, 42, 137, 256]
 _SEEDS_SQL = ", ".join(f"({i})" for i in MLT_SEEDS)
 
+# wildcard gate queries: prefix expansion (w01/w03), literals-only
+# (w05), a pattern matching nothing (w04), and a term matched by BOTH a
+# literal and a prefix (w06 — multiplicity 2)
+WILDCARD_QUERIES = [
+    ("w01", "sc* table"),
+    ("w02", "st* gr*"),
+    ("w03", "win* merge"),
+    ("w04", "zzq*"),
+    ("w05", "merge sort"),
+    ("w06", "fast fa*"),
+]
+_WILDCARDS_SQL = ", ".join(f"('{q}', '{t}')" for q, t in WILDCARD_QUERIES)
+
 _IDF_SQL = {
     "robertson": "ln(greatest((s.n - d.df + 0.5) / (d.df + 0.5), 1.0))",
     "lucene": "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))",
@@ -631,6 +644,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return more_like_this(idx, seeds, m_terms=5, k=TOPK, round_to=4)
 
     q["bm25_topk_more_like_this"] = mlt_gate
+
+    # wildcard retrieval: prefix patterns expand against the vocabulary,
+    # the expanded bag re-enters standard BM25 scoring
+    def wildcard_gate(spark, sf):
+        from bm25s_spark.operators.wildcard import wildcard_retrieve
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(
+            WILDCARD_QUERIES, "query_id string, text string"
+        )
+        return wildcard_retrieve(idx, qdf, k=TOPK, round_to=4)
+
+    q["bm25_topk_wildcard"] = wildcard_gate
     # two-stage pseudo-relevance-feedback retrieval (expand from top-5
     # feedback docs, +3 terms, re-retrieve) — the composition gate for
     # prf_expand + score_all
@@ -1364,6 +1390,48 @@ SELECT seed_doc_id, rank, doc_id, score FROM ranked2 WHERE rank <= {TOPK}
     )
     # a merged partitioned build must equal the full-corpus build exactly
     o["bm25_topk_merged_index"] = _bm25_oracle_sql("lucene")
+
+    # wildcard twin: the same regex parse, literal + starts_with prefix
+    # expansion against the vocabulary (dfreq), pattern-count
+    # multiplicity, then standard lucene scoring over the expanded bag
+    o["bm25_topk_wildcard"] = _bm25_common_cte("lucene") + f""",
+wq(query_id, qtext) AS (VALUES {_WILDCARDS_SQL}),
+wpat AS (
+  SELECT query_id, unnest(regexp_extract_all(lower(qtext), '\\w\\w+\\*?')) AS pat
+  FROM wq
+),
+wlit AS (
+  SELECT p.query_id, d.term FROM wpat p
+  JOIN dfreq d ON d.term = p.pat
+  WHERE right(p.pat, 1) != '*'
+),
+wpre AS (
+  SELECT p.query_id, d.term FROM wpat p
+  JOIN dfreq d ON starts_with(d.term, rtrim(p.pat, '*'))
+  WHERE right(p.pat, 1) = '*' AND rtrim(p.pat, '*') != ''
+),
+wterms AS (
+  SELECT query_id, term, CAST(count(*) AS DOUBLE) AS mult
+  FROM (SELECT * FROM wlit UNION ALL SELECT * FROM wpre)
+  GROUP BY 1, 2
+),
+raw3 AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM wterms q JOIN impacts im USING (term)
+  GROUP BY 1, 2
+),
+scored3 AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score FROM raw3
+),
+ranked3 AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM scored3
+)
+SELECT query_id, rank, doc_id, score FROM ranked3 WHERE rank <= {TOPK}
+"""
 
     # positional-index twins: DuckDB rebuilds (doc_id, pos, term) via
     # regexp_extract_all + generate_subscripts and replays the
