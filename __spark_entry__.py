@@ -78,6 +78,18 @@ WILDCARD_QUERIES = [
 ]
 _WILDCARDS_SQL = ", ".join(f"('{q}', '{t}')" for q, t in WILDCARD_QUERIES)
 
+# fuzzy gate queries: single-edit typos (deletion/substitution/
+# insertion), an exact term riding along, a no-neighbor token, and the
+# short-token exact-only guard (ke len<3; ket → key at distance 1)
+FUZZY_QUERIES = [
+    ("f01", "merg sort"),
+    ("f02", "windoq"),
+    ("f03", "faast batch"),
+    ("f04", "zzzzz"),
+    ("f05", "ke ket"),
+]
+_FUZZY_SQL = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_QUERIES)
+
 _IDF_SQL = {
     "robertson": "ln(greatest((s.n - d.df + 0.5) / (d.df + 0.5), 1.0))",
     "lucene": "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))",
@@ -657,6 +669,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wildcard_retrieve(idx, qdf, k=TOPK, round_to=4)
 
     q["bm25_topk_wildcard"] = wildcard_gate
+
+    # fuzzy retrieval: Levenshtein-1 vocabulary expansion (typo
+    # tolerance), expanded bag through standard scoring
+    def fuzzy_gate(spark, sf):
+        from bm25s_spark.operators.fuzzy import fuzzy_retrieve
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(
+            FUZZY_QUERIES, "query_id string, text string"
+        )
+        return fuzzy_retrieve(idx, qdf, k=TOPK, max_edits=1, round_to=4)
+
+    q["bm25_topk_fuzzy"] = fuzzy_gate
     # two-stage pseudo-relevance-feedback retrieval (expand from top-5
     # feedback docs, +3 terms, re-retrieve) — the composition gate for
     # prf_expand + score_all
@@ -1431,6 +1456,49 @@ ranked3 AS (
   FROM scored3
 )
 SELECT query_id, rank, doc_id, score FROM ranked3 WHERE rank <= {TOPK}
+"""
+
+    # fuzzy twin: tokenizer parse (stopwords applied), exact-or-
+    # Levenshtein≤1 expansion over dfreq with the identical length band
+    # and short-token guard, occurrence-summed multiplicity, standard
+    # lucene scoring
+    o["bm25_topk_fuzzy"] = _bm25_common_cte("lucene") + f""",
+fq(query_id, qtext) AS (VALUES {_FUZZY_SQL}),
+ftok_raw AS (
+  SELECT query_id, unnest(regexp_extract_all(lower(qtext), '\\w\\w+')) AS qterm
+  FROM fq
+),
+ftok AS (
+  SELECT query_id, qterm, CAST(count(*) AS DOUBLE) AS mult
+  FROM ftok_raw WHERE qterm NOT IN ({_SW_SQL}) GROUP BY 1, 2
+),
+fex AS (
+  SELECT t.query_id, d.term, t.mult
+  FROM ftok t JOIN dfreq d
+    ON d.term = t.qterm
+    OR (length(t.qterm) >= 3
+        AND abs(length(d.term) - length(t.qterm)) <= 1
+        AND levenshtein(d.term, t.qterm) <= 1)
+),
+fterms AS (
+  SELECT query_id, term, sum(mult) AS mult FROM fex GROUP BY 1, 2
+),
+raw4 AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM fterms q JOIN impacts im USING (term)
+  GROUP BY 1, 2
+),
+scored4 AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score FROM raw4
+),
+ranked4 AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM scored4
+)
+SELECT query_id, rank, doc_id, score FROM ranked4 WHERE rank <= {TOPK}
 """
 
     # positional-index twins: DuckDB rebuilds (doc_id, pos, term) via
