@@ -213,6 +213,27 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         pmi_collocations(corpus, min_count=5, k=20).collect()
         steps["pmi_collocations"] = round(time.time() - t, 3)
 
+        # NEW latest round 4 — positional phrase search over the FULL
+        # bench corpus (posexplode scan + broadcast phrase join + the
+        # start-position aggregation; measures the positional-index
+        # query path end-to-end)
+        t = time.time()
+        from bm25s_spark.operators.phrase import phrase_topk
+
+        pq = spark.createDataFrame(
+            entrymod.PHRASE_QUERIES, "query_id string, text string"
+        )
+        phrase_topk(
+            corpus.select(
+                F.concat_ws(
+                    "#", "conv_id", F.col("turn_idx").cast("string")
+                ).alias("doc_id"),
+                "text",
+            ),
+            pq, k=10,
+        ).collect()
+        steps["phrase_topk_6q"] = round(time.time() - t, 3)
+
         # IVF as a REAL partition key: write the corpus partitionBy(cell),
         # query with a probe partition-filter; scan volume is
         # cells_probed/cells_total of the table (the 100 TB pruning story)
