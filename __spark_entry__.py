@@ -682,6 +682,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fuzzy_retrieve(idx, qdf, k=TOPK, max_edits=1, round_to=4)
 
     q["bm25_topk_fuzzy"] = fuzzy_gate
+
+    # BM25F multi-field ranking: one doc = one conversation, one field =
+    # one turn role, user turns weighted 2.0 / assistant 1.0 / tool 0.5;
+    # per-field length normalization combines BEFORE the single k1
+    # saturation (NOT a weighted sum of per-field BM25 scores)
+    def bm25f_gate(spark, sf):
+        from bm25s_spark.operators.bm25f import bm25f_retrieve, build_bm25f
+
+        tdf = _transcripts(spark, sf)
+        fidx = build_bm25f(
+            tdf,
+            field_weights={"user": 2.0, "assistant": 1.0, "tool": 0.5},
+        )
+        qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+        return bm25f_retrieve(fidx, qdf, k=TOPK, round_to=4)
+
+    q["bm25f_topk_fields"] = bm25f_gate
     # two-stage pseudo-relevance-feedback retrieval (expand from top-5
     # feedback docs, +3 terms, re-retrieve) — the composition gate for
     # prf_expand + score_all
@@ -1456,6 +1473,79 @@ ranked3 AS (
   FROM scored3
 )
 SELECT query_id, rank, doc_id, score FROM ranked3 WHERE rank <= {TOPK}
+"""
+
+    # BM25F twin: the full multi-field pipeline replayed — per-(conv,
+    # role) lengths, per-field avgdl over ALL conversations, weighted
+    # length-normalized pseudo-frequencies combined before ONE k1
+    # saturation, lucene idf over any-field df; the (conv, role)
+    # derivation mirrors _transcripts exactly
+    o["bm25f_topk_fields"] = f"""
+WITH turns AS (
+  SELECT printf('conv-%06d', CAST(doc_id // 4 AS INT)) AS doc_key,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool'
+         END AS fld,
+         lower(text) AS t
+  FROM documents
+),
+tok_raw AS (
+  SELECT doc_key, fld, unnest(regexp_extract_all(t, '\\w\\w+')) AS term
+  FROM turns
+),
+toks AS (SELECT * FROM tok_raw WHERE term NOT IN ({_SW_SQL})),
+n AS (SELECT CAST(count(DISTINCT doc_key) AS DOUBLE) AS n FROM turns),
+dlf AS (
+  SELECT doc_key, fld, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks GROUP BY 1, 2
+),
+avgf AS (
+  SELECT fld, sum(dl) / (SELECT n FROM n) AS avgdl FROM dlf GROUP BY fld
+),
+tff AS (
+  SELECT doc_key, fld, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY 1, 2, 3
+),
+params(fld, w, b) AS (
+  VALUES ('user', 2.0, 0.75), ('assistant', 1.0, 0.75), ('tool', 0.5, 0.75)
+),
+tfw AS (
+  SELECT tff.doc_key, tff.term,
+         sum(p.w * tff.tf / (1.0 - p.b + p.b * dlf.dl / af.avgdl)) AS tfw
+  FROM tff
+  JOIN dlf USING (doc_key, fld)
+  JOIN avgf af USING (fld)
+  JOIN params p USING (fld)
+  GROUP BY 1, 2
+),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfw GROUP BY term),
+queries(query_id, qtext) AS (VALUES {_QUERIES_SQL}),
+qtok_raw AS (
+  SELECT query_id, unnest(regexp_extract_all(lower(qtext), '\\w\\w+')) AS term
+  FROM queries
+),
+qterms AS (
+  SELECT query_id, term, CAST(count(*) AS DOUBLE) AS mult
+  FROM qtok_raw WHERE term NOT IN ({_SW_SQL}) GROUP BY 1, 2
+),
+idf AS (
+  SELECT term, ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfx
+),
+raw AS (
+  SELECT q.query_id, t.doc_key,
+         sum(q.mult * i.idf * t.tfw / (1.5 + t.tfw)) AS raw
+  FROM qterms q JOIN tfw t USING (term) JOIN idf i USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_key, round(raw, 4) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY round(raw, 4) DESC, doc_key ASC
+         ) AS INT) AS rank
+  FROM raw
+)
+SELECT query_id, rank, doc_key, score FROM ranked WHERE rank <= {TOPK}
 """
 
     # fuzzy twin: tokenizer parse (stopwords applied), exact-or-
