@@ -49,6 +49,22 @@ GATE_QUERIES = [
 ]
 _QUERIES_SQL = ", ".join(f"('{q}', '{t}')" for q, t in GATE_QUERIES)
 
+# per-query NOT terms for the boolean-exclusion gate: q04 excludes
+# nothing (empty), q05's positives include an OOV term, q06's positives
+# are all stopwords (no rows either way), q07 mixes a real and an OOV
+# negative
+GATE_EXCLUDES = [
+    ("q01", "table"),
+    ("q02", "scan"),
+    ("q03", "merge sort"),
+    ("q04", ""),
+    ("q05", "row"),
+    ("q06", "fast"),
+    ("q07", "spark zzqx"),
+    ("q08", "join"),
+]
+_EXCLUDES_SQL = ", ".join(f"('{q}', '{t}')" for q, t in GATE_EXCLUDES)
+
 # phrase/proximity gate queries: adjacency-sensitive (p02/p04 repeat a
 # term, p03 is a trigram, p06 matches nothing) over the documents table
 PHRASE_QUERIES = [
@@ -279,6 +295,21 @@ def _gate_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(scores)
 
 
+def _gate_topk_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-NOT retrieval: each gate query carries its GATE_EXCLUDES
+    negative text; docs containing any excluded term drop out before the
+    (rounded, doc_id-tiebroken) rank cut."""
+    from bm25s_spark.operators.boolean import retrieve_excluding
+
+    idx = _index_for(spark, sf_dir)
+    excl = dict(GATE_EXCLUDES)
+    qdf = spark.createDataFrame(
+        [(qid, text, excl[qid]) for qid, text in GATE_QUERIES],
+        "query_id string, text string, exclude_text string",
+    )
+    return retrieve_excluding(idx, qdf, k=TOPK, round_to=4)
+
+
 def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are whole
     CONVERSATIONS (``conversation_rollup`` output), not turns — doc ids
@@ -443,7 +474,8 @@ impacts AS (
 def _bm25_oracle_sql(method: str, idf_method: str | None = None,
                      mask: bool = False, shard_round: bool = False,
                      docs_cte: str | None = None,
-                     conjunctive: bool = False) -> str:
+                     conjunctive: bool = False,
+                     exclude: bool = False) -> str:
     weight = "(r.doc_id % 2)" if mask else "1.0"
     # the sharded kernel's gate mode rounds the accumulated (masked) raw
     # score BEFORE the per-query nnoc add-back (which the final merge
@@ -465,10 +497,32 @@ def _bm25_oracle_sql(method: str, idf_method: str | None = None,
         " HAVING count(*) = any_value(qn.qn)" if conjunctive else ""
     )
     conj_join = " JOIN qn ON qn.query_id = q.query_id" if conjunctive else ""
-    return _bm25_common_cte(method, idf_method, docs_cte) + f""",{conj_filter}
+    # boolean NOT: docs containing ANY excluded term leave the candidate
+    # set before ranking — the twin of operators/boolean.retrieve_excluding
+    # (negterms go through the same tokenizer parse as the queries)
+    excl_cte = f"""
+negq(query_id, ntext) AS (VALUES {_EXCLUDES_SQL}),
+negterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(regexp_extract_all(lower(ntext), '\\w\\w+')) AS term
+    FROM negq
+  ) WHERE term NOT IN ({_SW_SQL})
+),
+negdocs AS (
+  SELECT DISTINCT n.query_id, tf.doc_id FROM negterms n JOIN tf USING (term)
+),""" if exclude else ""
+    excl_where = (
+        """
+  WHERE NOT EXISTS (
+    SELECT 1 FROM negdocs nd
+    WHERE nd.query_id = q.query_id AND nd.doc_id = im.doc_id
+  )""" if exclude else ""
+    )
+    return _bm25_common_cte(method, idf_method, docs_cte) + f""",{conj_filter}{excl_cte}
 raw AS (
   SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
-  FROM qterms q JOIN impacts im USING (term){conj_join}
+  FROM qterms q JOIN impacts im USING (term){conj_join}{excl_where}
   GROUP BY q.query_id, im.doc_id{conj_having}
 ),
 ns AS (
@@ -643,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boolean-AND retrieval: docs containing EVERY distinct query term
     # (require_all_terms=True); OOV / all-stopword queries → zero rows
     q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
+    q["bm25_topk_excluding"] = _gate_topk_excluding
 
     # more-like-this: seed docs → mined top-tf-idf terms → BM25 re-rank
     # (doc→docs composition through the index's own statistics)
@@ -1386,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
     o["bm25_topk_conjunctive"] = _bm25_oracle_sql("lucene", conjunctive=True)
+    o["bm25_topk_excluding"] = _bm25_oracle_sql("lucene", exclude=True)
     # more-like-this twin: mined terms replay keywords' tf·ln(N/df)
     # (rounded-before-rank, term-asc ties), then standard lucene scoring
     # over the mined bag (mult=1 per term), self excluded, round(.,4)
