@@ -310,6 +310,24 @@ def _gate_topk_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieve_excluding(idx, qdf, k=TOPK, round_to=4)
 
 
+def _gate_facet_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search composition: lucene gate top-k → per-query hit
+    counts by turn role (role cycles doc_id % 3 in the _transcripts
+    derivation, which the oracle replays as a CASE)."""
+    from bm25s_spark.operators.facets import facet_counts
+
+    idx = _index_for(spark, sf_dir)
+    res = _gate_topk(spark, sf_dir, "lucene")
+    roles = idx.doc_lens.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+    )
+    return facet_counts(res, roles, "role")
+
+
 def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are whole
     CONVERSATIONS (``conversation_rollup`` output), not turns — doc ids
@@ -698,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (require_all_terms=True); OOV / all-stopword queries → zero rows
     q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
     q["bm25_topk_excluding"] = _gate_topk_excluding
+    q["search_facet_role"] = _gate_facet_role
 
     # more-like-this: seed docs → mined top-tf-idf terms → BM25 re-rank
     # (doc→docs composition through the index's own statistics)
@@ -1442,6 +1461,22 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
     o["bm25_topk_conjunctive"] = _bm25_oracle_sql("lucene", conjunctive=True)
     o["bm25_topk_excluding"] = _bm25_oracle_sql("lucene", exclude=True)
+    # faceted composition: counts of the lucene top-k by turn role
+    o["search_facet_role"] = f"""
+SELECT query_id, facet, n_docs,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY n_docs DESC, facet ASC
+       ) AS INTEGER) AS rank
+FROM (
+  SELECT query_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool'
+         END AS facet,
+         count(*) AS n_docs
+  FROM ({_bm25_oracle_sql("lucene")})
+  GROUP BY 1, 2
+)
+"""
     # more-like-this twin: mined terms replay keywords' tf·ln(N/df)
     # (rounded-before-rank, term-asc ties), then standard lucene scoring
     # over the mined bag (mult=1 per term), self excluded, round(.,4)

@@ -1,0 +1,74 @@
+"""Faceted result counts: hand-checked counts, tie/rank rules, null
+facets, top_n cut, score sums, and the broadcast plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25s_spark.operators.facets import facet_counts
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    results = spark.createDataFrame(
+        [("q1", 0, 2.0), ("q1", 1, 1.5), ("q1", 2, 1.0), ("q1", 3, 0.5),
+         ("q2", 2, 3.0), ("q2", 4, 2.5)],
+        "query_id string, doc_id long, score double",
+    )
+    docs = spark.createDataFrame(
+        [(0, "user"), (1, "tool"), (2, "user"), (3, None), (4, "assistant"),
+         (5, "user")],
+        "doc_id long, role string",
+    )
+    return results, docs
+
+
+def test_counts_and_rank(frames):
+    results, docs = frames
+    rows = facet_counts(results, docs, "role").collect()
+    got = {(r.query_id, r.facet): (r.n_docs, r.rank) for r in rows}
+    assert got == {
+        ("q1", "user"): (2, 1),
+        ("q1", "tool"): (1, 2),   # count tie vs NULL → facet asc, nulls last
+        ("q1", None): (1, 3),
+        ("q2", "assistant"): (1, 1),
+        ("q2", "user"): (1, 2),
+    }
+
+
+def test_top_n_cut(frames):
+    results, docs = frames
+    rows = facet_counts(results, docs, "role", top_n=1).collect()
+    got = {r.query_id: r.facet for r in rows}
+    assert got == {"q1": "user", "q2": "assistant"}
+    with pytest.raises(ValueError):
+        facet_counts(results, docs, "role", top_n=0)
+
+
+def test_score_sums(frames):
+    results, docs = frames
+    rows = facet_counts(results, docs, "role", score_col="score").collect()
+    got = {(r.query_id, r.facet): r.sum_score for r in rows}
+    assert got[("q1", "user")] == pytest.approx(3.0)
+    assert got[("q1", "tool")] == pytest.approx(1.5)
+    assert got[("q2", "assistant")] == pytest.approx(2.5)
+
+
+def test_unmatched_doc_dropped(spark, frames):
+    """A hit with no metadata row vanishes from the counts (inner-join
+    contract) rather than polluting a NULL facet."""
+    _, docs = frames
+    results = spark.createDataFrame(
+        [("q", 0, 1.0), ("q", 99, 9.0)],
+        "query_id string, doc_id long, score double",
+    )
+    rows = facet_counts(results, docs, "role").collect()
+    assert {(r.facet, r.n_docs) for r in rows} == {("user", 1)}
+
+
+def test_plan_broadcasts_result_side(frames):
+    results, docs = frames
+    plan = facet_counts(results, docs, "role")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
