@@ -328,6 +328,16 @@ def _gate_facet_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(res, roles, "role")
 
 
+def _gate_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly trending terms over the transcript turns (ts = 2026-01-01
+    + doc_id minutes in the _transcripts derivation, so each 1-hour
+    window covers 60 docs), with previous-window counts."""
+    from bm25s_spark.operators.trends import trending_terms
+
+    tdf = _transcripts(spark, sf_dir)
+    return trending_terms(tdf, "1 hour", top_n=5, with_previous=True)
+
+
 def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are whole
     CONVERSATIONS (``conversation_rollup`` output), not turns — doc ids
@@ -717,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
     q["bm25_topk_excluding"] = _gate_topk_excluding
     q["search_facet_role"] = _gate_facet_role
+    q["text_trending_terms"] = _gate_trending_terms
 
     # more-like-this: seed docs → mined top-tf-idf terms → BM25 re-rank
     # (doc→docs composition through the index's own statistics)
@@ -1461,6 +1472,39 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
     o["bm25_topk_conjunctive"] = _bm25_oracle_sql("lucene", conjunctive=True)
     o["bm25_topk_excluding"] = _bm25_oracle_sql("lucene", exclude=True)
+    # hourly trending terms with previous-window counts (the _transcripts
+    # ts derivation replayed: 2026-01-01 + doc_id minutes)
+    o["text_trending_terms"] = f"""
+WITH docs AS (
+  SELECT TIMESTAMP '2026-01-01 00:00:00'
+           + CAST(doc_id AS INT) * INTERVAL 1 MINUTE AS ts,
+         lower(text) AS t
+  FROM documents
+),
+tok_raw AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         unnest(regexp_extract_all(t, '\\w\\w+')) AS term
+  FROM docs
+),
+counts AS (
+  SELECT window_start, term, count(*) AS n
+  FROM tok_raw WHERE term NOT IN ({_SW_SQL})
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, term, n,
+         CAST(row_number() OVER (
+           PARTITION BY window_start ORDER BY n DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT r.window_start, r.term, r.n,
+       coalesce(p.n, 0) AS prev_n, r.rank
+FROM ranked r
+LEFT JOIN counts p
+  ON p.window_start + INTERVAL 1 HOUR = r.window_start AND p.term = r.term
+WHERE r.rank <= 5
+"""
     # faceted composition: counts of the lucene top-k by turn role
     o["search_facet_role"] = f"""
 SELECT query_id, facet, n_docs,
