@@ -338,6 +338,33 @@ def _gate_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trending_terms(tdf, "1 hour", top_n=5, with_previous=True)
 
 
+def _gate_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over a brute-force cosine top-20 pool
+    (λ=0.7, k=5).  Every pairwise cosine is rounded to 4 before the max
+    and the objective re-rounded before each argmax (doc-ascending
+    ties), so the DuckDB recursive-CTE twin selects the identical
+    sequence; the (1 − λ) factor is written as ``1 - 0.7`` in BOTH
+    engines so the IEEE constant matches bitwise."""
+    from bm25s_spark.operators import similarity
+    from bm25s_spark.operators.mmr import mmr_rerank
+
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    pool = similarity.brute_force_knn(emb, qv, k=20).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("score")
+    )
+    out = mmr_rerank(pool, emb, k=5, lam=0.7, id_col="vec_id")
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("relevance", 4).alias("relevance"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    )
+
+
 def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are whole
     CONVERSATIONS (``conversation_rollup`` output), not turns — doc ids
@@ -728,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_excluding"] = _gate_topk_excluding
     q["search_facet_role"] = _gate_facet_role
     q["text_trending_terms"] = _gate_trending_terms
+    q["knn_mmr_rerank"] = _gate_mmr_rerank
 
     # more-like-this: seed docs → mined top-tf-idf terms → BM25 re-rank
     # (doc→docs composition through the index's own statistics)
@@ -2147,6 +2175,63 @@ ranked AS (
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
 """
     o["knn_cosine_brute"] = _knn_exact_sql
+    # MMR diversification twin: the recursive CTE replays the greedy
+    # argmax — pairwise cosines rounded to 4 BEFORE the max, objective
+    # rounded before each pick, vec_id-ascending ties, (1 - 0.7) spelled
+    # identically so the IEEE constant matches the kernel's (1.0 - lam)
+    o["knn_mmr_rerank"] = """
+WITH RECURSIVE
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.cv,
+         round(list_cosine_similarity(q.qv, c.cv), 4) AS rel
+  FROM q CROSS JOIN c
+),
+pool AS (
+  SELECT query_id, vec_id, cv, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, vec_id ASC
+    ) AS rn
+    FROM scored
+  ) WHERE rn <= 20
+),
+sel AS (
+  SELECT query_id, vec_id, 1 AS rank, rel AS relevance,
+         round(0.7 * rel, 4) AS mmr_score,
+         [vec_id] AS picked_ids, [cv] AS picked_vecs
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY round(0.7 * rel, 4) DESC, vec_id ASC
+    ) AS rn
+    FROM pool
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT query_id, vec_id, rank, relevance, mmr_score,
+         list_append(picked_ids, vec_id) AS picked_ids,
+         list_append(picked_vecs, cv) AS picked_vecs
+  FROM (
+    SELECT s.query_id, p.vec_id, s.rank + 1 AS rank, p.rel AS relevance,
+           round(0.7 * p.rel - (1 - 0.7) * list_max(
+             list_transform(s.picked_vecs,
+               v -> round(list_cosine_similarity(p.cv, v), 4))), 4) AS mmr_score,
+           s.picked_ids, s.picked_vecs, p.cv,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY round(0.7 * p.rel - (1 - 0.7) * list_max(
+               list_transform(s.picked_vecs,
+                 v -> round(list_cosine_similarity(p.cv, v), 4))), 4) DESC,
+               p.vec_id ASC
+           ) AS rn
+    FROM sel s JOIN pool p
+      ON p.query_id = s.query_id AND NOT list_contains(s.picked_ids, p.vec_id)
+    WHERE s.rank < 5
+  ) WHERE rn = 1
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+       relevance, mmr_score
+FROM sel
+"""
     # LSH with multiprobe = n_planes and IVF with n_probe = n_centroids
     # have provably complete candidate coverage → both must reproduce
     # the exact top-k bit-for-bit
