@@ -44,11 +44,25 @@ from bm25s_spark.operators.events import session_summary, sessionize
 from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
 from bm25s_spark.operators.keywords import top_terms_per_doc
 from bm25s_spark.operators.packing import pack_sequences, packing_stats
+from bm25s_spark.operators.phrase import (
+    phrase_match,
+    phrase_topk,
+    proximity_match,
+)
+from bm25s_spark.operators.snippets import snippets, snippets_for_results
+from bm25s_spark.operators.mlt import more_like_this
+from bm25s_spark.operators.wildcard import wildcard_retrieve
+from bm25s_spark.operators.fuzzy import fuzzy_retrieve
+from bm25s_spark.operators.bm25f import build_bm25f, bm25f_retrieve
+from bm25s_spark.operators.boolean import retrieve_excluding
+from bm25s_spark.operators.facets import facet_counts
+from bm25s_spark.operators.trends import trending_terms
+from bm25s_spark.operators.mmr import mmr_rerank
 from bm25s_spark.streaming.dedup import streaming_deduplicate
 from bm25s_spark.streaming.sessions import session_window_rollup
 from bm25s_spark.streaming.windows import windowed_event_rollup
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 __all__ = [
     "tokenize",
@@ -90,4 +104,18 @@ __all__ = [
     "prf_retrieve",
     "unigram_counts",
     "with_lm_score",
+    "phrase_match",
+    "phrase_topk",
+    "proximity_match",
+    "snippets",
+    "snippets_for_results",
+    "more_like_this",
+    "wildcard_retrieve",
+    "fuzzy_retrieve",
+    "build_bm25f",
+    "bm25f_retrieve",
+    "retrieve_excluding",
+    "facet_counts",
+    "trending_terms",
+    "mmr_rerank",
 ]
