@@ -417,6 +417,130 @@ _CONV_DOCS_CTE = """SELECT doc_id // 4 AS doc_id,
   FROM documents GROUP BY doc_id // 4"""
 
 
+# tombstone set for the delete-lifecycle gates: every 7th doc (offset 3)
+_TOMBSTONE_SQL_FILTER = "doc_id % 7 <> 3"
+
+
+def _gate_tombstones(idx):
+    return idx.doc_lens.where(F.col("doc_id") % 7 == 3).select("doc_id")
+
+
+def _gate_topk_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25l top-k through a ``with_tombstones`` live-docs view (every
+    7th doc deleted): surviving docs keep their exact pre-delete scores
+    — the oracle keeps ALL statistics corpus-wide and filters only the
+    candidate set (Lucene deleted-docs semantics).  bm25l exercises the
+    nonoccurrence add-back under deletes."""
+    from bm25s_spark.operators.deletes import with_tombstones
+
+    idx = _index_for(spark, sf_dir)
+    view = with_tombstones(idx, _gate_tombstones(idx))
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return _rounded_topk(view.get_scores(qdf, method="bm25l"))
+
+
+def _gate_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lucene top-k through ``compact_index`` (the merge phase of the
+    delete lifecycle): statistics re-derived over survivors WITHOUT
+    re-tokenizing — must equal a fresh build over the filtered corpus,
+    which is exactly what the oracle computes."""
+    from bm25s_spark.operators.deletes import compact_index
+
+    key = (os.path.abspath(sf_dir), "compacted")
+    if key not in _INDEX_CACHE:
+        idx = _index_for(spark, sf_dir)
+        _INDEX_CACHE[key] = compact_index(idx, _gate_tombstones(idx)).persist()
+    idx = _INDEX_CACHE[key]
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return _rounded_topk(idx.get_scores(qdf, method="lucene"))
+
+
+def _gate_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term contribution breakdown (Lucene ``explain()`` analog) for
+    the lucene gate top-k hits: summing ``contribution`` per (query,
+    doc) reproduces the hit's raw score — the oracle re-derives every
+    row from the shared impacts CTE."""
+    from bm25s_spark.operators.explain import explain_scores
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    topk = _gate_topk(spark, sf_dir, "lucene")
+    return explain_scores(idx, qdf, method="lucene", topk_df=topk, round_to=4)
+
+
+# thesaurus for the synonym-expansion gate: vocab→vocab entries, one
+# OOV source (zzqx — q05 carries it; its synonyms must still fire), and
+# two sources sharing the target `join` (weights accumulate)
+GATE_SYNONYMS = [
+    ("sort", "order", 0.5),
+    ("merge", "join", 0.5),
+    ("zzqx", "join", 1.0),
+    ("zzqx", "scan", 0.25),
+    ("table", "row", 0.25),
+    ("data", "batch", 0.5),
+]
+_SYNONYMS_SQL = ", ".join(
+    f"('{a}', '{b}', {w})" for a, b, w in GATE_SYNONYMS
+)
+
+
+def _gate_topk_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thesaurus-expanded bm25+ top-k: fractional multiplicities flow
+    through both the impact sum AND the multiplicity-weighted
+    nonoccurrence add-back (bm25+ exercises the latter)."""
+    from bm25s_spark.operators.synonyms import retrieve_with_synonyms
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    syn = spark.createDataFrame(
+        GATE_SYNONYMS, "term string, synonym string, weight double"
+    )
+    return retrieve_with_synonyms(
+        idx, qdf, syn, k=TOPK, method="bm25+", round_to=4
+    )
+
+
+SUGGEST_PREFIXES = ["sc", "ta", "me", "zz", "qu", "s"]
+_PREFIXES_SQL = ", ".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+
+
+def _gate_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete over the index vocabulary, top-5 by
+    (df desc, term asc); 'zz' completes nothing → zero rows on both
+    engines."""
+    from bm25s_spark.operators.suggest import suggest_terms
+
+    idx = _index_for(spark, sf_dir)
+    prefixes = spark.createDataFrame(
+        [(p,) for p in SUGGEST_PREFIXES], "prefix string"
+    )
+    return suggest_terms(idx, prefixes, n=5).select(
+        "prefix", "rank", "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def _gate_knn_conv_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled conversation embeddings (vec_id // 4 — the
+    _transcripts packing) → exact cosine top-5 among the pooled
+    vectors: the dense-side granularity rollup composed with kNN."""
+    from bm25s_spark.operators import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    pooled = similarity.mean_pool_embeddings(
+        emb, (F.col("vec_id") / 4).cast("long"), out_group="vec_id"
+    )
+    qv = pooled.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = similarity.brute_force_knn(pooled, qv, k=5)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def _gate_topk_chunk_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are 32-token sliding
     WINDOWS (``chunk_documents`` output, overlap 8) — the RAG
@@ -530,7 +654,8 @@ def _bm25_oracle_sql(method: str, idf_method: str | None = None,
                      mask: bool = False, shard_round: bool = False,
                      docs_cte: str | None = None,
                      conjunctive: bool = False,
-                     exclude: bool = False) -> str:
+                     exclude: bool = False,
+                     live_filter: str | None = None) -> str:
     weight = "(r.doc_id % 2)" if mask else "1.0"
     # the sharded kernel's gate mode rounds the accumulated (masked) raw
     # score BEFORE the per-query nnoc add-back (which the final merge
@@ -567,13 +692,20 @@ negterms AS (
 negdocs AS (
   SELECT DISTINCT n.query_id, tf.doc_id FROM negterms n JOIN tf USING (term)
 ),""" if exclude else ""
-    excl_where = (
-        """
-  WHERE NOT EXISTS (
+    # tombstone live-docs view: deleted docs leave the CANDIDATE set
+    # only — every statistic (n, avgdl, df, idf, nnoc) still counts
+    # them, the Lucene deleted-docs semantics of operators/deletes
+    wheres = []
+    if exclude:
+        wheres.append(
+            """NOT EXISTS (
     SELECT 1 FROM negdocs nd
     WHERE nd.query_id = q.query_id AND nd.doc_id = im.doc_id
-  )""" if exclude else ""
-    )
+  )"""
+        )
+    if live_filter:
+        wheres.append(f"({live_filter})")
+    excl_where = ("\n  WHERE " + "\n    AND ".join(wheres)) if wheres else ""
     return _bm25_common_cte(method, idf_method, docs_cte) + f""",{conj_filter}{excl_cte}
 raw AS (
   SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
@@ -826,6 +958,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one (merge_indexes recomputes df/N/avgdl-dependent impacts exactly)
     # must be indistinguishable from the full-corpus build → same oracle
     q["bm25_topk_merged_index"] = _gate_topk_merged
+    # delete lifecycle: tombstone view (stats frozen, candidates
+    # filtered) and compaction (stats re-derived, no re-tokenize)
+    q["bm25_topk_tombstoned"] = _gate_topk_tombstoned
+    q["bm25_topk_compacted"] = _gate_topk_compacted
+    # Lucene explain() analog: per-term contribution rows for the top-k
+    q["explain_contributions"] = _gate_explain
+    # thesaurus expansion with fractional multiplicities (bm25+ nnoc)
+    q["bm25_topk_synonyms"] = _gate_topk_synonyms
+    # prefix autocomplete over the vocabulary
+    q["search_suggest"] = _gate_suggest
+    # mean-pooled conversation embeddings → exact cosine top-k
+    q["knn_conv_pooled"] = _gate_knn_conv_pooled
 
     # ---- index internals ----
     def term_stats(spark, sf):
@@ -1595,6 +1739,126 @@ SELECT seed_doc_id, rank, doc_id, score FROM ranked2 WHERE rank <= {TOPK}
     )
     # a merged partitioned build must equal the full-corpus build exactly
     o["bm25_topk_merged_index"] = _bm25_oracle_sql("lucene")
+    # tombstone view: stats corpus-wide, candidates filtered (Lucene
+    # deleted-docs semantics)
+    o["bm25_topk_tombstoned"] = _bm25_oracle_sql(
+        "bm25l", live_filter=f"im.{_TOMBSTONE_SQL_FILTER}"
+    )
+    # compaction: a fresh derivation over the surviving corpus
+    o["bm25_topk_compacted"] = _bm25_oracle_sql(
+        "lucene",
+        docs_cte=(
+            "SELECT doc_id, lower(text) AS t FROM documents "
+            f"WHERE {_TOMBSTONE_SQL_FILTER}"
+        ),
+    )
+    # explain twin: re-derive each top-k hit's per-term contribution
+    # rows from the shared impacts CTE (mult is the query-token
+    # multiplicity; contribution = mult · impact, rounded like the gate)
+    o["explain_contributions"] = _bm25_common_cte("lucene") + f""",
+raw AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM qterms q JOIN impacts im USING (term)
+  GROUP BY q.query_id, im.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(raw, 4) DESC, doc_id ASC
+         ) AS rn
+  FROM raw
+)
+SELECT q.query_id, im.doc_id, im.term,
+       tf.tf AS tf, q.mult AS mult,
+       round(q.mult * im.impact, 4) AS contribution
+FROM qterms q
+JOIN impacts im USING (term)
+JOIN tf ON tf.doc_id = im.doc_id AND tf.term = im.term
+JOIN ranked r ON r.query_id = q.query_id AND r.doc_id = im.doc_id
+WHERE r.rn <= {TOPK}
+"""
+    # synonym expansion twin: the weighted bag (base mult + Σ mult·w per
+    # thesaurus row) drives both the impact sum and the mult-weighted
+    # nonoccurrence add-back (bm25+)
+    o["bm25_topk_synonyms"] = _bm25_common_cte("bm25+") + f""",
+thesaurus(src, syn, w) AS (VALUES {_SYNONYMS_SQL}),
+qexp AS (
+  SELECT query_id, term, sum(mult) AS mult FROM (
+    SELECT query_id, term, mult FROM qterms
+    UNION ALL
+    SELECT b.query_id, t.syn AS term, b.mult * t.w AS mult
+    FROM qterms b JOIN thesaurus t ON t.src = b.term
+  ) GROUP BY 1, 2
+),
+raws AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM qexp q JOIN impacts im USING (term)
+  GROUP BY 1, 2
+),
+nss AS (
+  SELECT q.query_id, sum(q.mult * i.nnoc) AS ns
+  FROM qexp q JOIN idf i USING (term) GROUP BY q.query_id
+),
+scoredsyn AS (
+  SELECT r.query_id, r.doc_id,
+         round(r.raw + coalesce(ns.ns, 0.0), 4) AS score
+  FROM raws r LEFT JOIN nss ns USING (query_id)
+),
+rankedsyn AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scoredsyn
+)
+SELECT query_id, rank, doc_id, score FROM rankedsyn WHERE rank <= {TOPK}
+"""
+    # autocomplete twin: vocabulary = dfreq, top-5 by (df desc, term asc)
+    o["search_suggest"] = _bm25_common_cte("lucene") + f""",
+prefixes(prefix) AS (VALUES {_PREFIXES_SQL}),
+matched AS (
+  SELECT p.prefix, d.term, CAST(d.df AS BIGINT) AS df,
+         CAST(row_number() OVER (
+           PARTITION BY p.prefix ORDER BY d.df DESC, d.term ASC
+         ) AS INT) AS rank
+  FROM prefixes p JOIN dfreq d ON starts_with(d.term, p.prefix)
+)
+SELECT prefix, rank, term, df FROM matched WHERE rank <= 5
+"""
+    # pooled-conversation kNN twin: element-wise mean per vec_id//4
+    # group (both engines widen float→double before averaging), cosine
+    # via a positional join, round-4 before the rank
+    o["knn_conv_pooled"] = """
+WITH e AS (
+  SELECT vec_id // 4 AS grp,
+         unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+pooled AS (SELECT grp, pos, avg(x) AS v FROM e GROUP BY grp, pos),
+norms AS (SELECT grp, sqrt(sum(v * v)) AS nrm FROM pooled GROUP BY grp),
+dots AS (
+  SELECT q.grp AS query_id, c.grp AS vec_id, sum(q.v * c.v) AS dot
+  FROM pooled q JOIN pooled c USING (pos)
+  WHERE q.grp < 3
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT d.query_id, d.vec_id,
+         round(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.grp = d.query_id
+  JOIN norms nc ON nc.grp = d.vec_id
+),
+rankedp AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM cos
+)
+SELECT query_id, rank, vec_id, cosine FROM rankedp WHERE rank <= 5
+"""
 
     # wildcard twin: the same regex parse, literal + starts_with prefix
     # expansion against the vocabulary (dfreq), pattern-count

@@ -160,7 +160,7 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
@@ -168,9 +168,11 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of ≥1 band become candidate
-    pairs (doc_a < doc_b, with the matching band id).  Sub-quadratic: the
-    join key is (band, band-digest)."""
+    """(doc_id, band, bucket): each doc's LSH band digests — the
+    bucketing half of :func:`minhash_lsh_candidates`, exposed separately
+    so the streaming dedup can accumulate a bucket *store* instead of
+    self-joining (the signatures and digests are deterministic md5
+    arithmetic, so batch and streaming buckets can never drift)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
@@ -183,9 +185,23 @@ def minhash_lsh_candidates(
                 F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bucket"),
             )
         )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of ≥1 band become candidate
+    pairs (doc_a < doc_b, with the matching band id).  Sub-quadratic: the
+    join key is (band, band-digest)."""
+    banded = minhash_band_buckets(df, num_hashes, bands, n, text_col, id_col)
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])

@@ -95,6 +95,64 @@ def brute_force_knn(
     return _rescore_topk(cand, k)
 
 
+def mean_pool_embeddings(
+    emb_df: DataFrame,
+    group_col,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_group: str = "group_id",
+    out_vec: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Element-wise mean of embeddings per group →
+    ``(out_group, out_vec:array<double>, n_members)``.
+
+    The granularity-rollup twin of ``transcripts.conversation_rollup``
+    for the dense side: per-turn embeddings pool into one conversation
+    vector (mean pooling — the standard sentence-embedding aggregate).
+    ``group_col`` may be a column name or a Column expression (e.g.
+    ``F.col("vec_id") / 4``).  ``normalize=True`` L2-normalizes the
+    pooled vector, after which dot product IS cosine.
+
+    Deterministic: members are collected per group and summed in
+    ``id_col`` order (sort_array on the leading struct field), so the
+    float64 sum is reproducible run-to-run regardless of partitioning —
+    the property every gate/checkpoint comparison relies on.
+
+    Scale shape: ONE shuffle on the group key; groups are
+    conversation-sized (tens of members), so the collected list per row
+    is tiny and the element-wise reduce is a narrow JVM expression —
+    no Python, no per-position explode (which would shuffle
+    dim × corpus rows instead of corpus rows).
+    """
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    rows = emb_df.select(
+        gcol.alias("_g"),
+        F.struct(
+            F.col(id_col).alias("k"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).alias("_s"),
+    )
+    grouped = rows.groupBy("_g").agg(
+        F.sort_array(F.collect_list("_s")).alias("_ss"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    head = F.element_at(F.col("_ss"), 1)["v"]
+    tail = F.slice(
+        F.col("_ss"), 2, F.greatest(F.size("_ss") - 1, F.lit(0))
+    )
+    summed = F.aggregate(
+        tail, head,
+        lambda acc, s: F.zip_with(acc, s["v"], lambda x, y: x + y),
+    )
+    mean = F.transform(summed, lambda x: x / F.col("n_members"))
+    if normalize:
+        mean = F.transform(mean, lambda x: x / _norm(mean))
+    return grouped.select(
+        F.col("_g").alias(out_group), mean.alias(out_vec), "n_members"
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -1,0 +1,382 @@
+"""Index lifecycle (tombstones / compaction), score explain, synonym
+expansion, suggest, embedding pooling, and streaming near-dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+CORPUS = [
+    "spark merge sort join table scan",
+    "fast key order sort merge window",
+    "group query merge batch stream data",
+    "customer data stream batch row filter",
+    "join filter window row table column",
+    "slow small value vector big scan",
+    "big column dup scan table merge",
+    "fast fast key key order order",
+    "query group window filter merge sort",
+    "vector value stream batch spark join",
+    "table scan dup column big small",
+    "key order fast window sort filter",
+]
+QUERIES = [("q1", "merge sort table"), ("q2", "fast key window"),
+           ("q3", "stream batch data")]
+
+
+@pytest.fixture(scope="module")
+def small_index(spark):
+    from bm25s_spark.indexer import build_index
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    idx = build_index(docs, doc_id_col="doc_id").persist()
+    yield idx
+    idx.unpersist()
+
+
+def _score_map(scores_rows):
+    return {(r["query_id"], r["doc_id"]): r["score"] for r in scores_rows}
+
+
+# ---------------------------------------------------------------------------
+# tombstones / compaction
+# ---------------------------------------------------------------------------
+
+def test_tombstone_view_scores_unchanged(spark, small_index):
+    """Lucene live-docs semantics: surviving docs keep their exact
+    pre-delete scores; tombstoned docs vanish from every result."""
+    from bm25s_spark.operators.deletes import with_tombstones
+
+    qdf = spark.createDataFrame(QUERIES, "query_id string, text string")
+    full = _score_map(small_index.get_scores(qdf, method="bm25l").collect())
+    tomb = spark.createDataFrame([(1,), (4,), (7,)], "doc_id long")
+    view = with_tombstones(small_index, tomb)
+    masked = _score_map(view.get_scores(qdf, method="bm25l").collect())
+    dead = {1, 4, 7}
+    assert set(masked) == {k for k in full if k[1] not in dead}
+    for k, v in masked.items():
+        assert v == full[k]  # bit-identical, not approximately
+
+
+def test_tombstone_view_doc_map_and_lens(spark, small_index):
+    from bm25s_spark.operators.deletes import with_tombstones
+
+    tomb = spark.createDataFrame([(0,), (11,)], "doc_id long")
+    view = with_tombstones(small_index, tomb)
+    assert view.num_docs == small_index.num_docs  # stats untouched
+    assert view.avg_doc_len == small_index.avg_doc_len
+    assert view.doc_lens.count() == small_index.doc_lens.count() - 2
+    assert view.doc_map.where(F.col("doc_id").isin(0, 11)).count() == 0
+    assert view.sharded is None
+
+
+def test_compacted_equals_fresh_build(spark, small_index):
+    """compact_index must be indistinguishable from a fresh build over
+    the surviving corpus — postings impacts, term stats, and scalars."""
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.operators.deletes import compact_index
+
+    dead = [2, 5, 9]
+    tomb = spark.createDataFrame([(i,) for i in dead], "doc_id long")
+    compacted = compact_index(small_index, tomb)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS) if i not in dead],
+        "doc_id long, text string",
+    )
+    fresh = build_index(docs, doc_id_col="doc_id")
+
+    assert compacted.num_docs == fresh.num_docs
+    assert compacted.avg_doc_len == pytest.approx(fresh.avg_doc_len, abs=0)
+
+    cols = ["term", "doc_id", "tf", "dl", "impact_lucene", "impact_bm25l"]
+    a = sorted(map(tuple, compacted.postings.select(*cols).collect()))
+    b = sorted(map(tuple, fresh.postings.select(*cols).collect()))
+    assert a == b
+
+    ts_cols = ["term", "df", "nnoc_bm25l", "nnoc_bm25plus"]
+    assert sorted(map(tuple, compacted.term_stats.select(*ts_cols).collect())) \
+        == sorted(map(tuple, fresh.term_stats.select(*ts_cols).collect()))
+
+
+def test_compact_after_view(spark, small_index):
+    """compact_index(view) — no tombstone arg — compacts an existing
+    live-docs view."""
+    from bm25s_spark.operators.deletes import compact_index, with_tombstones
+
+    tomb = spark.createDataFrame([(3,)], "doc_id long")
+    via_view = compact_index(with_tombstones(small_index, tomb))
+    direct = compact_index(small_index, tomb)
+    assert via_view.num_docs == direct.num_docs == small_index.num_docs - 1
+    assert via_view.avg_doc_len == direct.avg_doc_len
+
+
+# ---------------------------------------------------------------------------
+# explain
+# ---------------------------------------------------------------------------
+
+def test_explain_sums_to_score(spark, small_index):
+    """Σ contribution per (query, doc) + per-query nnoc constant must
+    reproduce the retrieval score exactly (bm25l exercises the nnoc
+    add-back; multiplicities via repeated query terms)."""
+    from bm25s_spark.operators.explain import explain_scores
+    from bm25s_spark.retrieval import _nnoc_per_query, tokenize_queries
+
+    qdf = spark.createDataFrame(
+        [("q1", "merge merge sort"), ("q2", "fast key window")],
+        "query_id string, text string",
+    )
+    scores = _score_map(small_index.get_scores(qdf, method="bm25l").collect())
+    rows = explain_scores(small_index, qdf, method="bm25l").collect()
+    qterms = tokenize_queries(small_index, qdf)
+    nnoc = {
+        r["query_id"]: r["nnoc_sum"]
+        for r in _nnoc_per_query(small_index, qterms, "bm25l", "bm25l").collect()
+    }
+    summed: dict = {}
+    for r in rows:
+        key = (r["query_id"], r["doc_id"])
+        summed[key] = summed.get(key, 0.0) + r["contribution"]
+    assert set(summed) == set(scores)
+    for key, raw in summed.items():
+        assert raw + nnoc[key[0]] == pytest.approx(scores[key], abs=1e-12)
+
+
+def test_explain_topk_restriction(spark, small_index):
+    from bm25s_spark.operators.explain import explain_scores
+
+    qdf = spark.createDataFrame(QUERIES, "query_id string, text string")
+    topk = small_index.retrieve(qdf, k=3, pad=False)
+    rows = explain_scores(small_index, qdf, topk_df=topk).collect()
+    allowed = {(r["query_id"], r["doc_id"]) for r in topk.collect()}
+    assert {(r["query_id"], r["doc_id"]) for r in rows} == allowed
+    # multiplicity column reflects repeated query tokens
+    qdf2 = spark.createDataFrame(
+        [("m1", "merge merge")], "query_id string, text string"
+    )
+    m = explain_scores(small_index, qdf2).select("mult").distinct().collect()
+    assert [r["mult"] for r in m] == [2.0]
+
+
+# ---------------------------------------------------------------------------
+# synonyms
+# ---------------------------------------------------------------------------
+
+def test_synonym_expansion_weights(spark, small_index):
+    """Expanded bag = base tokens at full mult + synonyms at weighted
+    mult; weights for a shared target accumulate; an OOV source token
+    still expands."""
+    from bm25s_spark.operators.synonyms import expand_query_terms
+
+    qdf = spark.createDataFrame(
+        [("q1", "merge merge zzqx")], "query_id string, text string"
+    )
+    syn = spark.createDataFrame(
+        [("merge", "join", 0.5), ("zzqx", "join", 1.0), ("zzqx", "scan", 0.25)],
+        "term string, synonym string, weight double",
+    )
+    got = {
+        r["term"]: r["mult"]
+        for r in expand_query_terms(small_index, qdf, syn).collect()
+    }
+    # merge appears twice (mult 2); join = 2*0.5 (from merge) + 1*1.0
+    # (from zzqx); scan = 0.25; zzqx itself rides through at mult 1
+    assert got == {"merge": 2.0, "join": 2.0, "scan": 0.25, "zzqx": 1.0}
+
+
+def test_retrieve_with_synonyms_vs_manual(spark, small_index):
+    """Synonym-expanded retrieval equals scoring the weighted bag by
+    hand through the public scorer with pre-tokenized duplication."""
+    from bm25s_spark.operators.synonyms import retrieve_with_synonyms
+    from bm25s_spark.retrieval import _matched_scores
+
+    qdf = spark.createDataFrame([("q1", "sort table")], "query_id string, text string")
+    syn = spark.createDataFrame(
+        [("sort", "order", 0.5)], "term string, synonym string, weight double"
+    )
+    got = retrieve_with_synonyms(small_index, qdf, syn, k=5, method="lucene")
+    manual_qterms = spark.createDataFrame(
+        [("q1", "sort", 1.0), ("q1", "table", 1.0), ("q1", "order", 0.5)],
+        "query_id string, term string, mult double",
+    )
+    want = _matched_scores(small_index, manual_qterms, "lucene", "lucene", None)
+    got_rows = {(r["doc_id"]): r["score"] for r in got.collect()}
+    want_top = sorted(
+        want.collect(), key=lambda r: (-r["score"], r["doc_id"])
+    )[:5]
+    assert got_rows == {r["doc_id"]: pytest.approx(r["score"]) for r in want_top}
+
+
+# ---------------------------------------------------------------------------
+# suggest
+# ---------------------------------------------------------------------------
+
+def test_suggest_terms(spark, small_index):
+    from bm25s_spark.operators.suggest import suggest_terms
+
+    prefixes = spark.createDataFrame(
+        [("s",), ("ta",), ("zz",)], "prefix string"
+    )
+    rows = suggest_terms(small_index, prefixes, n=3).collect()
+    by_prefix: dict = {}
+    for r in rows:
+        by_prefix.setdefault(r["prefix"], []).append((r["rank"], r["term"], r["df"]))
+    assert "zz" not in by_prefix  # no completions → no rows
+    ta = sorted(by_prefix["ta"])
+    assert [t for _, t, _ in ta] == ["table"]
+    s_terms = [t for _, t, _ in sorted(by_prefix["s"])]
+    assert len(s_terms) == 3 and all(t.startswith("s") for t in s_terms)
+    # ranked by df desc then term asc — verify against term_stats
+    vocab = {
+        r["term"]: r["df"]
+        for r in small_index.term_stats.where(F.col("df") > 0).collect()
+    }
+    want = sorted(
+        (t for t in vocab if t.startswith("s")),
+        key=lambda t: (-vocab[t], t),
+    )[:3]
+    assert s_terms == want
+
+
+# ---------------------------------------------------------------------------
+# embedding pooling
+# ---------------------------------------------------------------------------
+
+def test_mean_pool_embeddings(spark):
+    from bm25s_spark.operators.similarity import mean_pool_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((10, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    pooled = {
+        r["group_id"]: (r["embedding"], r["n_members"])
+        for r in mean_pool_embeddings(
+            df, (F.col("vec_id") / 3).cast("long")
+        ).collect()
+    }
+    for g in range(4):
+        members = vecs[g * 3: g * 3 + 3]
+        want = members.astype(np.float64).mean(axis=0)
+        got, n = pooled[g]
+        assert n == len(members)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_mean_pool_deterministic_under_partitioning(spark):
+    """The sorted-member sum must be bit-identical regardless of input
+    partitioning (collect_list order varies; sort_array pins it)."""
+    from bm25s_spark.operators.similarity import mean_pool_embeddings
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df2 = df1.repartition(7, F.col("vec_id"))
+    p1 = {r["group_id"]: r["embedding"] for r in
+          mean_pool_embeddings(df1, (F.col("vec_id") % 5)).collect()}
+    p2 = {r["group_id"]: r["embedding"] for r in
+          mean_pool_embeddings(df2, (F.col("vec_id") % 5)).collect()}
+    assert p1 == p2  # exact equality, not approx
+
+
+def test_mean_pool_normalize(spark):
+    from bm25s_spark.operators.similarity import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    out = mean_pool_embeddings(df, F.lit(0), normalize=True).collect()[0]
+    np.testing.assert_allclose(out["embedding"], [0.6, 0.8], atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dedup
+# ---------------------------------------------------------------------------
+
+def _near_dup_rows():
+    # batch 1: 0/1 near-dups of each other, 2 unique
+    b1 = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (2, "completely different content about spark shuffle partitions and joins"),
+    ]
+    # batch 2: 10 near-dup of batch-1 doc 0 (cross-batch drop), 11/12
+    # within-batch near-dups, 13 unique
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (11, "streaming state stores keep signatures on disk for minhash bands ok"),
+        (12, "streaming state stores keep signatures on disk for minhash bands yes"),
+        (13, "another unique document about inverted index compression blocks"),
+    ]
+    return b1, b2
+
+
+def test_streaming_near_dedup_batch_parity(spark, tmp_path):
+    """Two micro-batches through the signature store == the same rule
+    replayed with the batch operators."""
+    from bm25s_spark.operators.dedup import (
+        deduplicate_near,
+        minhash_band_buckets,
+    )
+    from bm25s_spark.streaming.dedup import StreamingNearDeduplicator
+
+    b1, b2 = _near_dup_rows()
+    schema = "doc_id long, text string"
+    dedup = StreamingNearDeduplicator(spark, str(tmp_path / "store"))
+    dedup.process_batch(spark.createDataFrame(b1, schema), 0)
+    dedup.process_batch(spark.createDataFrame(b2, schema), 1)
+    kept = sorted(r["doc_id"] for r in dedup.kept().collect())
+
+    # batch replay: within-batch near-dedup of b1; then b2 docs whose
+    # buckets hit b1's bucket set are dropped, remainder near-dedup'd
+    df1 = spark.createDataFrame(b1, schema)
+    df2 = spark.createDataFrame(b2, schema)
+    kept1 = sorted(r["doc_id"] for r in deduplicate_near(df1).collect())
+    bb1 = minhash_band_buckets(df1).select("band", "bucket").distinct()
+    hit = (
+        minhash_band_buckets(df2)
+        .join(bb1, ["band", "bucket"], "left_semi")
+        .select("doc_id").distinct()
+    )
+    fresh2 = df2.join(hit, "doc_id", "left_anti")
+    kept2 = sorted(r["doc_id"] for r in deduplicate_near(fresh2).collect())
+    assert kept == sorted(kept1 + kept2)
+    # and the semantics themselves: 1 dropped (near-dup of 0 in batch),
+    # 10 dropped (cross-batch), one of 11/12 dropped
+    assert 0 in kept and 2 in kept and 13 in kept
+    assert 1 not in kept and 10 not in kept
+    assert (11 in kept) != (12 in kept)
+
+
+def test_streaming_near_dedup_via_stream(spark, tmp_path):
+    """Same result through an actual Structured Streaming query with
+    one file per micro-batch."""
+    from bm25s_spark.streaming.dedup import StreamingNearDeduplicator
+
+    b1, b2 = _near_dup_rows()
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    dedup = StreamingNearDeduplicator(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = dedup.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    kept = sorted(r["doc_id"] for r in dedup.kept().collect())
+    # file→batch order isn't guaranteed, but this near-dup topology is
+    # order-insensitive: {0,10} collapse to whichever arrived first
+    assert 2 in kept and 13 in kept
+    assert len({0, 10} & set(kept)) == 1
+    assert len({11, 12} & set(kept)) == 1
+    assert 1 not in kept or 0 not in kept
