@@ -541,6 +541,45 @@ def _gate_knn_conv_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# recency gate: now = 2026-01-02 00:00 (ts spans doc_id minutes from
+# 2026-01-01), half-life 6 h — ages 15.7–24 h, decay factors 2^-4…2^-2.6
+_RECENCY_NOW = "2026-01-02 00:00:00"
+_RECENCY_HALF_LIFE_H = 6.0
+
+
+def _gate_topk_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-boosted lucene top-k: text score × 2^(-age/half_life),
+    age from the transcript turn's ts (= 2026-01-01 + doc_id minutes in
+    the _transcripts derivation, which the oracle replays as pure
+    doc_id arithmetic — no timezone in the twin at all)."""
+    from bm25s_spark.ids import assign_doc_ids
+    from bm25s_spark.operators.recency import retrieve_with_decay
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    ts = assign_doc_ids(
+        _transcripts(spark, sf_dir), ["conv_id", "turn_idx"]
+    ).select("doc_id", "ts")
+    return retrieve_with_decay(
+        idx, qdf, ts, now=_RECENCY_NOW,
+        half_life_hours=_RECENCY_HALF_LIFE_H, k=TOPK, round_to=4,
+    )
+
+
+def _gate_topk_filtered_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered lucene top-k: only `user` turns (doc_id % 3 ==
+    0 in the _transcripts derivation) may rank; statistics stay
+    corpus-wide, so surviving scores equal the unfiltered engine's —
+    same oracle family as the tombstone view, different predicate."""
+    from bm25s_spark.operators.filtered import retrieve_filtered
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return retrieve_filtered(
+        idx, qdf, F.col("role") == "user", k=TOPK, round_to=4
+    )
+
+
 def _gate_topk_chunk_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are 32-token sliding
     WINDOWS (``chunk_documents`` output, overlap 8) — the RAG
@@ -970,6 +1009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_suggest"] = _gate_suggest
     # mean-pooled conversation embeddings → exact cosine top-k
     q["knn_conv_pooled"] = _gate_knn_conv_pooled
+    # recency boost: score × 2^(-age/half_life) from the turn ts
+    q["bm25_topk_recency"] = _gate_topk_recency
+    # metadata filter: only user turns may rank, stats corpus-wide
+    q["bm25_topk_filtered_role"] = _gate_topk_filtered_role
 
     # ---- index internals ----
     def term_stats(spark, sf):
@@ -1825,6 +1868,36 @@ matched AS (
 )
 SELECT prefix, rank, term, df FROM matched WHERE rank <= 5
 """
+    # recency twin: age replayed as doc_id arithmetic (ts = 2026-01-01 +
+    # doc_id minutes; now = +86400 s), same clamp + round-4-before-rank
+    o["bm25_topk_recency"] = _bm25_common_cte("lucene") + f""",
+raw AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM qterms q JOIN impacts im USING (term)
+  GROUP BY q.query_id, im.doc_id
+),
+decayed AS (
+  SELECT query_id, doc_id,
+         round(raw, 4) AS score,
+         round(raw * pow(2.0, -greatest((86400 - doc_id * 60) / 3600.0, 0.0)
+                              / {_RECENCY_HALF_LIFE_H}), 4) AS decayed_score
+  FROM raw
+),
+rankedr AS (
+  SELECT query_id, doc_id, score, decayed_score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY decayed_score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM decayed
+)
+SELECT query_id, rank, doc_id, score, decayed_score
+FROM rankedr WHERE rank <= {TOPK}
+"""
+    # metadata filter twin: candidate-set predicate only, stats
+    # corpus-wide (role = user ⇔ doc_id % 3 = 0 in _transcripts)
+    o["bm25_topk_filtered_role"] = _bm25_oracle_sql(
+        "lucene", live_filter="im.doc_id % 3 = 0"
+    )
     # pooled-conversation kNN twin: element-wise mean per vec_id//4
     # group (both engines widen float→double before averaging), cosine
     # via a positional join, round-4 before the rank

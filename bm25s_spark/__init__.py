@@ -58,11 +58,24 @@ from bm25s_spark.operators.boolean import retrieve_excluding
 from bm25s_spark.operators.facets import facet_counts
 from bm25s_spark.operators.trends import trending_terms
 from bm25s_spark.operators.mmr import mmr_rerank
-from bm25s_spark.streaming.dedup import streaming_deduplicate
+from bm25s_spark.operators.deletes import compact_index, with_tombstones
+from bm25s_spark.operators.explain import explain_scores
+from bm25s_spark.operators.synonyms import (
+    expand_query_terms,
+    retrieve_with_synonyms,
+)
+from bm25s_spark.operators.suggest import suggest_terms
+from bm25s_spark.operators.recency import retrieve_with_decay
+from bm25s_spark.operators.filtered import retrieve_filtered
+from bm25s_spark.operators.similarity import mean_pool_embeddings
+from bm25s_spark.streaming.dedup import (
+    StreamingNearDeduplicator,
+    streaming_deduplicate,
+)
 from bm25s_spark.streaming.sessions import session_window_rollup
 from bm25s_spark.streaming.windows import windowed_event_rollup
 
-__version__ = "0.7.0"
+__version__ = "0.8.0"
 
 __all__ = [
     "tokenize",
@@ -118,4 +131,14 @@ __all__ = [
     "facet_counts",
     "trending_terms",
     "mmr_rerank",
+    "with_tombstones",
+    "compact_index",
+    "explain_scores",
+    "expand_query_terms",
+    "retrieve_with_synonyms",
+    "suggest_terms",
+    "retrieve_with_decay",
+    "retrieve_filtered",
+    "mean_pool_embeddings",
+    "StreamingNearDeduplicator",
 ]

@@ -242,6 +242,81 @@ def test_suggest_terms(spark, small_index):
 
 
 # ---------------------------------------------------------------------------
+# recency decay / metadata filter
+# ---------------------------------------------------------------------------
+
+def test_retrieve_with_decay(spark, small_index):
+    """Decay = 2^(-age_h/half_life); missing-ts docs keep factor 1.0;
+    future docs clamp to 1.0; ranking is by the decayed score."""
+    import math
+
+    from bm25s_spark.operators.recency import retrieve_with_decay
+
+    qdf = spark.createDataFrame([("q1", "merge sort")], "query_id string, text string")
+    base = _score_map(small_index.get_scores(qdf, method="lucene").collect())
+    # doc i gets ts = 2026-01-01 00:00 + i hours; docs ≥ 9 have no ts;
+    # doc 8 is in the future relative to `now`
+    ts_rows = [(i, f"2026-01-01 {i:02d}:00:00") for i in range(8)]
+    ts_rows.append((8, "2026-01-03 00:00:00"))
+    ts = spark.createDataFrame(ts_rows, "doc_id long, ts_s string").select(
+        "doc_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    now = "2026-01-01 12:00:00"
+    out = retrieve_with_decay(
+        small_index, qdf, ts, now=now, half_life_hours=6.0, k=12
+    ).collect()
+    got = {r["doc_id"]: (r["score"], r["decayed_score"]) for r in out}
+    for doc, (score, dec) in got.items():
+        assert score == pytest.approx(base[("q1", doc)], abs=1e-12)
+        if doc >= 8:  # future ts (8) or missing ts (≥9): factor 1.0
+            assert dec == pytest.approx(score, abs=1e-12)
+        else:
+            age_h = 12.0 - doc
+            assert dec == pytest.approx(
+                score * math.pow(2.0, -age_h / 6.0), abs=1e-12
+            )
+    # ranking follows the decayed score
+    ranked = sorted(out, key=lambda r: r["rank"])
+    decs = [r["decayed_score"] for r in ranked]
+    assert decs == sorted(decs, reverse=True)
+
+
+def test_retrieve_filtered(spark, small_index):
+    """Filter applies BEFORE the rank cut; surviving scores are
+    bit-identical to the unfiltered engine; Column predicate routes
+    through doc_map."""
+    from bm25s_spark.operators.filtered import retrieve_filtered
+
+    qdf = spark.createDataFrame(QUERIES, "query_id string, text string")
+    base = _score_map(small_index.get_scores(qdf, method="lucene").collect())
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(0, 12, 2)], "doc_id long"
+    )
+    out = retrieve_filtered(small_index, qdf, allowed, k=10).collect()
+    assert out and all(r["doc_id"] % 2 == 0 for r in out)
+    for r in out:
+        assert r["score"] == base[(r["query_id"], r["doc_id"])]
+    # Column-predicate form over doc_map (here: text containing 'spark')
+    out2 = retrieve_filtered(
+        small_index, qdf, F.col("text").contains("spark"), k=10
+    ).collect()
+    assert {r["doc_id"] for r in out2} <= {0, 9}
+
+
+def test_retrieve_filtered_requires_doc_map(spark):
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.operators.filtered import retrieve_filtered
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    idx = build_index(docs, doc_id_col="doc_id", keep_doc_map=False)
+    qdf = spark.createDataFrame([("q", "beta")], "query_id string, text string")
+    with pytest.raises(ValueError, match="doc_map"):
+        retrieve_filtered(idx, qdf, F.col("text").contains("a"))
+
+
+# ---------------------------------------------------------------------------
 # embedding pooling
 # ---------------------------------------------------------------------------
 
