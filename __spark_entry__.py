@@ -580,6 +580,56 @@ def _gate_topk_filtered_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_collapse_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapse: per-turn lucene scores (rounded) collapse to one
+    best turn per CONVERSATION (doc_id // 4 — the _transcripts packing),
+    conversations ranked by their best turn.  The post-retrieval sibling
+    of the conversation-granularity index."""
+    from bm25s_spark.operators.collapse import collapse_results
+    from bm25s_spark.retrieval import score_all
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    scores = score_all(idx, qdf, method="lucene").withColumn(
+        "score", F.round("score", 4)
+    )
+    groups = idx.doc_lens.select(
+        "doc_id", (F.col("doc_id") / 4).cast("long").alias("conv")
+    )
+    return collapse_results(scores, groups, k=5, group_col="conv")
+
+
+def _gate_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (reverse search): every document matched against the
+    stored gate queries; full boolean-AND matches only.  q05 (OOV term)
+    and q06 (all stopwords) must fire on no document in both engines."""
+    from bm25s_spark.operators.percolate import percolate
+
+    docs = _documents(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return percolate(docs, qdf)
+
+
+def _gate_topk_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: page 2 via ``search_after`` cursors taken from
+    the LAST row of each query's page 1 — must equal ranks k+1..2k of
+    the rounded total order (which is exactly what the oracle selects).
+    Queries with ≤k total hits (q05/q06) produce an empty page 2 on
+    both engines."""
+    from bm25s_spark.operators.paging import retrieve_after
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    page1 = _gate_topk(spark, sf_dir, "lucene")
+    wlast = Window.partitionBy("query_id").orderBy(F.col("rank").desc())
+    cursors = (
+        page1.withColumn("_r", F.row_number().over(wlast))
+        .where(F.col("_r") == 1)
+        .select("query_id", "score", "doc_id")
+    )
+    return retrieve_after(idx, qdf, cursors, k=TOPK, round_to=4)
+
+
 def _gate_topk_chunk_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k over an index whose documents are 32-token sliding
     WINDOWS (``chunk_documents`` output, overlap 8) — the RAG
@@ -1013,6 +1063,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_recency"] = _gate_topk_recency
     # metadata filter: only user turns may rank, stats corpus-wide
     q["bm25_topk_filtered_role"] = _gate_topk_filtered_role
+    # field collapse: best turn per conversation, groups ranked by it
+    q["search_collapse_conv"] = _gate_collapse_conv
+    # percolation: documents matched against stored queries (alerting)
+    q["search_percolate"] = _gate_percolate
+    # keyset pagination: page 2 via search_after == ranks k+1..2k
+    q["bm25_topk_page2"] = _gate_topk_page2
 
     # ---- index internals ----
     def term_stats(spark, sf):
@@ -1898,6 +1954,75 @@ FROM rankedr WHERE rank <= {TOPK}
     o["bm25_topk_filtered_role"] = _bm25_oracle_sql(
         "lucene", live_filter="im.doc_id % 3 = 0"
     )
+    # field-collapse twin: per-turn rounded lucene scores → best turn
+    # per conversation (score desc, doc asc), conversations ranked by
+    # (best score desc, conv asc), n_hits over the full candidate set
+    o["search_collapse_conv"] = _bm25_common_cte("lucene") + f""",
+raw AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM qterms q JOIN impacts im USING (term)
+  GROUP BY q.query_id, im.doc_id
+),
+hits AS (
+  SELECT query_id, doc_id, doc_id // 4 AS group_id,
+         round(raw, 4) AS score
+  FROM raw
+),
+bestg AS (
+  SELECT query_id, group_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id, group_id
+           ORDER BY score DESC, doc_id ASC
+         ) AS gr,
+         count(*) OVER (PARTITION BY query_id, group_id) AS n_hits
+  FROM hits
+),
+rankedc AS (
+  SELECT query_id, group_id, doc_id, score, n_hits,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, group_id ASC
+         ) AS INTEGER) AS rank
+  FROM bestg WHERE gr = 1
+)
+SELECT query_id, rank, group_id, doc_id, score, n_hits
+FROM rankedc WHERE rank <= 5
+"""
+    # keyset-pagination twin: page 2 IS ranks k+1..2k of the rounded
+    # total order, re-numbered from 1
+    o["bm25_topk_page2"] = _bm25_common_cte("lucene") + f""",
+raw AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM qterms q JOIN impacts im USING (term)
+  GROUP BY q.query_id, im.doc_id
+),
+rankedpg AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(raw, 4) DESC, doc_id ASC
+         ) AS rn
+  FROM raw
+)
+SELECT query_id, CAST(rn - {TOPK} AS INTEGER) AS rank, doc_id, score
+FROM rankedpg WHERE rn > {TOPK} AND rn <= {2 * TOPK}
+"""
+    # percolation twin: distinct (doc, term) pairs = the tf CTE keys;
+    # a doc fires a stored query iff it covers all the query's distinct
+    # post-tokenizer terms
+    o["search_percolate"] = _bm25_common_cte("lucene") + """,
+qdist AS (SELECT DISTINCT query_id, term FROM qterms),
+qlen AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+  FROM qdist GROUP BY query_id
+),
+pm AS (
+  SELECT tf.doc_id, q.query_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM qdist q JOIN tf USING (term)
+  GROUP BY 1, 2
+)
+SELECT pm.doc_id, pm.query_id, pm.n_matched, ql.n_terms
+FROM pm JOIN qlen ql USING (query_id)
+WHERE pm.n_matched >= ql.n_terms
+"""
     # pooled-conversation kNN twin: element-wise mean per vec_id//4
     # group (both engines widen float→double before averaging), cosine
     # via a positional join, round-4 before the rank

@@ -67,6 +67,9 @@ from bm25s_spark.operators.synonyms import (
 from bm25s_spark.operators.suggest import suggest_terms
 from bm25s_spark.operators.recency import retrieve_with_decay
 from bm25s_spark.operators.filtered import retrieve_filtered
+from bm25s_spark.operators.collapse import collapse_results
+from bm25s_spark.operators.percolate import percolate
+from bm25s_spark.operators.paging import retrieve_after
 from bm25s_spark.operators.similarity import mean_pool_embeddings
 from bm25s_spark.streaming.dedup import (
     StreamingNearDeduplicator,
@@ -139,6 +142,9 @@ __all__ = [
     "suggest_terms",
     "retrieve_with_decay",
     "retrieve_filtered",
+    "collapse_results",
+    "percolate",
+    "retrieve_after",
     "mean_pool_embeddings",
     "StreamingNearDeduplicator",
 ]

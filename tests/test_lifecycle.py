@@ -317,6 +317,160 @@ def test_retrieve_filtered_requires_doc_map(spark):
 
 
 # ---------------------------------------------------------------------------
+# field collapse
+# ---------------------------------------------------------------------------
+
+def test_collapse_results(spark):
+    from bm25s_spark.operators.collapse import collapse_results
+
+    results = spark.createDataFrame(
+        [
+            ("q1", 0, 3.0), ("q1", 1, 5.0),   # group 0: best doc 1 (5.0)
+            ("q1", 2, 5.0), ("q1", 3, 1.0),   # group 1: best doc 2 (5.0, tie→low doc)
+            ("q1", 4, 4.0),                    # group 2: single hit
+            ("q2", 0, 2.0),
+        ],
+        "query_id string, doc_id long, score double",
+    )
+    groups = spark.createDataFrame(
+        [(i, i // 2) for i in range(6)], "doc_id long, grp long"
+    )
+    out = collapse_results(results, groups, k=2, group_col="grp").collect()
+    q1 = sorted((r for r in out if r["query_id"] == "q1"), key=lambda r: r["rank"])
+    # groups 0 and 1 both peak at 5.0 → group_id asc breaks the tie
+    assert [(r["group_id"], r["doc_id"], r["score"], r["n_hits"]) for r in q1] \
+        == [(0, 1, 5.0, 2), (1, 2, 5.0, 2)]
+    q2 = [r for r in out if r["query_id"] == "q2"]
+    assert [(r["group_id"], r["doc_id"], r["n_hits"]) for r in q2] == [(0, 0, 1)]
+
+
+def test_collapse_within_group_tiebreak(spark):
+    """Equal scores inside a group pick the LOWEST doc_id as the
+    representative."""
+    from bm25s_spark.operators.collapse import collapse_results
+
+    results = spark.createDataFrame(
+        [("q", 9, 1.0), ("q", 4, 1.0)], "query_id string, doc_id long, score double"
+    )
+    groups = spark.createDataFrame([(9, 0), (4, 0)], "doc_id long, grp long")
+    out = collapse_results(results, groups, k=1, group_col="grp").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 4 and out[0]["n_hits"] == 2
+
+
+# ---------------------------------------------------------------------------
+# keyset pagination
+# ---------------------------------------------------------------------------
+
+def test_retrieve_after_pages_partition_the_order(spark, small_index):
+    """Pages 1+2+3 via search_after == the full (score desc, doc asc)
+    order sliced — no gaps, no overlaps, cursors from the last row."""
+    from bm25s_spark.operators.paging import retrieve_after
+
+    qdf = spark.createDataFrame([("q1", "merge sort table")],
+                                "query_id string, text string")
+    full = retrieve_after(small_index, qdf, None, k=100, round_to=4).collect()
+    full = sorted(full, key=lambda r: r["rank"])
+    pages, cursor = [], None
+    for _ in range(3):
+        page = sorted(
+            retrieve_after(small_index, qdf, cursor, k=3, round_to=4).collect(),
+            key=lambda r: r["rank"],
+        )
+        if not page:
+            break
+        pages.extend(page)
+        last = page[-1]
+        cursor = spark.createDataFrame(
+            [("q1", last["score"], last["doc_id"])],
+            "query_id string, score double, doc_id long",
+        )
+    assert [(r["doc_id"], r["score"]) for r in pages] \
+        == [(r["doc_id"], r["score"]) for r in full[: len(pages)]]
+    assert len(pages) == min(9, len(full))
+
+
+def test_retrieve_after_tie_boundary(spark, small_index):
+    """A cursor landing INSIDE a tie group resumes at the next doc_id,
+    not the next score."""
+    from bm25s_spark.operators.paging import retrieve_after
+
+    qdf = spark.createDataFrame([("q1", "merge")], "query_id string, text string")
+    full = sorted(
+        retrieve_after(small_index, qdf, None, k=100, round_to=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    # find a tie pair in the rounded order (merge hits many docs; at
+    # round_to=2 equal-dl docs tie); fall back to any adjacent pair
+    idx_cut = next(
+        (i for i in range(len(full) - 1)
+         if full[i]["score"] == full[i + 1]["score"]),
+        0,
+    )
+    cur = spark.createDataFrame(
+        [("q1", full[idx_cut]["score"], full[idx_cut]["doc_id"])],
+        "query_id string, score double, doc_id long",
+    )
+    nxt = sorted(
+        retrieve_after(small_index, qdf, cur, k=100, round_to=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [(r["doc_id"], r["score"]) for r in nxt] \
+        == [(r["doc_id"], r["score"]) for r in full[idx_cut + 1:]]
+
+
+# ---------------------------------------------------------------------------
+# percolation
+# ---------------------------------------------------------------------------
+
+def test_percolate_full_and_partial(spark):
+    from bm25s_spark.operators.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta"),
+            (2, "gamma alone here"),
+            (3, "the and of"),          # stopwords only
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [
+            ("s1", "alpha beta"),        # full match: docs 0, 1
+            ("s2", "alpha gamma"),       # full match: doc 0 only
+            ("s3", "zzqx alpha"),        # OOV term → never fires fully
+            ("s4", "the and"),           # stopwords only → never fires
+        ],
+        "query_id string, text string",
+    )
+    full = {(r["doc_id"], r["query_id"]) for r in percolate(docs, queries).collect()}
+    assert full == {(0, "s1"), (1, "s1"), (0, "s2")}
+    # min_should_match=1 relaxes to boolean-OR: s3 fires wherever alpha is
+    loose = {
+        (r["doc_id"], r["query_id"]): (r["n_matched"], r["n_terms"])
+        for r in percolate(docs, queries, min_should_match=1).collect()
+    }
+    assert loose[(0, "s3")] == (1, 2) and loose[(1, "s3")] == (1, 2)
+    assert (2, "s3") not in loose
+    assert not any(q == "s4" for _, q in loose)  # nothing to match on
+
+
+def test_percolate_counts_distinct_terms(spark):
+    """Repeated terms in doc or query count once (distinct-term
+    coverage, not occurrence counts)."""
+    from bm25s_spark.operators.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha alpha beta")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [("s", "alpha alpha beta")], "query_id string, text string"
+    )
+    out = percolate(docs, queries).collect()
+    assert [(r["n_matched"], r["n_terms"]) for r in out] == [(2, 2)]
+
+
+# ---------------------------------------------------------------------------
 # embedding pooling
 # ---------------------------------------------------------------------------
 
