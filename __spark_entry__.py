@@ -1070,6 +1070,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keyset pagination: page 2 via search_after == ranks k+1..2k
     q["bm25_topk_page2"] = _gate_topk_page2
 
+    # significant terms (ES significant_terms / JLH): which vocabulary
+    # terms are over-represented in each query's top-k hit set relative
+    # to the whole corpus — foreground df from the hits joined against
+    # the postings, background df from term_stats
+    def sigterms_gate(spark, sf):
+        from bm25s_spark.operators.sigterms import significant_terms
+
+        idx = _index_for(spark, sf)
+        res = _gate_topk(spark, sf, "lucene")
+        return significant_terms(idx, res, top_n=5, round_to=6)
+
+    q["search_significant_terms"] = sigterms_gate
+
     # ---- index internals ----
     def term_stats(spark, sf):
         idx = _index_for(spark, sf)
@@ -1791,6 +1804,42 @@ FROM (
   FROM ({_bm25_oracle_sql("lucene")})
   GROUP BY 1, 2
 )
+"""
+    # significant-terms twin: lucene top-k as the foreground doc set,
+    # per-term foreground df vs corpus df, JLH lift rounded to 6 before
+    # the (score desc, term asc) rank cut — identical double arithmetic
+    # on both engines (same integer-derived inputs)
+    o["search_significant_terms"] = _bm25_common_cte("lucene") + f""",
+hits AS (
+  SELECT query_id, doc_id FROM ({_bm25_oracle_sql("lucene")})
+),
+fgsz AS (
+  SELECT query_id, CAST(count(*) AS DOUBLE) AS fg_size
+  FROM hits GROUP BY query_id
+),
+fg AS (
+  SELECT h.query_id, tf.term, CAST(count(*) AS DOUBLE) AS fg_df
+  FROM hits h JOIN tf USING (doc_id) GROUP BY h.query_id, tf.term
+),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg_df, d.df,
+         round(((fg.fg_df / z.fg_size) - (d.df / s.n))
+               * ((fg.fg_df / z.fg_size) / (d.df / s.n)), 6) AS score
+  FROM fg
+  JOIN fgsz z USING (query_id)
+  JOIN dfreq d USING (term)
+  CROSS JOIN s
+),
+ranked_sig AS (
+  SELECT query_id, term, CAST(fg_df AS BIGINT) AS fg_df,
+         CAST(df AS BIGINT) AS df, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM sig
+)
+SELECT query_id, term, fg_df, df, score, rank
+FROM ranked_sig WHERE rank <= 5
 """
     # more-like-this twin: mined terms replay keywords' tf·ln(N/df)
     # (rounded-before-rank, term-asc ties), then standard lucene scoring
