@@ -1141,6 +1141,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["index_top_terms"] = top_terms
 
+    # term vectors (ES _termvectors): the doc-major view of the index
+    # for the MLT seed docs — per-(doc, term) tf, corpus df, lucene idf
+    def termvec_gate(spark, sf):
+        from bm25s_spark.operators.termvectors import term_vectors
+
+        idx = _index_for(spark, sf)
+        return term_vectors(idx, MLT_SEEDS, idf_method="lucene", round_to=6)
+
+    q["index_term_vectors"] = termvec_gate
+
     # ---- dedup family ----
     q["dedup_exact_groups"] = lambda spark, sf: dedup.exact_duplicates(
         _documents(spark, sf)
@@ -2476,6 +2486,19 @@ ranked AS (
 )
 SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, tfidf
 FROM ranked WHERE rank <= 3
+"""
+
+    # term-vectors twin: tf/df from the shared tokenization CTEs, lucene
+    # idf recomputed with the identical formula, seeds from MLT_SEEDS
+    o["index_term_vectors"] = _bm25_common_cte("lucene") + f""",
+seeds(seed) AS (VALUES {_SEEDS_SQL})
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(d.df AS BIGINT) AS df,
+       round({_IDF_SQL["lucene"]}, 6) AS idf
+FROM tf
+JOIN seeds ON seeds.seed = tf.doc_id
+JOIN dfreq d USING (term)
+CROSS JOIN s
 """
 
     o["dedup_exact_groups"] = f"""
