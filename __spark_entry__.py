@@ -1057,6 +1057,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_synonyms"] = _gate_topk_synonyms
     # prefix autocomplete over the vocabulary
     q["search_suggest"] = _gate_suggest
+
+    # did-you-mean: closest vocabulary term per query token (distance
+    # asc, df desc, term asc), NULL when nothing within 2 edits
+    def dym_gate(spark, sf):
+        from bm25s_spark.operators.spell import did_you_mean
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(
+            FUZZY_QUERIES, "query_id string, text string"
+        )
+        return did_you_mean(idx, qdf, max_edits=2, min_token_len=3)
+
+    q["search_did_you_mean"] = dym_gate
     # mean-pooled conversation embeddings → exact cosine top-k
     q["knn_conv_pooled"] = _gate_knn_conv_pooled
     # recency boost: score × 2^(-age/half_life) from the turn ts
@@ -2273,6 +2286,42 @@ ranked4 AS (
   FROM scored4
 )
 SELECT query_id, rank, doc_id, score FROM ranked4 WHERE rank <= {TOPK}
+"""
+
+    # did-you-mean twin: the same (distance asc, df desc, term asc)
+    # argmin over the vocabulary, short tokens exact-only, LEFT JOIN
+    # keeping no-candidate tokens as NULL rows
+    o["search_did_you_mean"] = _bm25_common_cte("lucene") + f""",
+fq(query_id, qtext) AS (VALUES {_FUZZY_SQL}),
+ftok AS (
+  SELECT DISTINCT query_id, qterm AS token FROM (
+    SELECT query_id,
+           unnest(regexp_extract_all(lower(qtext), '\\w\\w+')) AS qterm
+    FROM fq
+  ) WHERE qterm NOT IN ({_SW_SQL})
+),
+cands AS (
+  SELECT t.query_id, t.token, d.term AS suggestion,
+         CAST(CASE WHEN d.term = t.token THEN 0
+              ELSE levenshtein(d.term, t.token) END AS INTEGER) AS distance,
+         CAST(d.df AS BIGINT) AS df
+  FROM ftok t JOIN dfreq d
+    ON d.term = t.token
+    OR (length(t.token) >= 3
+        AND abs(length(d.term) - length(t.token)) <= 2
+        AND levenshtein(d.term, t.token) <= 2)
+),
+best AS (
+  SELECT query_id, token, suggestion, distance, df,
+         row_number() OVER (
+           PARTITION BY query_id, token
+           ORDER BY distance ASC, df DESC, suggestion ASC
+         ) AS rn
+  FROM cands
+)
+SELECT t.query_id, t.token, b.suggestion, b.distance, b.df
+FROM ftok t LEFT JOIN best b
+  ON b.query_id = t.query_id AND b.token = t.token AND b.rn = 1
 """
 
     # positional-index twins: DuckDB rebuilds (doc_id, pos, term) via
