@@ -1362,6 +1362,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["retrieval_hybrid_rrf"] = hybrid_rrf
 
+    # score-based hybrid: min-max-normalize each system's (rounded)
+    # scores per query, fuse 0.7·BM25 + 0.3·cosine — same query/vector
+    # pairing as the RRF entry, but magnitudes survive the fusion
+    def hybrid_linear(spark, sf):
+        from bm25s_spark.operators.hybrid import linear_fuse
+
+        bm25 = _gate_topk(spark, sf, "lucene").select(
+            "query_id", "doc_id", "score"
+        )
+        emb = _embeddings(spark, sf)
+        qv = emb.where(F.col("vec_id") < 8).select(
+            F.format_string("q%02d", (F.col("vec_id") + 1).cast("int")).alias("query_id"),
+            F.col("embedding"),
+        )
+        kn = similarity.brute_force_knn(emb, qv, k=TOPK)
+        kw = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("cosine"), 4).desc(), F.col("vec_id").asc()
+        )
+        kn = (
+            kn.withColumn("rank", F.row_number().over(kw).cast("int"))
+            .where(F.col("rank") <= TOPK)
+            .select(
+                "query_id", F.col("vec_id").alias("doc_id"),
+                F.round("cosine", 4).alias("score"),
+            )
+        )
+        return linear_fuse([bm25, kn], k=TOPK, weights=[0.7, 0.3], round_to=6)
+
+    q["retrieval_hybrid_linear"] = hybrid_linear
+
     # ---- text analysis ----
     q["text_token_stats"] = lambda spark, sf: with_token_stats(
         _documents(spark, sf)
@@ -2900,6 +2930,62 @@ SELECT query_id,
          PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
        ) AS INTEGER) AS rank,
        doc_id, rrf_score
+FROM fused
+QUALIFY rank <= {TOPK}
+"""
+
+    # linear-fusion twin: identical min-max normalization (degenerate
+    # slate → 1.0) over the same rounded per-system scores, 0.7/0.3
+    # weights as literals so the IEEE arithmetic matches bitwise
+    o["retrieval_hybrid_linear"] = f"""
+WITH bm AS (
+  SELECT query_id, doc_id, score FROM ({_bm25_oracle_sql("lucene")})
+),
+kn AS (
+  SELECT printf('q%02d', query_id + 1) AS query_id, vec_id AS doc_id, cosine AS score
+  FROM (
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]), 4) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= {TOPK}
+  )
+),
+bmn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
+              ELSE (score - min(score) OVER w)
+                   / (max(score) OVER w - min(score) OVER w) END AS nrm
+  FROM bm WINDOW w AS (PARTITION BY query_id)
+),
+knn_n AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
+              ELSE (score - min(score) OVER w)
+                   / (max(score) OVER w - min(score) OVER w) END AS nrm
+  FROM kn WINDOW w AS (PARTITION BY query_id)
+),
+contrib AS (
+  SELECT query_id, doc_id, 0.7 * nrm AS c FROM bmn
+  UNION ALL
+  SELECT query_id, doc_id, 0.3 * nrm AS c FROM knn_n
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS fused_score
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY fused_score DESC, doc_id ASC
+       ) AS INTEGER) AS rank,
+       doc_id, fused_score
 FROM fused
 QUALIFY rank <= {TOPK}
 """

@@ -84,6 +84,74 @@ def rrf_fuse(
     )
 
 
+def linear_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    weights: Sequence[float] | None = None,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Fuse per-system rankings by weighted min-max-normalized scores —
+    the score-based alternative to :func:`rrf_fuse` (Elasticsearch's
+    ``normalizer: min_max`` hybrid mode; "convex combination" in the
+    fusion literature).
+
+    Each input carries ``(query_id, <id_col>, <score_col>)``.  Within
+    each (system, query) the scores are rescaled to [0, 1] with
+    ``(s − min) / (max − min)``; a degenerate slate (``max == min``,
+    e.g. a single hit) normalizes to 1.0 — every doc in it is equally
+    the best that system found.  The fused score sums ``weight ×
+    normalized`` over the systems that ranked the doc (missing system →
+    0 contribution, the standard convention), then the top-``k`` per
+    query is returned as ``(query_id, rank, <id_col>, fused_score)``
+    ordered (fused_score desc, id asc).
+
+    Unlike RRF this preserves score *magnitudes* (a dominant BM25 hit
+    stays dominant), at the cost of needing the per-query min/max —
+    still only a window over the ≤ k·systems candidate rows, nothing
+    corpus-sized.  ``round_to`` rounds the fused score before ranking
+    (cross-engine stability).
+    """
+    if not rankings:
+        raise ValueError("linear_fuse needs at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"weights ({len(weights)}) must match rankings ({len(rankings)})"
+        )
+    qw = Window.partitionBy("query_id")
+    contribs = []
+    for r, wgt in zip(rankings, weights):
+        base = r.select(
+            "query_id",
+            F.col(id_col).alias("_id"),
+            F.col(score_col).cast("double").alias("_s"),
+        )
+        mn, mx = F.min("_s").over(qw), F.max("_s").over(qw)
+        norm = F.when(mx == mn, F.lit(1.0)).otherwise((F.col("_s") - mn) / (mx - mn))
+        contribs.append(
+            base.select(
+                "query_id", "_id", (F.lit(float(wgt)) * norm).alias("_c")
+            )
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = allc.groupBy("query_id", "_id").agg(F.sum("_c").alias("fused_score"))
+    if round_to is not None:
+        fused = fused.withColumn("fused_score", F.round("fused_score", round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fused_score").desc(), F.col("_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("_id").alias(id_col), "fused_score")
+    )
+
+
 def hybrid_retrieve(
     index,
     emb_df: DataFrame,

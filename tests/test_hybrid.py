@@ -104,3 +104,49 @@ def test_hybrid_retrieve_end_to_end(spark):
     assert rows[0]["rank"] == 1 and set(rows[0].asDict()) == {
         "query_id", "rank", "doc_id", "rrf_score"
     }
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, doc_id long, score double")
+
+
+def test_linear_fuse_minmax_math(spark):
+    from bm25s_spark.operators.hybrid import linear_fuse
+
+    # A: scores 10/5/0 → norms 1.0/0.5/0.0; B: scores 2/1 → norms 1.0/0.0
+    a = _scored(spark, [("q", 1, 10.0), ("q", 2, 5.0), ("q", 3, 0.0)])
+    b = _scored(spark, [("q", 2, 2.0), ("q", 4, 1.0)])
+    out = {r["doc_id"]: r for r in
+           linear_fuse([a, b], k=10, weights=[0.7, 0.3]).collect()}
+    assert out[1]["fused_score"] == pytest.approx(0.7)
+    assert out[2]["fused_score"] == pytest.approx(0.7 * 0.5 + 0.3 * 1.0)
+    assert out[3]["fused_score"] == pytest.approx(0.0)
+    assert out[4]["fused_score"] == pytest.approx(0.0)
+    # fused order: doc2 (0.65) > doc1 (0.7)? no — 0.7 > 0.65; then the
+    # two zero-score docs tie → doc_id asc
+    ranks = {d: r["rank"] for d, r in out.items()}
+    assert ranks == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_linear_fuse_degenerate_slate_normalizes_to_one(spark):
+    from bm25s_spark.operators.hybrid import linear_fuse
+
+    # single-hit system and an all-equal system both normalize to 1.0
+    a = _scored(spark, [("q", 7, 3.5)])
+    b = _scored(spark, [("q", 7, 9.9), ("q", 8, 9.9)])
+    out = {r["doc_id"]: r["fused_score"] for r in
+           linear_fuse([a, b], k=10).collect()}
+    assert out[7] == pytest.approx(2.0)
+    assert out[8] == pytest.approx(1.0)
+
+
+def test_linear_fuse_validation_and_round(spark):
+    from bm25s_spark.operators.hybrid import linear_fuse
+
+    a = _scored(spark, [("q", 1, 1.0), ("q", 2, 0.5)])
+    with pytest.raises(ValueError):
+        linear_fuse([])
+    with pytest.raises(ValueError):
+        linear_fuse([a], weights=[1.0, 2.0])
+    rows = linear_fuse([a], round_to=2, k=1).collect()
+    assert rows[0]["doc_id"] == 1 and rows[0]["fused_score"] == 1.0
