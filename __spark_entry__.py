@@ -975,6 +975,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
     q["bm25_topk_excluding"] = _gate_topk_excluding
     q["search_facet_role"] = _gate_facet_role
+
+    # date-histogram facet: hourly hit counts of the lucene top-k (the
+    # _transcripts derivation pins ts = 2026-01-01 + doc_id minutes,
+    # which the oracle replays arithmetically)
+    def facet_hour_gate(spark, sf):
+        from bm25s_spark.operators.facets import date_histogram
+
+        idx = _index_for(spark, sf)
+        res = _gate_topk(spark, sf, "lucene")
+        docs = idx.doc_lens.select(
+            "doc_id",
+            (F.lit("2026-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(mins=F.col("doc_id"))).alias("ts"),
+        )
+        return date_histogram(res, docs, interval="hour")
+
+    q["search_facet_hour"] = facet_hour_gate
+
+    # one-row index summary (IndexReader/_stats counters)
+    def index_stats_gate(spark, sf):
+        from bm25s_spark.indexer import index_stats
+
+        return index_stats(_index_for(spark, sf))
+
+    q["index_stats"] = index_stats_gate
     q["text_trending_terms"] = _gate_trending_terms
     q["knn_mmr_rerank"] = _gate_mmr_rerank
 
@@ -1857,6 +1882,29 @@ FROM (
   FROM ({_bm25_oracle_sql("lucene")})
   GROUP BY 1, 2
 )
+"""
+    # date-histogram twin: ts regenerated from doc_id arithmetic, the
+    # same calendar truncation, sparse buckets only
+    o["search_facet_hour"] = f"""
+WITH hits AS (
+  SELECT query_id, doc_id FROM ({_bm25_oracle_sql("lucene")})
+)
+SELECT query_id,
+       date_trunc('hour', TIMESTAMP '2026-01-01 00:00:00'
+                  + doc_id * INTERVAL 1 MINUTE) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM hits GROUP BY 1, 2
+"""
+    # index-stats twin: the same counters off the shared tokenization
+    # CTEs (num_terms excludes the "" OOV patch by construction)
+    o["index_stats"] = _bm25_common_cte("lucene") + """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS num_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM dfreq) AS num_terms,
+       (SELECT CAST(count(*) AS BIGINT) FROM tf) AS num_postings,
+       (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS sum_tf,
+       (SELECT CAST(max(dl) AS BIGINT) FROM dl) AS max_dl,
+       (SELECT CAST(max(df) AS BIGINT) FROM dfreq) AS max_df,
+       (SELECT round(avg(dl), 6) FROM dl) AS avgdl
 """
     # significant-terms twin: lucene top-k as the foreground doc set,
     # per-term foreground df vs corpus df, JLH lift rounded to 6 before

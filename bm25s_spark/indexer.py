@@ -546,3 +546,34 @@ class SparkBM25:
         kw.setdefault("method", self.method)
         kw.setdefault("idf_method", self.idf_method)
         return self.index_.get_scores(queries_df, **kw)
+
+
+def index_stats(index: BM25Index) -> DataFrame:
+    """One-row index summary → (num_docs, num_terms, num_postings,
+    sum_tf, max_dl, max_df, avgdl) — the Lucene ``IndexReader`` /
+    Elasticsearch ``_stats`` counters, derived from the index's own
+    tables (the reference exposes the same facts as array shapes:
+    ``reference/bm25s/__init__.py:275-305``).
+
+    ``num_terms`` counts only real vocabulary (the df=0 ``""``
+    OOV-patch row is excluded); ``sum_tf`` is the total token count
+    (equals Σ dl by construction).  Three single-row aggregations
+    (map-side partial, one tiny shuffle each) cross-joined — nothing
+    is collected and nothing scales worse than one scan per table.
+    """
+    t = index.term_stats.where(F.col("df") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("num_terms"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    p = index.postings.agg(
+        F.count(F.lit(1)).cast("long").alias("num_postings"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+    )
+    d = index.doc_lens.agg(
+        F.count(F.lit(1)).cast("long").alias("num_docs"),
+        F.max("dl").cast("long").alias("max_dl"),
+    )
+    return d.crossJoin(t).crossJoin(p).select(
+        "num_docs", "num_terms", "num_postings", "sum_tf", "max_dl",
+        "max_df", F.lit(round(index.avg_doc_len, 6)).alias("avgdl"),
+    )

@@ -74,3 +74,40 @@ def facet_counts(
     if score_col is not None:
         cols.append("sum_score")
     return ranked.select(*cols, "rank")
+
+
+def date_histogram(
+    results: DataFrame,
+    docs: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "hour",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query hit counts over time buckets → (query_id, bucket,
+    n_docs) — the Elasticsearch ``date_histogram`` aggregation ("when
+    did the conversations matching this query happen").
+
+    ``docs`` maps ``id_col`` → ``ts_col`` (a timestamp); ``interval``
+    is any ``date_trunc`` unit (``hour``, ``day``, ``week``, ``month``,
+    ``quarter``, ``year``, …).  Buckets are truncation-aligned calendar
+    buckets; only non-empty buckets are returned (a plotting layer
+    zero-fills gaps — keeping the relation sparse is what scales).
+    Same scale shape and inner-join contract as :func:`facet_counts`:
+    the query-bounded hit set broadcasts into the metadata join, one
+    map-side pass over the corpus-sized side, then a hash aggregation
+    bounded by queries × buckets.
+    """
+    hits = results.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("doc_id")
+    )
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.date_trunc(interval, F.col(ts_col)).alias("bucket"),
+    )
+    return (
+        F.broadcast(hits)
+        .join(meta, "doc_id")
+        .groupBy("query_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -72,3 +72,47 @@ def test_plan_broadcasts_result_side(frames):
     plan = facet_counts(results, docs, "role")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_date_histogram_buckets(spark):
+    from datetime import datetime
+
+    from bm25s_spark.operators.facets import date_histogram
+
+    results = spark.createDataFrame(
+        [("q1", 0), ("q1", 1), ("q1", 2), ("q2", 0)],
+        "query_id string, doc_id long",
+    )
+    docs = spark.createDataFrame(
+        [(0, datetime(2026, 1, 1, 9, 5)), (1, datetime(2026, 1, 1, 9, 55)),
+         (2, datetime(2026, 1, 1, 11, 0)), (3, datetime(2026, 1, 2, 0, 0))],
+        "doc_id long, ts timestamp",
+    )
+    rows = date_histogram(results, docs, interval="hour").collect()
+    got = {(r.query_id, r.bucket): r.n_docs for r in rows}
+    assert got == {
+        ("q1", datetime(2026, 1, 1, 9)): 2,
+        ("q1", datetime(2026, 1, 1, 11)): 1,   # 10:00 gap stays sparse
+        ("q2", datetime(2026, 1, 1, 9)): 1,
+    }
+    # day granularity collapses q1 to one bucket
+    day = date_histogram(results, docs, interval="day").collect()
+    got_day = {(r.query_id, r.bucket): r.n_docs for r in day}
+    assert got_day[("q1", datetime(2026, 1, 1))] == 3
+
+
+def test_index_stats_counters(spark):
+    from bm25s_spark.indexer import build_index, index_stats
+
+    df = spark.createDataFrame(
+        [(0, "zebra zebra giraffe"), (1, "zebra savanna"), (2, "")],
+        "doc_id long, text string",
+    )
+    idx = build_index(df, doc_id_col="doc_id")
+    row = index_stats(idx).collect()[0]
+    assert row.num_docs == 3
+    assert row.num_terms == 3          # zebra giraffe savanna; "" excluded
+    assert row.num_postings == 4       # (0,zebra)(0,giraffe)(1,zebra)(1,savanna)
+    assert row.sum_tf == 5             # dl: 3 + 2 + 0
+    assert row.max_dl == 3 and row.max_df == 2
+    assert row.avgdl == pytest.approx(5 / 3, abs=1e-6)
