@@ -106,6 +106,21 @@ FUZZY_QUERIES = [
 ]
 _FUZZY_SQL = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_QUERIES)
 
+# regexp gate patterns: full-term match (Lucene RegexpQuery anchoring),
+# alternation, quantifier, a no-match pattern, and a query with TWO
+# patterns both matching the same term (multiplicity 2) — all inside
+# the regex subset where Java and RE2 semantics agree
+REGEX_QUERIES = [
+    ("r01", "sc.n"),
+    ("r02", "merge|sort"),
+    ("r03", "tab.*"),
+    ("r04", "zz.*"),
+    ("r05", "gro+up"),
+    ("r06", "fast"),
+    ("r06", "fa.t"),
+]
+_REGEX_SQL = ", ".join(f"('{q}', '{p}')" for q, p in REGEX_QUERIES)
+
 _IDF_SQL = {
     "robertson": "ln(greatest((s.n - d.df + 0.5) / (d.df + 0.5), 1.0))",
     "lucene": "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))",
@@ -974,6 +989,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (require_all_terms=True); OOV / all-stopword queries → zero rows
     q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
     q["bm25_topk_excluding"] = _gate_topk_excluding
+
+    # minimum_should_match: docs matching ≥2 distinct query terms (the
+    # middle ground between OR and the conjunctive gate)
+    def min_match_gate(spark, sf):
+        from bm25s_spark.operators.boolean import retrieve_min_match
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+        return retrieve_min_match(idx, qdf, k=TOPK, min_match=2, round_to=4)
+
+    q["bm25_topk_min_match"] = min_match_gate
+
+    # regexp term query: anchored full-term vocabulary expansion
+    def regexp_gate(spark, sf):
+        from bm25s_spark.operators.wildcard import regexp_retrieve
+
+        idx = _index_for(spark, sf)
+        pdf = spark.createDataFrame(REGEX_QUERIES, "query_id string, pattern string")
+        return regexp_retrieve(idx, pdf, k=TOPK, round_to=4)
+
+    q["bm25_topk_regexp"] = regexp_gate
     q["search_facet_role"] = _gate_facet_role
 
     # date-histogram facet: hourly hit counts of the lucene top-k (the
@@ -2364,6 +2400,63 @@ ranked4 AS (
   FROM scored4
 )
 SELECT query_id, rank, doc_id, score FROM ranked4 WHERE rank <= {TOPK}
+"""
+
+    # minimum_should_match twin: the standard scoring CTEs with a
+    # HAVING ≥ 2 distinct-match floor (group row count == matched
+    # distinct terms, the conjunctive-oracle argument)
+    o["bm25_topk_min_match"] = _bm25_common_cte("lucene") + f""",
+rawm AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM qterms q JOIN impacts im USING (term)
+  GROUP BY q.query_id, im.doc_id
+  HAVING count(*) >= 2
+),
+nsm AS (
+  SELECT q.query_id, sum(q.mult * i.nnoc) AS ns
+  FROM qterms q JOIN idf i USING (term) GROUP BY q.query_id
+),
+scoredm AS (
+  SELECT r.query_id, r.doc_id,
+         round(r.raw + coalesce(ns.ns, 0.0), 4) AS score
+  FROM rawm r LEFT JOIN nsm ns USING (query_id)
+),
+rankedm AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scoredm
+)
+SELECT query_id, rank, doc_id, score FROM rankedm WHERE rank <= {TOPK}
+"""
+
+    # regexp twin: anchored full-match expansion over the vocabulary
+    # (regexp_full_match == the engine's ^(?:…)$ anchoring), mult =
+    # number of the query's patterns matching the term
+    o["bm25_topk_regexp"] = _bm25_common_cte("lucene") + f""",
+rq(query_id, pat) AS (VALUES {_REGEX_SQL}),
+rex AS (
+  SELECT r.query_id, d.term, CAST(count(*) AS DOUBLE) AS mult
+  FROM rq r JOIN dfreq d ON regexp_full_match(d.term, r.pat)
+  GROUP BY r.query_id, d.term
+),
+rawr AS (
+  SELECT q.query_id, im.doc_id, sum(q.mult * im.impact) AS raw
+  FROM rex q JOIN impacts im USING (term)
+  GROUP BY q.query_id, im.doc_id
+),
+scoredr AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score FROM rawr
+),
+rankedr AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scoredr
+)
+SELECT query_id, rank, doc_id, score FROM rankedr WHERE rank <= {TOPK}
 """
 
     # did-you-mean twin: the same (distance asc, df desc, term asc)

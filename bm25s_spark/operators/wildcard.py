@@ -82,6 +82,75 @@ def expand_terms(
     )
 
 
+def expand_regexp(
+    index: BM25Index,
+    patterns_df: DataFrame,
+    query_id_col: str = "query_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """(query_id, term, mult): vocabulary terms fully matching each
+    query's regular expression(s) — Lucene ``RegexpQuery`` semantics
+    (the pattern must match the WHOLE term, so ``sc.n`` matches
+    ``scan`` but not ``scanning``).  ``patterns_df`` may carry several
+    rows per query; ``mult`` is the number of that query's patterns
+    matching the term (the wildcard-expansion multiplicity contract).
+
+    Stick to the regex intersection both the JVM and RE2-family engines
+    agree on (character classes, alternation, quantifiers) — patterns
+    are anchored with ``^(?:…)$`` before matching.
+    """
+    pats = patterns_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.concat(F.lit("^(?:"), F.col(pattern_col), F.lit(")$")).alias("_re"),
+    )
+    vocab = index.term_stats.select("term").where(F.col("term") != "")
+    matched = (
+        F.broadcast(pats)
+        .join(vocab, F.expr("term RLIKE _re"))
+        .select("query_id", "term")
+    )
+    return matched.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).alias("mult")
+    )
+
+
+def regexp_retrieve(
+    index: BM25Index,
+    patterns_df: DataFrame,
+    k: int = 10,
+    method: str = "lucene",
+    idf_method: str | None = None,
+    round_to: int | None = None,
+    query_id_col: str = "query_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Top-k BM25 over regexp-expanded queries → (query_id, rank,
+    doc_id, score).  Same scale shape as prefix retrieval: the pattern
+    side broadcasts, expansion is one pass over the vocab-sized
+    ``term_stats`` (Lucene's term-dictionary automaton walk, as a
+    scan), and the expanded bag re-enters standard scoring.  Queries
+    whose patterns match nothing return no rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > index.num_docs:
+        raise ValueError(
+            f"k={k} is larger than the number of documents ({index.num_docs})"
+        )
+    idf_method = idf_method or method
+    qterms = expand_regexp(index, patterns_df, query_id_col, pattern_col)
+    scores = _matched_scores(index, qterms, method, idf_method, None)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def wildcard_retrieve(
     index: BM25Index,
     queries_df: DataFrame,

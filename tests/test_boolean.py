@@ -125,3 +125,61 @@ def test_k_validation(spark, idx):
         retrieve_excluding(idx, qdf, k=0)
     with pytest.raises(ValueError):
         retrieve_excluding(idx, qdf, k=1, method="nope")
+
+
+def test_min_match_counts_distinct_terms(spark, idx):
+    from bm25s_spark.operators.boolean import retrieve_min_match
+
+    # "spark shuffle join": doc 0 matches 3 terms, docs 1/2 match 2,
+    # doc 3 matches 1 (shuffle), doc 4 matches 0
+    qdf = spark.createDataFrame(
+        [("q", "spark shuffle join")], "query_id string, text string"
+    )
+    got2 = {r.doc_id for r in retrieve_min_match(idx, qdf, min_match=2).collect()}
+    assert got2 == {0, 1, 2}
+    got3 = {r.doc_id for r in retrieve_min_match(idx, qdf, min_match=3).collect()}
+    assert got3 == {0}
+    # min 1 == plain OR retrieval candidates
+    got1 = {r.doc_id for r in retrieve_min_match(idx, qdf, min_match=1).collect()}
+    assert got1 == {0, 1, 2, 3}
+
+
+def test_min_match_repeated_term_counts_once(spark, idx):
+    from bm25s_spark.operators.boolean import retrieve_min_match
+
+    qdf = spark.createDataFrame(
+        [("q", "spark spark spark")], "query_id string, text string"
+    )
+    assert retrieve_min_match(idx, qdf, min_match=2).count() == 0
+
+
+def test_min_match_fraction_and_unclamped(spark, idx):
+    from bm25s_spark.operators.boolean import retrieve_min_match
+
+    qdf = spark.createDataFrame(
+        [("q", "spark shuffle join merge")], "query_id string, text string"
+    )
+    # ceil(0.5 * 4 terms) = 2 → docs 0 (4 matches), 1 and 2 (2 each)
+    got = {r.doc_id for r in
+           retrieve_min_match(idx, qdf, min_match=0.5).collect()}
+    assert got == {0, 1, 2}
+    # unclamped absolute requirement above the query's term count → none
+    assert retrieve_min_match(idx, qdf, min_match=9).count() == 0
+    with pytest.raises(ValueError):
+        retrieve_min_match(idx, qdf, min_match=0)
+    with pytest.raises(ValueError):
+        retrieve_min_match(idx, qdf, min_match=1.5)
+
+
+def test_min_match_scores_equal_score_all(spark, idx):
+    from bm25s_spark.operators.boolean import retrieve_min_match
+
+    qdf = spark.createDataFrame(
+        [("q", "spark shuffle join")], "query_id string, text string"
+    )
+    full = {
+        (r.query_id, r.doc_id): r.score
+        for r in score_all(idx, qdf, method="lucene").collect()
+    }
+    for r in retrieve_min_match(idx, qdf, min_match=2).collect():
+        assert r.score == pytest.approx(full[(r.query_id, r.doc_id)])

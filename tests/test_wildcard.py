@@ -75,3 +75,34 @@ def test_wildcard_validation(spark, index):
         wildcard_retrieve(index, qs, k=0)
     with pytest.raises(ValueError, match="larger"):
         wildcard_retrieve(index, qs, k=99)
+
+
+def test_regexp_expansion_anchored_and_mult(spark, index):
+    from bm25s_spark.operators.wildcard import expand_regexp
+
+    pdf = spark.createDataFrame(
+        [("r1", "merg.*"), ("r2", "sort|sorting"), ("r3", "mer"),
+         ("r4", "merge"), ("r4", "m.rge")],
+        "query_id string, pattern string",
+    )
+    rows = expand_regexp(index, pdf).collect()
+    got = {(r.query_id, r.term): r.mult for r in rows}
+    # full-term anchoring: "mer" must NOT match "merge"
+    assert not any(q == "r3" for q, _ in got)
+    assert got[("r1", "merge")] == 1 and got[("r1", "mergesort")] == 1
+    # alternation: only the full-match branch hits ("sort" alone ≠
+    # "sorting")
+    assert got[("r2", "sorting")] == 1 and ("r2", "sort") not in got
+    # two r4 patterns both match merge → multiplicity 2
+    assert got[("r4", "merge")] == 2
+
+
+def test_regexp_retrieve_no_match_and_validation(spark, index):
+    from bm25s_spark.operators.wildcard import regexp_retrieve
+
+    pdf = spark.createDataFrame(
+        [("r1", "zzz.*")], "query_id string, pattern string"
+    )
+    assert regexp_retrieve(index, pdf, k=2).count() == 0
+    with pytest.raises(ValueError):
+        regexp_retrieve(index, pdf, k=0)
