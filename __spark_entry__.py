@@ -106,6 +106,23 @@ FUZZY_QUERIES = [
 ]
 _FUZZY_SQL = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_QUERIES)
 
+# mini query language gate: +must / -not / term^boost composed — s06 is
+# pure-negative after NOT-wins (no rows), s08 has an impossible must
+# (OOV — no rows), s09's must operand is a stopword (vanishes → plain
+# query)
+QL_QUERIES = [
+    ("s01", "fast key order"),
+    ("s02", "spark +group merge"),
+    ("s03", "join filter -window"),
+    ("s04", "merge^2 sort"),
+    ("s05", "+table +scan big"),
+    ("s06", "fast -fast"),
+    ("s07", "value^0.5 vector^3 slow"),
+    ("s08", "+zzqx spark"),
+    ("s09", "+the merge"),
+]
+_QL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in QL_QUERIES)
+
 # regexp gate patterns: full-term match (Lucene RegexpQuery anchoring),
 # alternation, quantifier, a no-match pattern, and a query with TWO
 # patterns both matching the same term (multiplicity 2) — all inside
@@ -1010,6 +1027,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return regexp_retrieve(idx, pdf, k=TOPK, round_to=4)
 
     q["bm25_topk_regexp"] = regexp_gate
+
+    # mini query language: +must / -not / term^boost in ONE scoring pass
+    def querylang_gate(spark, sf):
+        from bm25s_spark.operators.querylang import retrieve_parsed
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(QL_QUERIES, "query_id string, text string")
+        return retrieve_parsed(idx, qdf, k=TOPK, round_to=4)
+
+    q["bm25_topk_querylang"] = querylang_gate
     q["search_facet_role"] = _gate_facet_role
 
     # date-histogram facet: hourly hit counts of the lucene top-k (the
@@ -2400,6 +2427,71 @@ ranked4 AS (
   FROM scored4
 )
 SELECT query_id, rank, doc_id, score FROM ranked4 WHERE rank <= {TOPK}
+"""
+
+    # query-language twin: the identical parse (operator prefix, boost
+    # suffix, stopword filter), NOT-wins collapse, weighted scoring with
+    # must-coverage HAVING and negdoc NOT EXISTS — lucene, so nnoc = 0
+    o["bm25_topk_querylang"] = _bm25_common_cte("lucene") + f""",
+lq(query_id, qtext) AS (VALUES {_QL_SQL}),
+ltok AS (
+  SELECT query_id,
+         unnest(regexp_extract_all(lower(qtext),
+                '[+-]?\\w\\w+(\\^[0-9.]+)?', 0)) AS tok
+  FROM lq
+),
+lparsed AS (
+  SELECT query_id,
+         regexp_extract(tok, '\\w\\w+') AS word,
+         CASE WHEN left(tok, 1) = '+' THEN 1 ELSE 0 END AS must,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg,
+         CAST(coalesce(nullif(regexp_extract(tok, '\\^([0-9.]+)', 1), ''),
+                       '1') AS DOUBLE) AS boost
+  FROM ltok
+),
+lterms AS (
+  SELECT query_id, word AS term,
+         CASE WHEN max(neg) = 1 THEN 0.0
+              ELSE sum(CASE WHEN neg = 0 THEN boost ELSE 0.0 END)
+         END AS weight,
+         CASE WHEN max(neg) = 1 THEN 0
+              ELSE max(CASE WHEN neg = 0 THEN must ELSE 0 END)
+         END AS must,
+         max(neg) AS neg
+  FROM lparsed WHERE word NOT IN ({_SW_SQL})
+  GROUP BY query_id, word
+),
+lneed AS (
+  SELECT query_id, sum(must) AS nmust FROM lterms GROUP BY query_id
+),
+lnegdocs AS (
+  SELECT DISTINCT l.query_id, tf.doc_id
+  FROM lterms l JOIN tf USING (term) WHERE l.neg = 1
+),
+lraw AS (
+  SELECT l.query_id, im.doc_id,
+         sum(CASE WHEN l.neg = 0 THEN l.weight * im.impact ELSE 0.0 END) AS raw
+  FROM lterms l
+  JOIN impacts im USING (term)
+  JOIN lneed n ON n.query_id = l.query_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lnegdocs nd
+    WHERE nd.query_id = l.query_id AND nd.doc_id = im.doc_id
+  )
+  GROUP BY l.query_id, im.doc_id
+  HAVING sum(CASE WHEN l.neg = 0 THEN l.must ELSE 0 END) = any_value(n.nmust)
+),
+lscored AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score FROM lraw
+),
+lranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM lscored
+)
+SELECT query_id, rank, doc_id, score FROM lranked WHERE rank <= {TOPK}
 """
 
     # minimum_should_match twin: the standard scoring CTEs with a

@@ -1,0 +1,167 @@
+"""Mini query language: ``+must -not term^boost`` — the core of the
+Lucene classic query-parser syntax, compiled to ONE scoring pass.
+
+The reference scores a flat token bag
+(``reference/bm25s/__init__.py:572-618``); real search boxes send
+operators.  This module parses the three that matter and composes the
+engine's existing boolean legs:
+
+- ``term``      — optional (should): contributes weight × impact;
+- ``term^2.5``  — boosted should: weight 2.5 instead of 1 (fractional
+  multiplicities, the ``operators/synonyms.py`` scoring contract);
+- ``+term``     — must: documents lacking it are dropped (the
+  ``require_all_terms`` leg, per marked term);
+- ``-term``     — must-not: documents containing it are dropped (the
+  ``operators/boolean.py`` NOT leg; NOT wins over any other marking of
+  the same term).
+
+Parse contract (deterministic, SQL-replayable): tokens are
+``regexp_extract_all(lower(text), '[+-]?\\w\\w+(\\^[0-9.]+)?')`` — a
+leading ``+``/``-`` is the operator, the word part then runs through
+the ENGINE'S OWN tokenizer (stopword filtering, stemming — so a
+``+the`` clause vanishes rather than matching nothing, and boosts
+survive stemming).  Repeated positive occurrences of a term ADD their
+weights; a must marking survives aggregation (max); a must-not marking
+anywhere poisons the term entirely.  A must term that is OOV can never
+match, so that query returns nothing — Lucene's behavior.  Note ``-``
+is an operator prefix: ``foo-bar`` parses as ``foo`` AND NOT ``bar``
+(hyphenate-free queries, the classic-parser quirk).
+
+Scale shape: identical to plain retrieval — the parsed term table is
+batch-sized and broadcast; positives, musts and nots all travel in the
+SAME broadcast table, so the whole language costs ONE pass over the
+postings and ONE aggregation (must coverage = a conditional count in
+the group, exclusion = a max flag; both post-aggregation filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bm25s_spark.indexer import BM25Index
+from bm25s_spark.retrieval import _impact_col, _nnoc_per_query
+from bm25s_spark.scoring import METHODS
+from bm25s_spark.tokenization import make_tokenizer_udf
+
+# doubled backslashes: this literal goes through Spark SQL's string
+# parser (F.expr), which unescapes one level
+_TOKEN_RE_SQL = r"[+\\-]?\\w\\w+(?:\\^[0-9.]+)?"
+
+
+def parse_query_terms(
+    index: BM25Index,
+    queries_df: DataFrame,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parse → (query_id, term, weight, must, neg), post-tokenizer.
+
+    One row per surviving (query, term): ``weight`` sums the positive
+    occurrences' boosts (0.0 for pure-negative terms), ``must``/``neg``
+    are 0/1 flags.  Terms marked both positive and ``-`` collapse to a
+    single neg row (NOT wins).
+    """
+    raw = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{_TOKEN_RE_SQL}', 0)"
+            )
+        ).alias("tok"),
+    )
+    head = F.substring("tok", 1, 1)
+    parsed = raw.select(
+        "query_id",
+        F.regexp_extract("tok", r"\w\w+", 0).alias("word"),
+        F.when(head == "+", 1).otherwise(0).alias("must"),
+        F.when(head == "-", 1).otherwise(0).alias("neg"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("tok", r"\^([0-9.]+)", 1), F.lit("")),
+            F.lit("1"),
+        ).cast("double").alias("boost"),
+    )
+    # the word re-enters the engine tokenizer (stopword/stemmer config
+    # of THIS index) — stopword operands vanish here
+    udf = make_tokenizer_udf(**index.tokenizer_kwargs)
+    terms = parsed.select(
+        "query_id", "must", "neg", "boost",
+        F.explode(udf(F.col("word"))).alias("term"),
+    )
+    return terms.groupBy("query_id", "term").agg(
+        F.sum(F.when(F.col("neg") == 0, F.col("boost")).otherwise(F.lit(0.0))
+              ).alias("weight"),
+        F.max(F.when(F.col("neg") == 0, F.col("must")).otherwise(F.lit(0))
+              ).alias("must"),
+        F.max("neg").alias("neg"),
+    ).withColumn(
+        # NOT wins: a negated term never scores and never counts as must
+        "weight", F.when(F.col("neg") == 1, F.lit(0.0)).otherwise(F.col("weight"))
+    ).withColumn(
+        "must", F.when(F.col("neg") == 1, F.lit(0)).otherwise(F.col("must"))
+    )
+
+
+def retrieve_parsed(
+    index: BM25Index,
+    queries_df: DataFrame,
+    k: int = 10,
+    method: str = "lucene",
+    idf_method: str | None = None,
+    round_to: int | None = None,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 under the mini query language → (query_id, rank,
+    doc_id, score).  No padding (excluded docs must not be
+    reintroduced); ``round_to`` rounds before the rank cut
+    (doc_id-ascending ties), the gate-stability convention."""
+    if method not in METHODS:
+        raise ValueError(f"Invalid method {method!r}")
+    idf_method = idf_method or method
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = parse_query_terms(index, queries_df, query_id_col, text_col)
+    # must requirement counts post-tokenizer must terms — INCLUDING OOV
+    # ones (they can never match, so such a query returns nothing)
+    qn = q.groupBy("query_id").agg(
+        F.sum("must").cast("long").alias("_nmust")
+    )
+    qall = q.join(qn, "query_id")
+    impact = _impact_col(index, method, idf_method)
+    grouped = (
+        F.broadcast(qall)
+        .join(index.postings, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("neg") == 0, F.col("weight") * impact.cast("double"))
+                .otherwise(F.lit(0.0))
+            ).alias("raw"),
+            F.sum(F.when(F.col("neg") == 0, F.col("must")).otherwise(F.lit(0))
+                  ).cast("long").alias("_mm"),
+            F.max("neg").alias("_neg"),
+            F.first("_nmust").alias("_req"),
+        )
+        .where((F.col("_neg") == 0) & (F.col("_mm") == F.col("_req")))
+        .drop("_mm", "_neg", "_req")
+    )
+    pos = q.where(F.col("neg") == 0).select(
+        "query_id", "term", F.col("weight").alias("mult")
+    )
+    nnoc = _nnoc_per_query(index, pos, method, idf_method)
+    scores = (
+        grouped.join(F.broadcast(nnoc), "query_id", "left")
+        .withColumn("score", F.col("raw") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
+        .select("query_id", "doc_id", "score")
+    )
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,98 @@
+"""Mini query language (+must -not term^boost): parse contract, leg
+composition vs the standalone operators, and edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25s_spark.indexer import build_index
+from bm25s_spark.operators.querylang import parse_query_terms, retrieve_parsed
+from bm25s_spark.retrieval import score_all
+
+CORPUS = [
+    (0, "spark shuffle join merge"),
+    (1, "spark shuffle window"),
+    (2, "spark broadcast join"),
+    (3, "shuffle partition skew"),
+    (4, "parquet column scan"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    return build_index(df.select("doc_id", "text"), order_cols=["doc_id"])
+
+
+def _q(spark, text):
+    return spark.createDataFrame([("q", text)], "query_id string, text string")
+
+
+def test_parse_flags_boosts_and_stopwords(spark, idx):
+    rows = parse_query_terms(
+        idx, _q(spark, "spark +shuffle -window merge^2.5 the")
+    ).collect()
+    got = {r.term: (r.weight, r.must, r.neg) for r in rows}
+    assert got["spark"] == (1.0, 0, 0)
+    assert got["shuffle"] == (1.0, 1, 0)
+    assert got["window"] == (0.0, 0, 1)
+    assert got["merge"] == (2.5, 0, 0)
+    assert "the" not in got  # stopword operand vanishes
+
+
+def test_parse_repeats_add_and_not_wins(spark, idx):
+    rows = parse_query_terms(
+        idx, _q(spark, "spark spark^3 +join -join")
+    ).collect()
+    got = {r.term: (r.weight, r.must, r.neg) for r in rows}
+    assert got["spark"] == (4.0, 0, 0)       # 1 + 3
+    assert got["join"] == (0.0, 0, 1)        # NOT wins over + and weight
+
+
+def test_plain_query_equals_score_all(spark, idx):
+    res = retrieve_parsed(idx, _q(spark, "spark shuffle join"), k=5)
+    full = {
+        r.doc_id: r.score
+        for r in score_all(idx, _q(spark, "spark shuffle join")).collect()
+    }
+    got = {r.doc_id: r.score for r in res.collect()}
+    assert set(got) == set(full)
+    for d, s in got.items():
+        assert s == pytest.approx(full[d])
+
+
+def test_must_and_not_legs(spark, idx):
+    # +join restricts to docs 0, 2; -merge then drops doc 0
+    res = {r.doc_id for r in
+           retrieve_parsed(idx, _q(spark, "spark +join -merge"), k=5).collect()}
+    assert res == {2}
+
+
+def test_boost_scales_contribution(spark, idx):
+    base = {r.doc_id: r.score
+            for r in retrieve_parsed(idx, _q(spark, "scan"), k=5).collect()}
+    boosted = {r.doc_id: r.score
+               for r in retrieve_parsed(idx, _q(spark, "scan^3"), k=5).collect()}
+    assert boosted[4] == pytest.approx(3.0 * base[4])
+
+
+def test_impossible_and_pure_negative_queries(spark, idx):
+    # must-OOV can never be satisfied
+    assert retrieve_parsed(idx, _q(spark, "+zzzz spark"), k=5).count() == 0
+    # a pure-negative query has no positive clause to match
+    assert retrieve_parsed(idx, _q(spark, "-spark"), k=5).count() == 0
+    with pytest.raises(ValueError):
+        retrieve_parsed(idx, _q(spark, "spark"), k=0)
+
+
+def test_nnoc_methods_consistent_with_synonym_weights(spark, idx):
+    """bm25+ (nnoc-bearing) scores through boosted terms must equal the
+    weighted-bag contract: compare against score_all on a query with the
+    term repeated (integer boost == multiplicity)."""
+    boosted = {r.doc_id: r.score for r in retrieve_parsed(
+        idx, _q(spark, "scan^2"), k=5, method="bm25+").collect()}
+    repeated = {r.doc_id: r.score for r in score_all(
+        idx, _q(spark, "scan scan"), method="bm25+").collect()}
+    for d, s in boosted.items():
+        assert s == pytest.approx(repeated[d])
