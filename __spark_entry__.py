@@ -1037,6 +1037,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retrieve_parsed(idx, qdf, k=TOPK, round_to=4)
 
     q["bm25_topk_querylang"] = querylang_gate
+
+    # distributed retrieval eval: per-query NDCG/recall/precision/AP/RR
+    # over the lucene top-k run against arithmetic qrels (grade 2 when
+    # doc_id % 23 == query index, else 1 when doc_id % 17 == it)
+    def eval_gate(spark, sf):
+        from bm25s_spark.operators.evaldf import evaluate_per_query
+
+        idx = _index_for(spark, sf)
+        run = _gate_topk(spark, sf, "lucene")
+        qi = spark.createDataFrame(
+            [(f"q{i:02d}", i) for i in range(1, 9)], "query_id string, qi int"
+        )
+        qrels = (
+            idx.doc_lens.select("doc_id")
+            .crossJoin(qi)
+            .select(
+                "query_id", "doc_id",
+                F.when(F.col("doc_id") % 23 == F.col("qi"), 2.0)
+                .when(F.col("doc_id") % 17 == F.col("qi"), 1.0)
+                .alias("grade"),
+            )
+            .where(F.col("grade").isNotNull())
+        )
+        return evaluate_per_query(run, qrels, k=TOPK, round_to=6)
+
+    q["eval_per_query"] = eval_gate
     q["search_facet_role"] = _gate_facet_role
 
     # date-histogram facet: hourly hit counts of the lucene top-k (the
@@ -2427,6 +2453,68 @@ ranked4 AS (
   FROM scored4
 )
 SELECT query_id, rank, doc_id, score FROM ranked4 WHERE rank <= {TOPK}
+"""
+
+    # distributed-eval twin: arithmetic qrels regenerated, the same
+    # linear-gain DCG / map_cut / full-run RR denominators, zeros for
+    # judged queries the run never returns (q06)
+    _QI_SQL = ", ".join(f"('q{i:02d}', {i})" for i in range(1, 9))
+    o["eval_per_query"] = f"""
+WITH run AS (
+  SELECT query_id, rank, doc_id FROM ({_bm25_oracle_sql("lucene")})
+),
+qi(query_id, qi) AS (VALUES {_QI_SQL}),
+qrels AS (
+  SELECT q.query_id, d.doc_id,
+         CASE WHEN d.doc_id % 23 = q.qi THEN 2.0
+              WHEN d.doc_id % 17 = q.qi THEN 1.0 END AS grade
+  FROM documents d CROSS JOIN qi q
+  WHERE d.doc_id % 23 = q.qi OR d.doc_id % 17 = q.qi
+),
+base AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM qrels WHERE grade > 0 GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, sum(grade / log2(ipos + 1)) AS idcg FROM (
+    SELECT query_id, grade,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY grade DESC, doc_id ASC
+           ) AS ipos
+    FROM qrels WHERE grade > 0
+  ) WHERE ipos <= {TOPK} GROUP BY query_id
+),
+joined AS (
+  SELECT r.query_id, r.rank, coalesce(qr.grade, 0.0) AS gain,
+         CASE WHEN coalesce(qr.grade, 0.0) > 0 THEN 1 ELSE 0 END AS is_rel
+  FROM run r LEFT JOIN qrels qr
+    ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+),
+scanned AS (
+  SELECT *, sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank) AS seen
+  FROM joined
+),
+per_run AS (
+  SELECT query_id,
+         sum(CASE WHEN rank <= {TOPK} THEN gain / log2(rank + 1)
+                  ELSE 0.0 END) AS dcg,
+         CAST(sum(CASE WHEN rank <= {TOPK} THEN is_rel ELSE 0 END)
+              AS BIGINT) AS hits,
+         sum(CASE WHEN rank <= {TOPK} AND is_rel = 1
+                  THEN CAST(seen AS DOUBLE) / rank ELSE 0.0 END) AS ap_num,
+         min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel
+  FROM scanned GROUP BY query_id
+)
+SELECT b.query_id, b.n_rel,
+       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,
+       round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg,
+       round(CAST(coalesce(p.hits, 0) AS DOUBLE) / b.n_rel, 6) AS recall,
+       round(CAST(coalesce(p.hits, 0) AS DOUBLE) / {float(TOPK)}, 6) AS precision,
+       round(coalesce(p.ap_num, 0.0) / b.n_rel, 6) AS ap,
+       round(coalesce(1.0 / p.first_rel, 0.0), 6) AS rr
+FROM base b
+JOIN ideal i USING (query_id)
+LEFT JOIN per_run p USING (query_id)
 """
 
     # query-language twin: the identical parse (operator prefix, boost
