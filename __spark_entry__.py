@@ -123,6 +123,20 @@ QL_QUERIES = [
 ]
 _QL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in QL_QUERIES)
 
+# phrase-bearing query-language gate: quoted spans are MUST-adjacency
+# constraints (positional, stopword-keeping) whose words also join the
+# should bag; t04's phrase is OOV (no rows), t06's phrase reduces to a
+# term the BM25 bag treats as a stopword (pure positional filter)
+PQL_QUERIES = [
+    ("t01", '"stream batch" customer'),
+    ("t02", '"fast key" +order'),
+    ("t03", '"merge sort"'),
+    ("t04", '"zzqx zzqx" fast'),
+    ("t05", 'big "table table"'),
+    ("t06", '"the a" spark'),
+]
+_PQL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in PQL_QUERIES)
+
 # regexp gate patterns: full-term match (Lucene RegexpQuery anchoring),
 # alternation, quantifier, a no-match pattern, and a query with TWO
 # patterns both matching the same term (multiplicity 2) — all inside
@@ -1037,6 +1051,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retrieve_parsed(idx, qdf, k=TOPK, round_to=4)
 
     q["bm25_topk_querylang"] = querylang_gate
+
+    # query language with phrase clauses (positions come from the raw
+    # documents table, not the index)
+    def querylang_phrase_gate(spark, sf):
+        from bm25s_spark.operators.querylang import retrieve_parsed
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(PQL_QUERIES, "query_id string, text string")
+        return retrieve_parsed(
+            idx, qdf, k=TOPK, round_to=4, docs_df=_documents(spark, sf)
+        )
+
+    q["bm25_topk_querylang_phrase"] = querylang_phrase_gate
 
     # distributed retrieval eval: per-query NDCG/recall/precision/AP/RR
     # over the lucene top-k run against arithmetic qrels (grade 2 when
@@ -2453,6 +2480,131 @@ ranked4 AS (
   FROM scored4
 )
 SELECT query_id, rank, doc_id, score FROM ranked4 WHERE rank <= {TOPK}
+"""
+
+    # phrase-query-language twin: positional CTEs over documents, the
+    # pigeonhole start aggregation per (query, phrase), phrase words
+    # merged into the should bag, and the same must/not/phrase coverage
+    # filters before the rounded rank
+    o["bm25_topk_querylang_phrase"] = _bm25_common_cte("lucene") + f""",
+pdocs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w\\w+') AS arr
+  FROM documents
+),
+ppos AS (
+  SELECT doc_id, unnest(arr) AS term,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM pdocs
+),
+plq(query_id, qtext) AS (VALUES {_PQL_SQL}),
+phr AS (
+  SELECT query_id,
+         unnest(regexp_extract_all(lower(qtext), '"([^"]*)"', 1)) AS phrase,
+         generate_subscripts(
+           regexp_extract_all(lower(qtext), '"([^"]*)"', 1), 1) AS pidx
+  FROM plq
+),
+phtok AS (
+  SELECT query_id, pidx,
+         unnest(regexp_extract_all(phrase, '\\w\\w+')) AS term,
+         generate_subscripts(regexp_extract_all(phrase, '\\w\\w+'), 1) - 1 AS j
+  FROM phr
+),
+phlen AS (
+  SELECT query_id, pidx, count(*) AS plen FROM phtok GROUP BY 1, 2
+),
+phstarts AS (
+  SELECT t.query_id, t.pidx, p.doc_id, p.pos - t.j AS start,
+         count(*) AS n_off
+  FROM phtok t JOIN ppos p USING (term)
+  GROUP BY 1, 2, 3, 4
+),
+phhit AS (
+  SELECT DISTINCT s.query_id, s.pidx, s.doc_id
+  FROM phstarts s
+  JOIN phlen l ON l.query_id = s.query_id AND l.pidx = s.pidx
+  WHERE s.n_off = l.plen
+),
+phneed AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS nphr FROM phlen GROUP BY 1
+),
+phok AS (
+  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS nhit
+  FROM phhit GROUP BY 1, 2
+),
+ptok AS (
+  SELECT query_id,
+         unnest(regexp_extract_all(
+           regexp_replace(lower(qtext), '"[^"]*"', ' ', 'g'),
+           '[+-]?\\w\\w+(\\^[0-9.]+)?', 0)) AS tok
+  FROM plq
+),
+pparsed AS (
+  SELECT query_id,
+         regexp_extract(tok, '\\w\\w+') AS word,
+         CASE WHEN left(tok, 1) = '+' THEN 1 ELSE 0 END AS must,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg,
+         CAST(coalesce(nullif(regexp_extract(tok, '\\^([0-9.]+)', 1), ''),
+                       '1') AS DOUBLE) AS boost
+  FROM ptok
+),
+phwords AS (
+  SELECT query_id, term AS word, 0 AS must, 0 AS neg, 1.0 AS boost
+  FROM phtok
+),
+pall AS (
+  SELECT query_id, word, must, neg, boost FROM pparsed
+  UNION ALL
+  SELECT query_id, word, must, neg, boost FROM phwords
+),
+pterms AS (
+  SELECT query_id, word AS term,
+         CASE WHEN max(neg) = 1 THEN 0.0
+              ELSE sum(CASE WHEN neg = 0 THEN boost ELSE 0.0 END)
+         END AS weight,
+         CASE WHEN max(neg) = 1 THEN 0
+              ELSE max(CASE WHEN neg = 0 THEN must ELSE 0 END)
+         END AS must,
+         max(neg) AS neg
+  FROM pall WHERE word NOT IN ({_SW_SQL})
+  GROUP BY query_id, word
+),
+pneed AS (SELECT query_id, sum(must) AS nmust FROM pterms GROUP BY query_id),
+pnegdocs AS (
+  SELECT DISTINCT l.query_id, tf.doc_id
+  FROM pterms l JOIN tf USING (term) WHERE l.neg = 1
+),
+praw AS (
+  SELECT l.query_id, im.doc_id,
+         sum(CASE WHEN l.neg = 0 THEN l.weight * im.impact ELSE 0.0 END) AS raw
+  FROM pterms l
+  JOIN impacts im USING (term)
+  JOIN pneed n ON n.query_id = l.query_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pnegdocs nd
+    WHERE nd.query_id = l.query_id AND nd.doc_id = im.doc_id
+  )
+  GROUP BY l.query_id, im.doc_id
+  HAVING sum(CASE WHEN l.neg = 0 THEN l.must ELSE 0 END) = any_value(n.nmust)
+),
+pfiltered AS (
+  SELECT r.query_id, r.doc_id, r.raw
+  FROM praw r
+  LEFT JOIN phneed pn ON pn.query_id = r.query_id
+  LEFT JOIN phok po ON po.query_id = r.query_id AND po.doc_id = r.doc_id
+  WHERE pn.nphr IS NULL OR coalesce(po.nhit, 0) = pn.nphr
+),
+pscored AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score FROM pfiltered
+),
+pranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM pscored
+)
+SELECT query_id, rank, doc_id, score FROM pranked WHERE rank <= {TOPK}
 """
 
     # distributed-eval twin: arithmetic qrels regenerated, the same

@@ -102,6 +102,23 @@ def parse_query_terms(
     )
 
 
+def parse_phrases(
+    queries_df: DataFrame,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quoted spans → (query_id, pidx, phrase): ``"merge sort"``
+    clauses, 0-indexed per query in text order.  Queries without quotes
+    yield no rows."""
+    arr = F.expr(
+        f"regexp_extract_all(lower({text_col}), '\"([^\"]*)\"', 1)"
+    )
+    return queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(arr).alias("pidx", "phrase"),
+    )
+
+
 def retrieve_parsed(
     index: BM25Index,
     queries_df: DataFrame,
@@ -111,17 +128,75 @@ def retrieve_parsed(
     round_to: int | None = None,
     query_id_col: str = "query_id",
     text_col: str = "text",
+    docs_df: DataFrame | None = None,
+    docs_text_col: str = "text",
+    docs_id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-k BM25 under the mini query language → (query_id, rank,
     doc_id, score).  No padding (excluded docs must not be
     reintroduced); ``round_to`` rounds before the rank cut
-    (doc_id-ascending ties), the gate-stability convention."""
+    (doc_id-ascending ties), the gate-stability convention.
+
+    **Phrase clauses**: with ``docs_df`` (the original corpus rows —
+    positions are not in the BM25 index), quoted spans become MUST
+    constraints — the doc must contain each phrase as an exact-adjacent
+    token run in the raw positional stream (stopword-KEEPING, the
+    positional-index convention of ``operators/phrase.py``).  The
+    phrase's words additionally join the should bag at weight 1 (so a
+    phrase-only query still ranks by BM25).  A phrase whose tokens all
+    vanish (e.g. ``"a"``) imposes no constraint; a phrase containing an
+    OOV word can never match, so that query returns nothing.  Phrases
+    cannot be negated or boosted.  Passing quotes WITHOUT ``docs_df``
+    raises.
+    """
     if method not in METHODS:
         raise ValueError(f"Invalid method {method!r}")
     idf_method = idf_method or method
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    q = parse_query_terms(index, queries_df, query_id_col, text_col)
+    phrases = parse_phrases(queries_df, query_id_col, text_col)
+    # strip quoted spans before the term-operator parse
+    stripped = queries_df.select(
+        F.col(query_id_col).alias("_qid"),
+        F.regexp_replace(F.lower(F.col(text_col)), r'"[^"]*"', " ").alias("_t"),
+    )
+    q = parse_query_terms(index, stripped, "_qid", "_t")
+    # phrase words join the should bag at weight 1 per occurrence
+    # (through the INDEX tokenizer — scoring vocabulary), then the
+    # NOT-wins collapse reapplies over the merged bag
+    if docs_df is not None:
+        udf = make_tokenizer_udf(**index.tokenizer_kwargs)
+        ph_terms = (
+            phrases.select(
+                "query_id", F.explode(udf(F.col("phrase"))).alias("term")
+            )
+            .groupBy("query_id", "term")
+            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+            .select("query_id", "term", "weight",
+                    F.lit(0).alias("must"), F.lit(0).alias("neg"))
+        )
+        q = (
+            q.unionByName(ph_terms)
+            .groupBy("query_id", "term")
+            .agg(
+                F.sum("weight").alias("weight"),
+                F.max("must").alias("must"),
+                F.max("neg").alias("neg"),
+            )
+            .withColumn(
+                "weight",
+                F.when(F.col("neg") == 1, F.lit(0.0)).otherwise(F.col("weight")),
+            )
+            .withColumn(
+                "must",
+                F.when(F.col("neg") == 1, F.lit(0)).otherwise(F.col("must")),
+            )
+        )
+    elif phrases.take(1):
+        raise ValueError(
+            "query contains quoted phrase clauses but docs_df was not "
+            "provided (positions are not stored in the BM25 index)"
+        )
     # must requirement counts post-tokenizer must terms — INCLUDING OOV
     # ones (they can never match, so such a query returns nothing)
     qn = q.groupBy("query_id").agg(
@@ -155,6 +230,49 @@ def retrieve_parsed(
         .withColumn("score", F.col("raw") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
         .select("query_id", "doc_id", "score")
     )
+    if docs_df is not None:
+        # phrase MUST constraints: the doc must contain every phrase
+        # that tokenizes to ≥1 POSITIONAL token (stopword-keeping raw
+        # stream — phrase adjacency semantics); empty-token phrases
+        # impose nothing
+        from bm25s_spark.operators.phrase import phrase_match
+
+        sep = "\x1f"
+        pos_udf = make_tokenizer_udf(stopwords=None)
+        ph_live = (
+            phrases.withColumn("_n", F.size(pos_udf(F.col("phrase"))))
+            .where(F.col("_n") > 0)
+        )
+        nphr = ph_live.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("_nphr")
+        )
+        pmq = ph_live.select(
+            F.concat_ws(sep, "query_id", F.col("pidx").cast("string")
+                        ).alias("pid"),
+            "phrase",
+        )
+        docs = docs_df.select(
+            F.col(docs_id_col).alias("doc_id"),
+            F.col(docs_text_col).alias("text"),
+        )
+        pm = phrase_match(docs, pmq, query_id_col="pid", phrase_col="phrase")
+        hit = (
+            pm.select(
+                F.substring_index("query_id", sep, 1).alias("query_id"),
+                "doc_id",
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("_nhit"))
+        )
+        scores = (
+            scores.join(F.broadcast(nphr), "query_id", "left")
+            .join(F.broadcast(hit), ["query_id", "doc_id"], "left")
+            .where(
+                F.col("_nphr").isNull()
+                | (F.coalesce(F.col("_nhit"), F.lit(0)) == F.col("_nphr"))
+            )
+            .select("query_id", "doc_id", "score")
+        )
     if round_to is not None:
         scores = scores.withColumn("score", F.round("score", round_to))
     w = Window.partitionBy("query_id").orderBy(

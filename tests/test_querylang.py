@@ -96,3 +96,52 @@ def test_nnoc_methods_consistent_with_synonym_weights(spark, idx):
         idx, _q(spark, "scan scan"), method="bm25+").collect()}
     for d, s in boosted.items():
         assert s == pytest.approx(repeated[d])
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_phrase_clause_filters_adjacency(spark, idx, docs_df):
+    # "shuffle join" adjacent only in doc 0 (doc 2 has "broadcast join")
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, '"shuffle join"'), k=5, docs_df=docs_df).collect()}
+    assert res == {0}
+    # non-adjacent pair never matches even though both terms co-occur
+    assert retrieve_parsed(
+        idx, _q(spark, '"spark join"'), k=5, docs_df=docs_df).count() == 0
+
+
+def test_phrase_composes_with_operators(spark, idx, docs_df):
+    # phrase + must + not: "spark shuffle" docs {0,1}; -window drops 1
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, '"spark shuffle" -window'), k=5,
+        docs_df=docs_df).collect()}
+    assert res == {0}
+
+
+def test_phrase_words_score_as_should_terms(spark, idx, docs_df):
+    # a phrase-only query ranks by its words' BM25 over phrase-matching
+    # docs — scores equal the plain bag query restricted to matches
+    res = {r.doc_id: r.score for r in retrieve_parsed(
+        idx, _q(spark, '"spark shuffle"'), k=5, docs_df=docs_df).collect()}
+    bag = {r.doc_id: r.score
+           for r in score_all(idx, _q(spark, "spark shuffle")).collect()}
+    assert set(res) == {0, 1}
+    for d, s in res.items():
+        assert s == pytest.approx(bag[d])
+
+
+def test_phrase_edge_cases(spark, idx, docs_df):
+    # empty/stopword-only phrase imposes nothing
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, '"a" spark'), k=5, docs_df=docs_df).collect()}
+    assert res == {0, 1, 2}
+    # OOV phrase can never match
+    assert retrieve_parsed(
+        idx, _q(spark, '"zzqx zzqx" spark'), k=5, docs_df=docs_df).count() == 0
+    # quotes without docs_df raise; quote-free queries don't need it
+    with pytest.raises(ValueError):
+        retrieve_parsed(idx, _q(spark, '"spark shuffle"'), k=5)
+    assert retrieve_parsed(idx, _q(spark, "spark"), k=5).count() == 3
