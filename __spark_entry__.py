@@ -2536,7 +2536,7 @@ ptok AS (
   SELECT query_id,
          unnest(regexp_extract_all(
            regexp_replace(lower(qtext), '"[^"]*"', ' ', 'g'),
-           '[+-]?\\w\\w+(\\^[0-9.]+)?', 0)) AS tok
+           '[+-]?\\w\\w+(\\^\\d+(\\.\\d+)?)?', 0)) AS tok
   FROM plq
 ),
 pparsed AS (
@@ -2544,7 +2544,7 @@ pparsed AS (
          regexp_extract(tok, '\\w\\w+') AS word,
          CASE WHEN left(tok, 1) = '+' THEN 1 ELSE 0 END AS must,
          CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg,
-         CAST(coalesce(nullif(regexp_extract(tok, '\\^([0-9.]+)', 1), ''),
+         CAST(coalesce(nullif(regexp_extract(tok, '\\^(\\d+(\\.\\d+)?)', 1), ''),
                        '1') AS DOUBLE) AS boost
   FROM ptok
 ),
@@ -2677,7 +2677,7 @@ lq(query_id, qtext) AS (VALUES {_QL_SQL}),
 ltok AS (
   SELECT query_id,
          unnest(regexp_extract_all(lower(qtext),
-                '[+-]?\\w\\w+(\\^[0-9.]+)?', 0)) AS tok
+                '[+-]?\\w\\w+(\\^\\d+(\\.\\d+)?)?', 0)) AS tok
   FROM lq
 ),
 lparsed AS (
@@ -2685,7 +2685,7 @@ lparsed AS (
          regexp_extract(tok, '\\w\\w+') AS word,
          CASE WHEN left(tok, 1) = '+' THEN 1 ELSE 0 END AS must,
          CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg,
-         CAST(coalesce(nullif(regexp_extract(tok, '\\^([0-9.]+)', 1), ''),
+         CAST(coalesce(nullif(regexp_extract(tok, '\\^(\\d+(\\.\\d+)?)', 1), ''),
                        '1') AS DOUBLE) AS boost
   FROM ltok
 ),

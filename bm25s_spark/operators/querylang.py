@@ -45,8 +45,11 @@ from bm25s_spark.scoring import METHODS
 from bm25s_spark.tokenization import make_tokenizer_udf
 
 # doubled backslashes: this literal goes through Spark SQL's string
-# parser (F.expr), which unescapes one level
-_TOKEN_RE_SQL = r"[+\\-]?\\w\\w+(?:\\^[0-9.]+)?"
+# parser (F.expr), which unescapes one level.  The boost suffix only
+# matches a WELL-FORMED number (digits, optional .digits) — a malformed
+# '^.' would cast to NULL in Spark (poisoning the weight) and raise in
+# DuckDB, so the grammar refuses to consume it instead
+_TOKEN_RE_SQL = r"[+\\-]?\\w\\w+(?:\\^\\d+(?:\\.\\d+)?)?"
 
 
 def parse_query_terms(
@@ -77,7 +80,9 @@ def parse_query_terms(
         F.when(head == "+", 1).otherwise(0).alias("must"),
         F.when(head == "-", 1).otherwise(0).alias("neg"),
         F.coalesce(
-            F.nullif(F.regexp_extract("tok", r"\^([0-9.]+)", 1), F.lit("")),
+            F.nullif(
+                F.regexp_extract("tok", r"\^(\d+(?:\.\d+)?)", 1), F.lit("")
+            ),
             F.lit("1"),
         ).cast("double").alias("boost"),
     )

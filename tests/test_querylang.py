@@ -145,3 +145,56 @@ def test_phrase_edge_cases(spark, idx, docs_df):
     with pytest.raises(ValueError):
         retrieve_parsed(idx, _q(spark, '"spark shuffle"'), k=5)
     assert retrieve_parsed(idx, _q(spark, "spark"), k=5).count() == 3
+
+
+def test_parse_matches_python_reference_on_random_inputs(spark, idx):
+    """Seed-looped randomized parse parity against a pure-Python
+    reference (the test_properties.py convention for Spark-backed
+    operators): random operator soup — malformed boosts, bare
+    operators, repeats — must aggregate identically."""
+    import random
+    import re
+
+    from bm25s_spark.tokenization import STOPWORDS_EN
+
+    def ref_parse(text):
+        toks = re.findall(r"[+\-]?\w\w+(?:\^\d+(?:\.\d+)?)?", text.lower())
+        agg = {}
+        for tok in toks:
+            must = 1 if tok[0] == "+" else 0
+            neg = 1 if tok[0] == "-" else 0
+            word = re.search(r"\w\w+", tok).group(0)
+            m = re.search(r"\^(\d+(?:\.\d+)?)", tok)
+            boost = float(m.group(1)) if m else 1.0
+            if word in STOPWORDS_EN:
+                continue
+            w, mu, ng = agg.get(word, (0.0, 0, 0))
+            if neg:
+                ng = 1
+            else:
+                w += boost
+                mu = max(mu, must)
+            agg[word] = (w, mu, ng)
+        return {
+            t: ((0.0, 0, 1) if ng else (w, mu, 0))
+            for t, (w, mu, ng) in agg.items()
+        }
+
+    rng = random.Random(42)
+    pieces = ["spark", "join", "the", "zz", "a", "Spark", "x1y2"]
+    ops = ["", "+", "-"]
+    boosts = ["", "^2", "^0.5", "^.", "^1.2.3", "^", "^03"]
+    queries = []
+    for qi in range(40):
+        n = rng.randint(0, 6)
+        text = " ".join(
+            rng.choice(ops) + rng.choice(pieces) + rng.choice(boosts)
+            for _ in range(n)
+        )
+        queries.append((f"r{qi:02d}", text))
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    got: dict = {}
+    for r in parse_query_terms(idx, qdf).collect():
+        got.setdefault(r.query_id, {})[r.term] = (r.weight, r.must, r.neg)
+    for qid, text in queries:
+        assert got.get(qid, {}) == ref_parse(text), (qid, text)
