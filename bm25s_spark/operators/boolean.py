@@ -84,7 +84,7 @@ def retrieve_min_match(
         qn = qterms.groupBy("query_id").agg(
             F.ceil(F.count(F.lit(1)) * F.lit(frac)).cast("long").alias("_req")
         )
-        qside = qterms.join(qn, "query_id")
+        qside = qterms.join(F.broadcast(qn), "query_id")
     else:
         qside = qterms.withColumn("_req", F.lit(int(min_match)).cast("long"))
     impact = _impact_col(index, method, idf_method)

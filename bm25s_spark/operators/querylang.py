@@ -207,7 +207,7 @@ def retrieve_parsed(
     qn = q.groupBy("query_id").agg(
         F.sum("must").cast("long").alias("_nmust")
     )
-    qall = q.join(qn, "query_id")
+    qall = q.join(F.broadcast(qn), "query_id")
     impact = _impact_col(index, method, idf_method)
     grouped = (
         F.broadcast(qall)

@@ -27,6 +27,12 @@ def main(argv=None):
     ap.add_argument("--method", default="lucene")
     ap.add_argument("--idf-method", default=None)
     ap.add_argument("--strategy", default="sharded", choices=["join", "sharded"])
+    ap.add_argument("--syntax", action="store_true",
+                    help="parse queries with the mini query language "
+                         "(+must -not term^boost; \"phrases\" need --docs)")
+    ap.add_argument("--docs", default=None,
+                    help="parquet of (doc_id, text) original docs — "
+                         "required only for quoted-phrase clauses")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
                     help="iceberg: --index is a catalog.db.name table prefix")
     ap.add_argument("--output", default=None)
@@ -46,10 +52,19 @@ def main(argv=None):
         qdf = spark.createDataFrame(
             [("q-0", args.text)], "query_id string, text string"
         )
-    res = index.retrieve(
-        qdf, k=args.k, method=args.method, idf_method=args.idf_method,
-        strategy=args.strategy,
-    )
+    if args.syntax:
+        from bm25s_spark.operators.querylang import retrieve_parsed
+
+        docs_df = spark.read.parquet(args.docs) if args.docs else None
+        res = retrieve_parsed(
+            index, qdf, k=args.k, method=args.method,
+            idf_method=args.idf_method, docs_df=docs_df,
+        )
+    else:
+        res = index.retrieve(
+            qdf, k=args.k, method=args.method, idf_method=args.idf_method,
+            strategy=args.strategy,
+        )
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"output": args.output}))

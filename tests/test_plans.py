@@ -327,3 +327,45 @@ def test_prf_expansion_broadcasts_hits(spark, idx):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_querylang_single_broadcast_pass(spark, idx):
+    """The query language's musts/nots/boosts all ride ONE broadcast
+    postings join — no sort-merge join and no row-at-a-time Python in
+    the scoring path (the tokenizer's ArrowEvalPython on the tiny query
+    side is the only Python)."""
+    from bm25s_spark.operators.querylang import retrieve_parsed
+
+    qdf = spark.createDataFrame(
+        [("q", "spark +group -merge sort^2")], "query_id string, text string"
+    )
+    plan = _plan(retrieve_parsed(idx, qdf, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sigterms_broadcasts_hit_side(spark, idx):
+    from bm25s_spark.operators.sigterms import significant_terms
+
+    hits = spark.createDataFrame(
+        [("q", 0), ("q", 1)], "query_id string, doc_id long"
+    )
+    plan = _plan(significant_terms(idx, hits))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_evaluate_per_query_no_python_and_query_keyed(spark):
+    """Distributed eval is pure JVM expressions keyed by query_id —
+    no Python evaluation anywhere in the plan."""
+    from bm25s_spark.operators.evaldf import evaluate_per_query
+
+    results = spark.createDataFrame(
+        [("q", 1, 10, 1.0)], "query_id string, rank int, doc_id long, score double"
+    )
+    qrels = spark.createDataFrame(
+        [("q", 10, 1)], "query_id string, doc_id long, grade int"
+    )
+    plan = _plan(evaluate_per_query(results, qrels, k=5))
+    assert "EvalPython" not in plan
