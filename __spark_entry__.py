@@ -1090,6 +1090,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return evaluate_per_query(run, qrels, k=TOPK, round_to=6)
 
     q["eval_per_query"] = eval_gate
+
+    # one-row macro average of the same run/qrels (unrounded per-query
+    # values averaged, rounded once — the driver-side evaluate contract)
+    def eval_macro_gate(spark, sf):
+        from bm25s_spark.operators.evaldf import evaluate_macro
+
+        idx = _index_for(spark, sf)
+        run = _gate_topk(spark, sf, "lucene")
+        qi = spark.createDataFrame(
+            [(f"q{i:02d}", i) for i in range(1, 9)], "query_id string, qi int"
+        )
+        qrels = (
+            idx.doc_lens.select("doc_id")
+            .crossJoin(qi)
+            .select(
+                "query_id", "doc_id",
+                F.when(F.col("doc_id") % 23 == F.col("qi"), 2.0)
+                .when(F.col("doc_id") % 17 == F.col("qi"), 1.0)
+                .alias("grade"),
+            )
+            .where(F.col("grade").isNotNull())
+        )
+        return evaluate_macro(run, qrels, k=TOPK, round_to=6)
+
+    q["eval_macro"] = eval_macro_gate
     q["search_facet_role"] = _gate_facet_role
 
     # date-histogram facet: hourly hit counts of the lucene top-k (the
@@ -2667,6 +2692,31 @@ SELECT b.query_id, b.n_rel,
 FROM base b
 JOIN ideal i USING (query_id)
 LEFT JOIN per_run p USING (query_id)
+"""
+
+    # macro twin: UNROUNDED per-query metrics averaged over judged
+    # queries, rounded once at the end — the evaluate_macro contract
+    # (mirrors eval.evaluate's round-at-the-end behavior)
+    _eval_macro_cut = o["eval_per_query"].rindex("\nSELECT b.query_id")
+    o["eval_macro"] = o["eval_per_query"][:_eval_macro_cut] + f""",
+perq AS (
+  SELECT b.query_id,
+         coalesce(p.dcg, 0.0) / i.idcg AS ndcg,
+         CAST(coalesce(p.hits, 0) AS DOUBLE) / b.n_rel AS recall,
+         CAST(coalesce(p.hits, 0) AS DOUBLE) / {float(TOPK)} AS precision,
+         coalesce(p.ap_num, 0.0) / b.n_rel AS ap,
+         coalesce(1.0 / p.first_rel, 0.0) AS rr
+  FROM base b
+  JOIN ideal i USING (query_id)
+  LEFT JOIN per_run p USING (query_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(ndcg), 6) AS ndcg,
+       round(avg(recall), 6) AS recall,
+       round(avg(precision), 6) AS precision,
+       round(avg(ap), 6) AS map,
+       round(avg(rr), 6) AS mrr
+FROM perq
 """
 
     # query-language twin: the identical parse (operator prefix, boost

@@ -270,6 +270,19 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         ).collect()
         steps["phrase_topk_6q"] = round(time.time() - t, 3)
 
+        # NEW round-4 final — the mini query language (+must -not
+        # term^boost) over the 9 QL gate queries against the full bench
+        # index: measures the one-pass composed boolean path (the
+        # phrase-clause positional leg is already measured above)
+        t = time.time()
+        from bm25s_spark.operators.querylang import retrieve_parsed
+
+        qlq = spark.createDataFrame(
+            entrymod.QL_QUERIES, "query_id string, text string"
+        )
+        retrieve_parsed(idx, qlq, k=10).collect()
+        steps["querylang_9q"] = round(time.time() - t, 3)
+
         # IVF as a REAL partition key: write the corpus partitionBy(cell),
         # query with a probe partition-filter; scan volume is
         # cells_probed/cells_total of the table (the 100 TB pruning story)

@@ -116,3 +116,33 @@ def evaluate_per_query(
         for c in ("ndcg", "recall", "precision", "ap", "rr"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
+
+
+def evaluate_macro(
+    results_df: DataFrame,
+    qrels_df: DataFrame,
+    k: int = 10,
+    round_to: int | None = None,
+    grade_col: str = "grade",
+) -> DataFrame:
+    """One-row macro average over the judged queries → (n_queries,
+    ndcg, recall, precision, map, mrr) — the distributed twin of
+    ``eval.evaluate``'s dict for a single ``k`` (same per-query
+    arithmetic via :func:`evaluate_per_query`, same unweighted mean
+    over queries with ≥ 1 positive judgment).  ``round_to`` rounds the
+    averaged metrics; the per-query values stay full-precision
+    underneath, matching the driver-side evaluator's round-at-the-end
+    behavior."""
+    per_q = evaluate_per_query(results_df, qrels_df, k=k, grade_col=grade_col)
+    out = per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.avg("ndcg").alias("ndcg"),
+        F.avg("recall").alias("recall"),
+        F.avg("precision").alias("precision"),
+        F.avg("ap").alias("map"),
+        F.avg("rr").alias("mrr"),
+    )
+    if round_to is not None:
+        for c in ("ndcg", "recall", "precision", "map", "mrr"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out

@@ -99,3 +99,17 @@ def test_rr_beyond_k(spark):
     row = evaluate_per_query(results, qrels, k=5).collect()[0]
     assert row.rr == pytest.approx(1 / 7)
     assert row.hits == 0 and row.ndcg == 0.0
+
+
+def test_macro_matches_driver_side_dict(spark, frames):
+    from bm25s_spark.operators.evaldf import evaluate_macro
+
+    results, qrels = frames
+    row = evaluate_macro(results, qrels, k=5, grade_col="score").collect()[0]
+    driver = evaluate(results, qrels, k_values=(5,))
+    assert row.n_queries == 3
+    assert row.ndcg == pytest.approx(driver["ndcg@5"], abs=2e-5)
+    assert row.recall == pytest.approx(driver["recall@5"], abs=2e-5)
+    assert row.precision == pytest.approx(driver["p@5"], abs=2e-5)
+    assert row.map == pytest.approx(driver["map@5"], abs=2e-5)
+    assert row.mrr == pytest.approx(driver["mrr"], abs=2e-5)
