@@ -1134,6 +1134,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_facet_hour"] = facet_hour_gate
 
+    # numeric stats facet: doc-length summary of each query's hits
+    def facet_stats_gate(spark, sf):
+        from bm25s_spark.operators.facets import stats_facet
+
+        idx = _index_for(spark, sf)
+        res = _gate_topk(spark, sf, "lucene")
+        return stats_facet(res, idx.doc_lens, "dl", round_to=6)
+
+    q["search_facet_stats"] = facet_stats_gate
+
     # one-row index summary (IndexReader/_stats counters)
     def index_stats_gate(spark, sf):
         from bm25s_spark.indexer import index_stats
@@ -2035,6 +2045,19 @@ SELECT query_id,
                   + doc_id * INTERVAL 1 MINUTE) AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM hits GROUP BY 1, 2
+"""
+    # stats-facet twin: dl summary per query over the hit set (dl from
+    # the shared tokenization CTEs)
+    o["search_facet_stats"] = _bm25_common_cte("lucene") + f""",
+hits AS (
+  SELECT query_id, doc_id FROM ({_bm25_oracle_sql("lucene")})
+)
+SELECT h.query_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(dl.dl) AS min, max(dl.dl) AS max,
+       round(sum(dl.dl), 6) AS sum, round(avg(dl.dl), 6) AS avg
+FROM hits h JOIN dl ON dl.doc_id = h.doc_id
+GROUP BY h.query_id
 """
     # index-stats twin: the same counters off the shared tokenization
     # CTEs (num_terms excludes the "" OOV patch by construction)

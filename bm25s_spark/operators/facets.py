@@ -76,6 +76,53 @@ def facet_counts(
     return ranked.select(*cols, "rank")
 
 
+def stats_facet(
+    results: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Numeric summary of a metadata column over each query's hits →
+    (query_id, n_docs, min, max, sum, avg) — the Elasticsearch
+    ``stats`` aggregation ("how long are the turns this query surfaces",
+    "what value range do the matching events span").
+
+    Same shape and inner-join contract as :func:`facet_counts`: the
+    query-bounded hit set broadcasts into the metadata join, one
+    map-side pass over the corpus-sized side, one hash aggregation
+    bounded by query count.  Hits whose doc has a NULL value still
+    count in ``n_docs`` but are ignored by min/max/sum/avg (SQL
+    aggregate semantics, identical in both engines).  ``round_to``
+    rounds sum and avg (cross-engine float stability).
+    """
+    hits = results.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("doc_id")
+    )
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    out = (
+        F.broadcast(hits)
+        .join(meta, "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+            F.sum("_v").alias("sum"),
+            F.avg("_v").alias("avg"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("sum", F.round("sum", round_to)).withColumn(
+            "avg", F.round("avg", round_to)
+        )
+    return out
+
+
 def date_histogram(
     results: DataFrame,
     docs: DataFrame,

@@ -116,3 +116,24 @@ def test_index_stats_counters(spark):
     assert row.sum_tf == 5             # dl: 3 + 2 + 0
     assert row.max_dl == 3 and row.max_df == 2
     assert row.avgdl == pytest.approx(5 / 3, abs=1e-6)
+
+
+def test_stats_facet_values_and_nulls(spark):
+    from bm25s_spark.operators.facets import stats_facet
+
+    results = spark.createDataFrame(
+        [("q1", 0), ("q1", 1), ("q1", 2), ("q2", 3)],
+        "query_id string, doc_id long",
+    )
+    docs = spark.createDataFrame(
+        [(0, 10.0), (1, 30.0), (2, None), (3, 7.0)],
+        "doc_id long, v double",
+    )
+    rows = {r.query_id: r for r in stats_facet(results, docs, "v").collect()}
+    q1 = rows["q1"]
+    # NULL-valued hit counts in n_docs but not in the numeric aggs
+    assert q1.n_docs == 3
+    assert q1.min == 10.0 and q1.max == 30.0
+    assert q1.sum == 40.0 and q1.avg == pytest.approx(20.0)
+    q2 = rows["q2"]
+    assert (q2.n_docs, q2.min, q2.max, q2.sum, q2.avg) == (1, 7.0, 7.0, 7.0, 7.0)
