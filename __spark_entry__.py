@@ -137,6 +137,20 @@ PQL_QUERIES = [
 ]
 _PQL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in PQL_QUERIES)
 
+# field-scoped query-language gate: role/tool metadata filters (the
+# _transcripts derivation: role cycles doc_id % 3, tool = 'search' on
+# the tool turns) — g05 repeats an identical filter (collapses), g06's
+# value matches nothing (no rows)
+FQL_QUERIES = [
+    ("g01", "role:user spark group"),
+    ("g02", "merge sort -role:tool"),
+    ("g03", "role:assistant +merge table"),
+    ("g04", "tool:search stream batch"),
+    ("g05", "role:user role:user fast"),
+    ("g06", "role:zz fast"),
+]
+_FQL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in FQL_QUERIES)
+
 # regexp gate patterns: full-term match (Lucene RegexpQuery anchoring),
 # alternation, quantifier, a no-match pattern, and a query with TWO
 # patterns both matching the same term (multiplicity 2) — all inside
@@ -1051,6 +1065,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retrieve_parsed(idx, qdf, k=TOPK, round_to=4)
 
     q["bm25_topk_querylang"] = querylang_gate
+
+    # query language with field:value metadata filters
+    def querylang_fields_gate(spark, sf):
+        from bm25s_spark.operators.querylang import retrieve_parsed
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(FQL_QUERIES, "query_id string, text string")
+        meta = idx.doc_lens.select(
+            "doc_id",
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("role"),
+            F.when(F.col("doc_id") % 3 == 2, F.lit("search"))
+            .otherwise(F.lit("")).alias("tool"),
+        )
+        return retrieve_parsed(idx, qdf, k=TOPK, round_to=4, metadata_df=meta)
+
+    q["bm25_topk_querylang_fields"] = querylang_fields_gate
 
     # query language with phrase clauses (positions come from the raw
     # documents table, not the index)
@@ -2528,6 +2561,106 @@ ranked4 AS (
   FROM scored4
 )
 SELECT query_id, rank, doc_id, score FROM ranked4 WHERE rank <= {TOPK}
+"""
+
+    # field-filter query-language twin: filter clauses parsed with the
+    # same regex, metadata replayed as doc_id-arithmetic CASEs, positive
+    # clauses as NOT EXISTS(mismatch), bans as NOT EXISTS(match)
+    o["bm25_topk_querylang_fields"] = _bm25_common_cte("lucene") + f""",
+gq(query_id, qtext) AS (VALUES {_FQL_SQL}),
+gflt AS (
+  SELECT DISTINCT query_id,
+         regexp_extract(tok, '(\\w\\w+):', 1) AS field,
+         regexp_extract(tok, ':(\\w\\w+)', 1) AS value,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg
+  FROM (
+    SELECT query_id,
+           unnest(regexp_extract_all(lower(qtext),
+                  '[+-]?\\w\\w+:\\w\\w+', 0)) AS tok
+    FROM gq
+  )
+),
+gmeta AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool'
+         END AS role,
+         CASE WHEN doc_id % 3 = 2 THEN 'search' ELSE '' END AS tool
+  FROM dl
+),
+gtok AS (
+  SELECT query_id,
+         unnest(regexp_extract_all(
+           regexp_replace(lower(qtext), '[+-]?\\w\\w+:\\w\\w+', ' ', 'g'),
+           '[+-]?\\w\\w+(\\^\\d+(\\.\\d+)?)?', 0)) AS tok
+  FROM gq
+),
+gparsed AS (
+  SELECT query_id,
+         regexp_extract(tok, '\\w\\w+') AS word,
+         CASE WHEN left(tok, 1) = '+' THEN 1 ELSE 0 END AS must,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg,
+         CAST(coalesce(nullif(regexp_extract(tok, '\\^(\\d+(\\.\\d+)?)', 1), ''),
+                       '1') AS DOUBLE) AS boost
+  FROM gtok
+),
+gterms AS (
+  SELECT query_id, word AS term,
+         CASE WHEN max(neg) = 1 THEN 0.0
+              ELSE sum(CASE WHEN neg = 0 THEN boost ELSE 0.0 END)
+         END AS weight,
+         CASE WHEN max(neg) = 1 THEN 0
+              ELSE max(CASE WHEN neg = 0 THEN must ELSE 0 END)
+         END AS must,
+         max(neg) AS neg
+  FROM gparsed WHERE word NOT IN ({_SW_SQL})
+  GROUP BY query_id, word
+),
+gneed AS (SELECT query_id, sum(must) AS nmust FROM gterms GROUP BY query_id),
+gnegdocs AS (
+  SELECT DISTINCT l.query_id, tf.doc_id
+  FROM gterms l JOIN tf USING (term) WHERE l.neg = 1
+),
+graw AS (
+  SELECT l.query_id, im.doc_id,
+         sum(CASE WHEN l.neg = 0 THEN l.weight * im.impact ELSE 0.0 END) AS raw
+  FROM gterms l
+  JOIN impacts im USING (term)
+  JOIN gneed n ON n.query_id = l.query_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gnegdocs nd
+    WHERE nd.query_id = l.query_id AND nd.doc_id = im.doc_id
+  )
+  GROUP BY l.query_id, im.doc_id
+  HAVING sum(CASE WHEN l.neg = 0 THEN l.must ELSE 0 END) = any_value(n.nmust)
+),
+gfiltered AS (
+  SELECT r.query_id, r.doc_id, r.raw
+  FROM graw r JOIN gmeta m ON m.doc_id = r.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gflt f
+    WHERE f.query_id = r.query_id AND f.neg = 0
+      AND ((f.field = 'role' AND m.role != f.value)
+        OR (f.field = 'tool' AND m.tool != f.value))
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM gflt f
+    WHERE f.query_id = r.query_id AND f.neg = 1
+      AND ((f.field = 'role' AND m.role = f.value)
+        OR (f.field = 'tool' AND m.tool = f.value))
+  )
+),
+gscored AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score FROM gfiltered
+),
+granked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM gscored
+)
+SELECT query_id, rank, doc_id, score FROM granked WHERE rank <= {TOPK}
 """
 
     # phrase-query-language twin: positional CTEs over documents, the

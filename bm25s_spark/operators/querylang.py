@@ -107,6 +107,39 @@ def parse_query_terms(
     )
 
 
+# field filters: `field:value` (require) / `-field:value` (exclude);
+# both sides ≥2 word chars, applied against doc metadata columns
+_FILTER_RE_SQL = r"[+\\-]?\\w\\w+:\\w\\w+"
+
+
+def parse_filters(
+    queries_df: DataFrame,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``field:value`` clauses → (query_id, field, value, neg), distinct.
+
+    ``role:user`` requires the doc's ``role`` metadata to equal
+    ``user``; ``-role:tool`` excludes docs whose ``role`` is ``tool``.
+    A ``+`` prefix is accepted (filters are always must).  Field and
+    value are lowercased with the rest of the query text.
+    """
+    raw = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{_FILTER_RE_SQL}', 0)"
+            )
+        ).alias("tok"),
+    )
+    return raw.select(
+        "query_id",
+        F.regexp_extract("tok", r"(\w\w+):", 1).alias("field"),
+        F.regexp_extract("tok", r":(\w\w+)", 1).alias("value"),
+        F.when(F.substring("tok", 1, 1) == "-", 1).otherwise(0).alias("neg"),
+    ).distinct()
+
+
 def parse_phrases(
     queries_df: DataFrame,
     query_id_col: str = "query_id",
@@ -136,6 +169,7 @@ def retrieve_parsed(
     docs_df: DataFrame | None = None,
     docs_text_col: str = "text",
     docs_id_col: str = "doc_id",
+    metadata_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 under the mini query language → (query_id, rank,
     doc_id, score).  No padding (excluded docs must not be
@@ -153,6 +187,17 @@ def retrieve_parsed(
     OOV word can never match, so that query returns nothing.  Phrases
     cannot be negated or boosted.  Passing quotes WITHOUT ``docs_df``
     raises.
+
+    **Field filters**: ``field:value`` / ``-field:value`` clauses apply
+    against doc metadata — ``metadata_df`` (doc_id + metadata columns;
+    defaults to the index's ``doc_map``).  ``role:user`` keeps only
+    user turns in the candidate set (scores untouched — the
+    ``operators/filtered.py`` contract), ``-role:tool`` drops tool
+    turns.  At most one POSITIVE value per (query, field) (two would be
+    unsatisfiable — raises); unknown fields raise; a value no doc
+    carries simply returns nothing.  The (batch-sized) clause table is
+    collected driver-side, then applied with one metadata join on the
+    candidate set.
     """
     if method not in METHODS:
         raise ValueError(f"Invalid method {method!r}")
@@ -160,10 +205,38 @@ def retrieve_parsed(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     phrases = parse_phrases(queries_df, query_id_col, text_col)
-    # strip quoted spans before the term-operator parse
-    stripped = queries_df.select(
+    # strip quoted spans before the filter/term-operator parse
+    unquoted = queries_df.select(
         F.col(query_id_col).alias("_qid"),
         F.regexp_replace(F.lower(F.col(text_col)), r'"[^"]*"', " ").alias("_t"),
+    )
+    # field:value clauses — batch-sized, resolved driver-side
+    filters = parse_filters(unquoted, "_qid", "_t").collect()
+    meta = None
+    if filters:
+        meta = metadata_df if metadata_df is not None else index.doc_map
+        if meta is None:
+            raise ValueError(
+                "query contains field:value filters but neither "
+                "metadata_df nor the index doc_map is available"
+            )
+        unknown = sorted({f.field for f in filters} - set(meta.columns))
+        if unknown:
+            raise ValueError(f"unknown filter field(s): {unknown}")
+        seen: dict[tuple[str, str], str] = {}
+        for f in filters:
+            if f.neg:
+                continue
+            key = (f.query_id, f.field)
+            if key in seen and seen[key] != f.value:
+                raise ValueError(
+                    f"conflicting positive filters on {f.field!r} for "
+                    f"query {f.query_id!r}: {seen[key]!r} vs {f.value!r}"
+                )
+            seen[key] = f.value
+    stripped = unquoted.select(
+        "_qid",
+        F.regexp_replace("_t", r"[+\-]?\w\w+:\w\w+", " ").alias("_t"),
     )
     q = parse_query_terms(index, stripped, "_qid", "_t")
     # phrase words join the should bag at weight 1 per occurrence
@@ -235,6 +308,38 @@ def retrieve_parsed(
         .withColumn("score", F.col("raw") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
         .select("query_id", "doc_id", "score")
     )
+    if filters:
+        # one metadata join on the (query-bounded) candidate set, then
+        # per-field broadcast clause joins — requirements keep, bans
+        # anti-join; scores themselves are untouched (filtered.py
+        # contract: statistics stay corpus-wide)
+        fields = sorted({f.field for f in filters})
+        cand = scores.join(meta.select("doc_id", *fields), "doc_id")
+        spark = index.spark
+        for fld in fields:
+            pos_rows = sorted({(f.query_id, f.value) for f in filters
+                               if f.field == fld and not f.neg})
+            if pos_rows:
+                posdf = spark.createDataFrame(pos_rows, ["query_id", "_req"])
+                cand = (
+                    cand.join(F.broadcast(posdf), "query_id", "left")
+                    .where(
+                        F.col("_req").isNull()
+                        | (F.col(fld) == F.col("_req"))
+                    )
+                    .drop("_req")
+                )
+            neg_rows = sorted({(f.query_id, f.value) for f in filters
+                               if f.field == fld and f.neg})
+            if neg_rows:
+                negdf = spark.createDataFrame(neg_rows, ["_nq", "_ban"])
+                cand = cand.join(
+                    F.broadcast(negdf),
+                    (F.col("query_id") == F.col("_nq"))
+                    & (F.col(fld) == F.col("_ban")),
+                    "left_anti",
+                )
+        scores = cand.select("query_id", "doc_id", "score")
     if docs_df is not None:
         # phrase MUST constraints: the doc must contain every phrase
         # that tokenizes to ≥1 POSITIONAL token (stopword-keeping raw

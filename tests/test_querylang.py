@@ -198,3 +198,50 @@ def test_parse_matches_python_reference_on_random_inputs(spark, idx):
         got.setdefault(r.query_id, {})[r.term] = (r.weight, r.must, r.neg)
     for qid, text in queries:
         assert got.get(qid, {}) == ref_parse(text), (qid, text)
+
+
+@pytest.fixture(scope="module")
+def meta_df(spark):
+    rows = [(0, "user"), (1, "tool"), (2, "user"), (3, "assistant"),
+            (4, "user")]
+    return spark.createDataFrame(rows, "doc_id long, role string")
+
+
+def test_field_filter_requires_and_excludes(spark, idx, meta_df):
+    # "spark" matches docs 0,1,2; role:user keeps 0,2
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, "role:user spark"), k=5, metadata_df=meta_df).collect()}
+    assert res == {0, 2}
+    # -role:tool drops doc 1
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, "spark -role:tool"), k=5, metadata_df=meta_df).collect()}
+    assert res == {0, 2}
+    # scores untouched vs the plain query (filtered.py contract)
+    plain = {r.doc_id: r.score
+             for r in score_all(idx, _q(spark, "spark")).collect()}
+    for r in retrieve_parsed(idx, _q(spark, "role:user spark"), k=5,
+                             metadata_df=meta_df).collect():
+        assert r.score == pytest.approx(plain[r.doc_id])
+
+
+def test_field_filter_composes_with_operators(spark, idx, meta_df):
+    # +join restricts to docs 0,2; role:user keeps both; -merge drops 0
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, "role:user +join spark -merge"), k=5,
+        metadata_df=meta_df).collect()}
+    assert res == {2}
+
+
+def test_field_filter_validation(spark, idx, meta_df):
+    # value nothing carries → no rows (not an error)
+    assert retrieve_parsed(idx, _q(spark, "role:zzz spark"), k=5,
+                           metadata_df=meta_df).count() == 0
+    with pytest.raises(ValueError, match="unknown filter field"):
+        retrieve_parsed(idx, _q(spark, "lang:en spark"), k=5,
+                        metadata_df=meta_df).collect()
+    with pytest.raises(ValueError, match="conflicting positive filters"):
+        retrieve_parsed(idx, _q(spark, "role:user role:tool spark"), k=5,
+                        metadata_df=meta_df).collect()
+    # duplicate identical positive filters are fine
+    assert retrieve_parsed(idx, _q(spark, "role:user role:user spark"), k=5,
+                           metadata_df=meta_df).count() == 2
