@@ -137,6 +137,20 @@ PQL_QUERIES = [
 ]
 _PQL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in PQL_QUERIES)
 
+# expansion query-language gate: wildcard (`word*`) and fuzzy
+# (`word~`, `word~2`) clauses — e03's fuzzy word is OOV-adjacent, e04
+# negates a wildcard, e06's fuzzy word is under the 3-char guard
+# (exact-only, not in vocab → contributes nothing)
+EQL_QUERIES = [
+    ("e01", "merg* sort"),
+    ("e02", "windoq~ batch"),
+    ("e03", "zzqx~2 fast"),
+    ("e04", "-st* table scan"),
+    ("e05", "gr*^2 query"),
+    ("e06", "ke~ merge"),
+]
+_EQL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in EQL_QUERIES)
+
 # field-scoped query-language gate: role/tool metadata filters (the
 # _transcripts derivation: role cycles doc_id % 3, tool = 'search' on
 # the tool turns) — g05 repeats an identical filter (collapses), g06's
@@ -1065,6 +1079,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retrieve_parsed(idx, qdf, k=TOPK, round_to=4)
 
     q["bm25_topk_querylang"] = querylang_gate
+
+    # query language with wildcard/fuzzy expansion clauses
+    def querylang_expand_gate(spark, sf):
+        from bm25s_spark.operators.querylang import retrieve_parsed
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(EQL_QUERIES, "query_id string, text string")
+        return retrieve_parsed(idx, qdf, k=TOPK, round_to=4)
+
+    q["bm25_topk_querylang_expand"] = querylang_expand_gate
 
     # query language with field:value metadata filters
     def querylang_fields_gate(spark, sf):
@@ -2561,6 +2585,104 @@ ranked4 AS (
   FROM scored4
 )
 SELECT query_id, rank, doc_id, score FROM ranked4 WHERE rank <= {TOPK}
+"""
+
+    # expansion query-language twin: the same clause parse, wildcard via
+    # starts_with and fuzzy via native levenshtein with the length band
+    # and 3-char exact-only guard, matched vocab terms entering the bag
+    # at the clause boost (per occurrence — repeated clauses add)
+    o["bm25_topk_querylang_expand"] = _bm25_common_cte("lucene") + f""",
+eq(query_id, qtext) AS (VALUES {_EQL_SQL}),
+etokq AS (
+  SELECT query_id,
+         unnest(regexp_extract_all(lower(qtext),
+                '[+-]?\\w\\w+(~\\d?|\\*)(\\^\\d+(\\.\\d+)?)?', 0)) AS tok
+  FROM eq
+),
+eparsed AS (
+  SELECT query_id,
+         regexp_extract(tok, '\\w\\w+') AS word,
+         CASE WHEN contains(tok, '*') THEN 1 ELSE 0 END AS wild,
+         CAST(coalesce(nullif(regexp_extract(tok, '~(\\d)', 1), ''), '1')
+              AS INTEGER) AS edits,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg,
+         CAST(coalesce(nullif(regexp_extract(tok, '\\^(\\d+(\\.\\d+)?)', 1), ''),
+                       '1') AS DOUBLE) AS boost
+  FROM etokq
+),
+eexp AS (
+  SELECT p.query_id, d.term AS word, 0 AS must, p.neg, p.boost
+  FROM eparsed p JOIN dfreq d ON
+       (p.wild = 1 AND starts_with(d.term, p.word))
+    OR (p.wild = 0 AND d.term = p.word)
+    OR (p.wild = 0 AND length(p.word) >= 3
+        AND abs(length(d.term) - length(p.word)) <= p.edits
+        AND levenshtein(d.term, p.word) <= p.edits)
+),
+etok AS (
+  SELECT query_id,
+         unnest(regexp_extract_all(
+           regexp_replace(lower(qtext),
+                          '[+-]?\\w\\w+(~\\d?|\\*)(\\^\\d+(\\.\\d+)?)?',
+                          ' ', 'g'),
+           '[+-]?\\w\\w+(\\^\\d+(\\.\\d+)?)?', 0)) AS tok
+  FROM eq
+),
+eplain AS (
+  SELECT query_id,
+         regexp_extract(tok, '\\w\\w+') AS word,
+         CASE WHEN left(tok, 1) = '+' THEN 1 ELSE 0 END AS must,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg,
+         CAST(coalesce(nullif(regexp_extract(tok, '\\^(\\d+(\\.\\d+)?)', 1), ''),
+                       '1') AS DOUBLE) AS boost
+  FROM etok
+),
+eall AS (
+  SELECT query_id, word, must, neg, boost FROM eplain
+  UNION ALL
+  SELECT query_id, word, must, neg, boost FROM eexp
+),
+eterms AS (
+  SELECT query_id, word AS term,
+         CASE WHEN max(neg) = 1 THEN 0.0
+              ELSE sum(CASE WHEN neg = 0 THEN boost ELSE 0.0 END)
+         END AS weight,
+         CASE WHEN max(neg) = 1 THEN 0
+              ELSE max(CASE WHEN neg = 0 THEN must ELSE 0 END)
+         END AS must,
+         max(neg) AS neg
+  FROM eall WHERE word NOT IN ({_SW_SQL})
+  GROUP BY query_id, word
+),
+eneed AS (SELECT query_id, sum(must) AS nmust FROM eterms GROUP BY query_id),
+enegdocs AS (
+  SELECT DISTINCT l.query_id, tf.doc_id
+  FROM eterms l JOIN tf USING (term) WHERE l.neg = 1
+),
+eraw AS (
+  SELECT l.query_id, im.doc_id,
+         sum(CASE WHEN l.neg = 0 THEN l.weight * im.impact ELSE 0.0 END) AS raw
+  FROM eterms l
+  JOIN impacts im USING (term)
+  JOIN eneed n ON n.query_id = l.query_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM enegdocs nd
+    WHERE nd.query_id = l.query_id AND nd.doc_id = im.doc_id
+  )
+  GROUP BY l.query_id, im.doc_id
+  HAVING sum(CASE WHEN l.neg = 0 THEN l.must ELSE 0 END) = any_value(n.nmust)
+),
+escored AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score FROM eraw
+),
+eranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM escored
+)
+SELECT query_id, rank, doc_id, score FROM eranked WHERE rank <= {TOPK}
 """
 
     # field-filter query-language twin: filter clauses parsed with the

@@ -140,6 +140,49 @@ def parse_filters(
     ).distinct()
 
 
+# expansion clauses: `word*` (prefix wildcard) / `word~` / `word~2`
+# (fuzzy, default 1 edit — the engine's fuzzy_retrieve default; Lucene's
+# bare ~ means 2) with an optional trailing boost
+_EXPAND_RE_SQL = r"[+\\-]?\\w\\w+(?:~\\d?|\\*)(?:\\^\\d+(?:\\.\\d+)?)?"
+_EXPAND_RE_PY = r"[+\-]?\w\w+(?:~\d?|\*)(?:\^\d+(?:\.\d+)?)?"
+
+
+def parse_expansions(
+    queries_df: DataFrame,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Wildcard/fuzzy clauses → (query_id, word, wild, edits, neg, must,
+    boost).  ``wild``=1 for ``word*``; otherwise ``edits`` is the fuzzy
+    budget (explicit ``~N`` digit, default 1)."""
+    raw = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{_EXPAND_RE_SQL}', 0)"
+            )
+        ).alias("tok"),
+    )
+    head = F.substring("tok", 1, 1)
+    return raw.select(
+        "query_id",
+        F.regexp_extract("tok", r"\w\w+", 0).alias("word"),
+        F.when(F.col("tok").contains("*"), 1).otherwise(0).alias("wild"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("tok", r"~(\d)", 1), F.lit("")),
+            F.lit("1"),
+        ).cast("int").alias("edits"),
+        F.when(head == "-", 1).otherwise(0).alias("neg"),
+        F.when(head == "+", 1).otherwise(0).alias("must"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("tok", r"\^(\d+(?:\.\d+)?)", 1), F.lit("")
+            ),
+            F.lit("1"),
+        ).cast("double").alias("boost"),
+    )
+
+
 def parse_phrases(
     queries_df: DataFrame,
     query_id_col: str = "query_id",
@@ -234,17 +277,29 @@ def retrieve_parsed(
                     f"query {f.query_id!r}: {seen[key]!r} vs {f.value!r}"
                 )
             seen[key] = f.value
+    # wildcard/fuzzy clauses — batch-sized, resolved driver-side (the
+    # expansion JOIN against the vocabulary stays distributed)
+    exps = parse_expansions(unquoted, "_qid", "_t").collect()
+    for e in exps:
+        if e.must:
+            raise ValueError(
+                f"'+' (must) is not supported on wildcard/fuzzy clauses: "
+                f"+{e.word}{'*' if e.wild else '~'}"
+            )
     stripped = unquoted.select(
         "_qid",
-        F.regexp_replace("_t", r"[+\-]?\w\w+:\w\w+", " ").alias("_t"),
+        F.regexp_replace(
+            F.regexp_replace("_t", _EXPAND_RE_PY, " "),
+            r"[+\-]?\w\w+:\w\w+", " ",
+        ).alias("_t"),
     )
     q = parse_query_terms(index, stripped, "_qid", "_t")
+    extra_bags = []
     # phrase words join the should bag at weight 1 per occurrence
-    # (through the INDEX tokenizer — scoring vocabulary), then the
-    # NOT-wins collapse reapplies over the merged bag
+    # (through the INDEX tokenizer — scoring vocabulary)
     if docs_df is not None:
         udf = make_tokenizer_udf(**index.tokenizer_kwargs)
-        ph_terms = (
+        extra_bags.append(
             phrases.select(
                 "query_id", F.explode(udf(F.col("phrase"))).alias("term")
             )
@@ -253,9 +308,58 @@ def retrieve_parsed(
             .select("query_id", "term", "weight",
                     F.lit(0).alias("must"), F.lit(0).alias("neg"))
         )
+    elif phrases.take(1):
+        raise ValueError(
+            "query contains quoted phrase clauses but docs_df was not "
+            "provided (positions are not stored in the BM25 index)"
+        )
+    if exps:
+        # one vocab pass per distinct clause shape (wildcard; fuzzy per
+        # edit budget — Spark's bounded levenshtein takes a literal
+        # threshold), matched terms entering the bag at the clause boost
+        spark = index.spark
+        vocab = index.term_stats.select("term").where(
+            (F.col("term") != "") & (F.col("df") > 0)
+        )
+        # multiset: a repeated clause adds its weight again (the plain
+        # repeated-term contract)
+        wild_rows = sorted((e.query_id, e.word, float(e.boost), int(e.neg))
+                           for e in exps if e.wild)
+        if wild_rows:
+            wdf = spark.createDataFrame(
+                wild_rows, ["query_id", "word", "boost", "neg"]
+            )
+            extra_bags.append(
+                F.broadcast(wdf)
+                .join(vocab, F.col("term").startswith(F.col("word")))
+                .select("query_id", "term", F.col("boost").alias("weight"),
+                        F.lit(0).alias("must"), "neg")
+            )
+        for edits in sorted({int(e.edits) for e in exps if not e.wild}):
+            frows = sorted((e.query_id, e.word, float(e.boost), int(e.neg))
+                           for e in exps
+                           if not e.wild and int(e.edits) == edits)
+            fdf = spark.createDataFrame(
+                frows, ["query_id", "word", "boost", "neg"]
+            )
+            term, word = F.col("term"), F.col("word")
+            fuzzy_ok = (
+                (F.length(word) >= 3)
+                & ((F.length(term) - F.length(word)).between(-edits, edits))
+                & (F.levenshtein(term, word, edits) >= 0)
+            )
+            extra_bags.append(
+                F.broadcast(fdf)
+                .join(vocab, (term == word) | fuzzy_ok)
+                .select("query_id", "term", F.col("boost").alias("weight"),
+                        F.lit(0).alias("must"), "neg")
+            )
+    if extra_bags:
+        # merge, then reapply the NOT-wins collapse over the merged bag
+        for b in extra_bags:
+            q = q.unionByName(b)
         q = (
-            q.unionByName(ph_terms)
-            .groupBy("query_id", "term")
+            q.groupBy("query_id", "term")
             .agg(
                 F.sum("weight").alias("weight"),
                 F.max("must").alias("must"),
@@ -269,11 +373,6 @@ def retrieve_parsed(
                 "must",
                 F.when(F.col("neg") == 1, F.lit(0)).otherwise(F.col("must")),
             )
-        )
-    elif phrases.take(1):
-        raise ValueError(
-            "query contains quoted phrase clauses but docs_df was not "
-            "provided (positions are not stored in the BM25 index)"
         )
     # must requirement counts post-tokenizer must terms — INCLUDING OOV
     # ones (they can never match, so such a query returns nothing)

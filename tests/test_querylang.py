@@ -245,3 +245,46 @@ def test_field_filter_validation(spark, idx, meta_df):
     # duplicate identical positive filters are fine
     assert retrieve_parsed(idx, _q(spark, "role:user role:user spark"), k=5,
                            metadata_df=meta_df).count() == 2
+
+
+def test_expansion_wildcard_and_fuzzy(spark, idx):
+    # sh* → shuffle (docs 0,1,3); spxrk~ → spark at distance 1 (0,1,2)
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, "sh*"), k=5).collect()}
+    assert res == {0, 1, 3}
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, "spxrk~"), k=5).collect()}
+    assert res == {0, 1, 2}
+    # expanded terms score exactly like the literal bag
+    fuzzy = {r.doc_id: r.score for r in retrieve_parsed(
+        idx, _q(spark, "spxrk~"), k=5).collect()}
+    plain = {r.doc_id: r.score
+             for r in score_all(idx, _q(spark, "spark")).collect()}
+    for d, s in fuzzy.items():
+        assert s == pytest.approx(plain[d])
+
+
+def test_expansion_boost_neg_and_edits(spark, idx):
+    # boosted wildcard doubles the contribution
+    b = {r.doc_id: r.score for r in retrieve_parsed(
+        idx, _q(spark, "spark^0 sh*^2"), k=5).collect()}
+    p = {r.doc_id: r.score for r in retrieve_parsed(
+        idx, _q(spark, "spark^0 sh*"), k=5).collect()}
+    for d in p:
+        assert b[d] == pytest.approx(2.0 * p[d])
+    # negated wildcard excludes every matching doc (-par* drops 3, 4)
+    res = {r.doc_id for r in retrieve_parsed(
+        idx, _q(spark, "shuffle scan -par*"), k=5).collect()}
+    assert res == {0, 1}
+    # ~2 reaches what ~1 cannot (spxxk: distance 2 from spark)
+    assert retrieve_parsed(idx, _q(spark, "spxxk~"), k=5).count() == 0
+    assert retrieve_parsed(idx, _q(spark, "spxxk~2"), k=5).count() == 3
+
+
+def test_expansion_guards(spark, idx):
+    # must on an expansion raises
+    with pytest.raises(ValueError, match="must.*wildcard/fuzzy"):
+        retrieve_parsed(idx, _q(spark, "+sh* spark"), k=5).collect()
+    # short fuzzy word: exact only ("sk~" matches nothing; "skew" does
+    # not come within reach of a 2-char token)
+    assert retrieve_parsed(idx, _q(spark, "sk~"), k=5).count() == 0
