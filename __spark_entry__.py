@@ -1060,6 +1060,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_topk_min_match"] = min_match_gate
 
+    # Dirichlet query-likelihood ranking — the LM similarity family
+    # (Lucene LMDirichletSimilarity analog) over the SAME index tables
+    def qld_gate(spark, sf):
+        from bm25s_spark.operators.qld import retrieve_qld
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+        return retrieve_qld(idx, qdf, k=TOPK, mu=2000.0, round_to=4)
+
+    q["lm_dirichlet_topk"] = qld_gate
+
     # regexp term query: anchored full-term vocabulary expansion
     def regexp_gate(spark, sf):
         from bm25s_spark.operators.wildcard import regexp_retrieve
@@ -3089,6 +3100,40 @@ rankedm AS (
   FROM scoredm
 )
 SELECT query_id, rank, doc_id, score FROM rankedm WHERE rank <= {TOPK}
+"""
+
+    # Dirichlet query-likelihood twin: collection frequencies + total
+    # tokens from the shared tf CTE, matched-term sum of
+    # mult·ln(1 + tf·T/(μ·cf)) plus the qlen·ln(μ/(μ+dl)) length prior
+    # (in-vocab qlen only — OOV drops on both engines); ln(1 + x) is
+    # written identically to the Spark side's F.log(1 + x)
+    o["lm_dirichlet_topk"] = _bm25_common_cte("lucene") + f""",
+cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t FROM cf),
+qv AS (
+  SELECT q.query_id, q.term, q.mult, c.cf
+  FROM qterms q JOIN cf c USING (term)
+),
+qlenq AS (SELECT query_id, sum(mult) AS qlen FROM qv GROUP BY query_id),
+matchedq AS (
+  SELECT qv.query_id, tf.doc_id,
+         sum(qv.mult * ln(1 + tf.tf * tot.t / (2000.0 * qv.cf))) AS msum
+  FROM qv JOIN tf USING (term) CROSS JOIN tot
+  GROUP BY qv.query_id, tf.doc_id
+),
+scoredq AS (
+  SELECT m.query_id, m.doc_id,
+         round(m.msum + ql.qlen * ln(2000.0 / (2000.0 + d.dl)), 4) AS score
+  FROM matchedq m JOIN dl d USING (doc_id) JOIN qlenq ql USING (query_id)
+),
+rankedq AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM scoredq
+)
+SELECT query_id, rank, doc_id, score FROM rankedq WHERE rank <= {TOPK}
 """
 
     # regexp twin: anchored full-match expansion over the vocabulary
