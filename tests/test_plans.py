@@ -369,3 +369,19 @@ def test_evaluate_per_query_no_python_and_query_keyed(spark):
     )
     plan = _plan(evaluate_per_query(results, qrels, k=5))
     assert "EvalPython" not in plan
+
+
+def test_qld_broadcasts_query_terms(spark, idx):
+    """The Dirichlet QLD scorer's corpus-side join must broadcast the
+    query-term side (postings never shuffle for a query batch); the only
+    Python in the plan is the tokenizer UDF (ArrowEvalPython), never
+    row-at-a-time BatchEvalPython."""
+    from bm25s_spark.operators.qld import retrieve_qld
+
+    qdf = spark.createDataFrame(
+        [("q0", "telemetry checkpoint shuffle")], "query_id string, text string"
+    )
+    plan = _plan(retrieve_qld(idx, qdf, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
