@@ -283,6 +283,15 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         retrieve_parsed(idx, qlq, k=10).collect()
         steps["querylang_9q"] = round(time.time() - t, 3)
 
+        # Dirichlet query-likelihood ranking over the same index — the
+        # LM similarity family; includes the vocab-bounded cf aggregate
+        # (one postings scan), so this is the cold per-call cost
+        t = time.time()
+        from bm25s_spark.operators.qld import retrieve_qld
+
+        retrieve_qld(idx, qdf, k=10).collect()
+        steps["qld_topk_8q"] = round(time.time() - t, 3)
+
         # IVF as a REAL partition key: write the corpus partitionBy(cell),
         # query with a probe partition-filter; scan volume is
         # cells_probed/cells_total of the table (the 100 TB pruning story)

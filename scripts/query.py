@@ -24,7 +24,11 @@ def main(argv=None):
     ap.add_argument("--queries", default=None)
     ap.add_argument("--text", default=None, help="single inline query")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--method", default="lucene")
+    ap.add_argument("--method", default="lucene",
+                    help="BM25 variant, or 'qld' for Dirichlet "
+                         "query-likelihood ranking")
+    ap.add_argument("--mu", type=float, default=2000.0,
+                    help="Dirichlet smoothing (method=qld only)")
     ap.add_argument("--idf-method", default=None)
     ap.add_argument("--strategy", default="sharded", choices=["join", "sharded"])
     ap.add_argument("--syntax", action="store_true",
@@ -60,6 +64,10 @@ def main(argv=None):
             index, qdf, k=args.k, method=args.method,
             idf_method=args.idf_method, docs_df=docs_df,
         )
+    elif args.method == "qld":
+        from bm25s_spark.operators.qld import retrieve_qld
+
+        res = retrieve_qld(index, qdf, k=args.k, mu=args.mu)
     else:
         res = index.retrieve(
             qdf, k=args.k, method=args.method, idf_method=args.idf_method,
