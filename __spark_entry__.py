@@ -461,6 +461,29 @@ def _gate_topk_conv_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(score_all(idx, qdf, method="lucene"))
 
 
+def _gate_topk_imported(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25l top-k through the reference-format interop round trip:
+    export the standard index into the reference's CSC ``.npy`` save
+    layout (``bm25s_spark/compat.py``; float64 so the trip is
+    lossless), import it back (distributed mmap term-range scan, stored
+    nnoc honored) and score — must hash-match the SAME bm25l oracle as
+    the native build entries."""
+    import tempfile
+
+    from bm25s_spark.compat import export_bm25s, import_bm25s
+    from bm25s_spark.retrieval import score_all
+
+    key = (os.path.abspath(sf_dir), "bm25s_compat")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="bm25s_compat_gate_")
+        export_bm25s(_index_for(spark, sf_dir), d, method="bm25l",
+                     dtype="float64", int_dtype="int64")
+        _INDEX_CACHE[key] = import_bm25s(spark, d).persist()
+    idx = _INDEX_CACHE[key]
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return _rounded_topk(score_all(idx, qdf, method="bm25l"))
+
+
 def _gate_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene top-k through ``merge_indexes``: the corpus is split into
     three doc_id%3 slices, each indexed independently, then merged — the
@@ -1291,6 +1314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one (merge_indexes recomputes df/N/avgdl-dependent impacts exactly)
     # must be indistinguishable from the full-corpus build → same oracle
     q["bm25_topk_merged_index"] = _gate_topk_merged
+    # reference-format interop: export to the bm25s CSC .npy layout and
+    # import it back — the migration path for existing reference users —
+    # must be indistinguishable from the native bm25l build
+    q["bm25_topk_imported_roundtrip"] = _gate_topk_imported
     # delete lifecycle: tombstone view (stats frozen, candidates
     # filtered) and compaction (stats re-derived, no re-tokenize)
     q["bm25_topk_tombstoned"] = _gate_topk_tombstoned
@@ -2051,6 +2078,9 @@ def oracle_sql() -> dict[str, str]:
         "lucene", shard_round=True
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
+    # the interop round trip is lossless at float64, so the imported
+    # index must reproduce the native bm25l ranking exactly
+    o["bm25_topk_imported_roundtrip"] = _bm25_oracle_sql("bm25l")
     o["bm25_topk_conjunctive"] = _bm25_oracle_sql("lucene", conjunctive=True)
     o["bm25_topk_excluding"] = _bm25_oracle_sql("lucene", exclude=True)
     # hourly trending terms with previous-window counts (the _transcripts

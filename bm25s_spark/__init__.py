@@ -31,6 +31,7 @@ from bm25s_spark.index_io import (
     read_term_postings,
     save_index,
 )
+from bm25s_spark.compat import export_bm25s, import_bm25s
 from bm25s_spark.session import get_spark
 from bm25s_spark.transcripts import conversation_rollup
 from bm25s_spark.functions.text import bpe_token_count, gopher_filter

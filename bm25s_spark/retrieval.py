@@ -210,6 +210,9 @@ def retrieve(
     if method not in METHODS:
         raise ValueError(f"Invalid method {method!r}")
     idf_method = idf_method or method
+    from bm25s_spark.compat import check_compat
+
+    check_compat(index, method, idf_method, exact=exact)
     if k > index.num_docs:
         raise ValueError(
             f"k={k} is larger than the number of documents ({index.num_docs})"
@@ -326,6 +329,9 @@ def score_all(
     ``require_all_terms=True`` keeps only docs containing every distinct
     query term (boolean AND; incompatible with ``dense``)."""
     idf_method = idf_method or method
+    from bm25s_spark.compat import check_compat
+
+    check_compat(index, method, idf_method)
     if require_all_terms and dense:
         raise ValueError("require_all_terms and dense are mutually exclusive")
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)

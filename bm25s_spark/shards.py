@@ -52,7 +52,7 @@ from pyspark.sql.types import (
 )
 
 from bm25s_spark import scoring
-from bm25s_spark.indexer import IMPACT_COLS, BM25Index
+from bm25s_spark.indexer import IMPACT_COLS, NNOC_COLS, BM25Index
 from bm25s_spark.scoring import METHODS, METHODS_REQUIRING_NNOC, METHOD_SLUGS
 from bm25s_spark.retrieval import tokenize_queries
 
@@ -351,9 +351,22 @@ def retrieve_sharded(
     qid_type = queries_df.schema[query_id_col].dataType
 
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
+    # a reference-format import (compat.import_bm25s) carries stored
+    # per-term nnoc values but no (avgdl, dl) to recompute them from —
+    # ride the stored column along the metadata pull instead
+    compat_nnoc = (
+        getattr(index, "compat_import", None) is not None
+        and method in METHODS_REQUIRING_NNOC
+    )
+    _nnoc_cols = (
+        [F.col(NNOC_COLS[method]).alias("_nnoc")] if compat_nnoc else []
+    )
     qstats = (
-        qterms.join(index.term_stats.select("term", "df"), "term")
-        .select("query_id", "term", "mult", "df")
+        qterms.join(
+            index.term_stats.select("term", "df", *_nnoc_cols), "term"
+        )
+        .select("query_id", "term", "mult", "df",
+                *(["_nnoc"] if compat_nnoc else []))
     )
     # cheap batch-size probe on the *query* side only (no tokenization,
     # no index scan) to pick the driver-memory strategy; the limit bounds
@@ -669,6 +682,14 @@ def retrieve_sharded(
     def accum_nnoc(pdf: pd.DataFrame) -> None:
         if method not in METHODS_REQUIRING_NNOC:
             return
+        if "_nnoc" in pdf.columns:
+            # compat import: use the file's stored per-term nnoc verbatim
+            for qid, mult, nv in zip(
+                pdf["query_id"].values, pdf["mult"].values, pdf["_nnoc"].values
+            ):
+                v = float(nv) if pd.notna(nv) else 0.0
+                nnoc_sums[qid] = nnoc_sums.get(qid, 0.0) + float(mult) * v
+            return
         for qid, mult, dfv in zip(
             pdf["query_id"].values, pdf["mult"].values, pdf["df"].values
         ):
@@ -701,7 +722,8 @@ def retrieve_sharded(
             # driver metadata peak is O(in-flight chunks), not O(batch)
             cpdf = (
                 chunked.where(F.col("_chunk") == ci)
-                .select("query_id", "term", "mult", "df")
+                .select("query_id", "term", "mult", "df",
+                        *(["_nnoc"] if compat_nnoc else []))
                 .toPandas()
             )
             part, bc = run_chunk(cpdf)
