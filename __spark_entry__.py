@@ -1206,6 +1206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return evaluate_macro(run, qrels, k=TOPK, round_to=6)
 
     q["eval_macro"] = eval_macro_gate
+
+    # A/B run comparison: the lucene and bm25l gate runs compared at
+    # depth TOPK — overlap/jaccard (set), truncated normalized RBO
+    # (rank-weighted), Kendall tau over the intersection (order)
+    def eval_compare_gate(spark, sf):
+        from bm25s_spark.operators.evaldf import compare_runs
+
+        run_a = _gate_topk(spark, sf, "lucene")
+        run_b = _gate_topk(spark, sf, "bm25l")
+        return compare_runs(run_a, run_b, k=TOPK, p=0.9)
+
+    q["eval_compare_runs"] = eval_compare_gate
     q["search_facet_role"] = _gate_facet_role
 
     # date-histogram facet: hourly hit counts of the lucene top-k (the
@@ -3036,6 +3048,53 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
        round(avg(ap), 6) AS map,
        round(avg(rr), 6) AS mrr
 FROM perq
+"""
+
+    # A/B run-comparison twin: the two BM25 oracles (lucene ⊕ bm25l)
+    # composed verbatim, set/rank/order agreement per query.  The RBO
+    # weight table is generated by the SAME Python function the Spark
+    # plan inlines (bm25s_spark/operators/evaldf.py rbo_weights), so
+    # both engines share bit-identical IEEE weights; float repr is
+    # round-trip exact, so the SQL literals parse back to the same
+    # doubles
+    from bm25s_spark.operators.evaldf import rbo_weights as _rbo_w
+
+    _w, _den = _rbo_w(TOPK, 0.9)
+    _w_vals = ", ".join(f"({m}, {w!r})" for m, w in enumerate(_w, 1))
+    o["eval_compare_runs"] = f"""
+WITH ra AS (SELECT query_id, doc_id, rank FROM ({_bm25_oracle_sql("lucene")})),
+rb AS (SELECT query_id, doc_id, rank FROM ({_bm25_oracle_sql("bm25l")})),
+w(m, wv) AS (VALUES {_w_vals}),
+mt AS (
+  SELECT ra.query_id, ra.doc_id, ra.rank AS rank_a, rb.rank AS rank_b
+  FROM ra JOIN rb ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id
+),
+agg AS (
+  SELECT mt.query_id, count(*) AS overlap, sum(w.wv) AS rbo_raw
+  FROM mt JOIN w ON w.m = greatest(mt.rank_a, mt.rank_b)
+  GROUP BY mt.query_id
+),
+pairs AS (
+  SELECT x.query_id,
+         CASE WHEN (x.rank_a - y.rank_a) * (x.rank_b - y.rank_b) > 0
+              THEN 1 ELSE -1 END AS s
+  FROM mt x JOIN mt y ON x.query_id = y.query_id AND x.doc_id < y.doc_id
+),
+tau AS (
+  SELECT query_id, sum(s) * 1.0 / count(*) AS tau FROM pairs GROUP BY query_id
+),
+na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ra GROUP BY query_id),
+nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM rb GROUP BY query_id)
+SELECT na.query_id, na.n_a, nb.n_b,
+       CAST(coalesce(agg.overlap, 0) AS BIGINT) AS overlap,
+       round(coalesce(agg.overlap, 0) * 1.0
+             / (na.n_a + nb.n_b - coalesce(agg.overlap, 0)), 6) AS jaccard,
+       round(coalesce(agg.rbo_raw, 0.0) / {_den!r}, 6) AS rbo,
+       round(tau.tau, 6) AS tau
+FROM na
+JOIN nb ON na.query_id = nb.query_id
+LEFT JOIN agg ON agg.query_id = na.query_id
+LEFT JOIN tau ON tau.query_id = na.query_id
 """
 
     # query-language twin: the identical parse (operator prefix, boost

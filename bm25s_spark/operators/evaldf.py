@@ -146,3 +146,120 @@ def evaluate_macro(
         for c in ("ndcg", "recall", "precision", "map", "mrr"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
+
+
+def rbo_weights(k: int, p: float = 0.9) -> tuple[list[float], float]:
+    """Truncated rank-biased-overlap weight table (Webber/Moffat/Zobel,
+    TOIS 2010, eq. 4 truncated at depth ``k`` and normalized so two
+    identical length-``k`` lists score exactly 1.0).
+
+    ``W[m-1] = Σ_{d=m..k} p^(d-1) / d`` is the total weight a doc pair
+    first co-appearing at depth ``m`` contributes to
+    ``Σ_d p^(d-1) · X_d / d`` (X_d = overlap of the two depth-d
+    prefixes); the normalizer is ``Σ_{d=1..k} p^(d-1)`` (X_d = d for
+    identical lists).  Computed once driver-side and inlined as
+    literals, so the Spark plan and any SQL twin share bit-identical
+    IEEE weights instead of each re-deriving the geometric series in
+    its own summation order."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"persistence p must be in (0, 1) (got {p})")
+    terms = [p ** (d - 1) / d for d in range(1, k + 1)]
+    weights = [float(sum(terms[m - 1:])) for m in range(1, k + 1)]
+    denom = float(sum(p ** (d - 1) for d in range(1, k + 1)))
+    return weights, denom
+
+
+def compare_runs(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    round_to: int | None = 6,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query rank-agreement metrics between two retrieval runs —
+    the A/B harness for ranker changes (method swap, pruning setting,
+    index rebuild, hybrid re-weighting): which queries moved, and how
+    much → (query_id, n_a, n_b, overlap, jaccard, rbo, tau).
+
+    Inputs are two ``retrieve()``-shaped runs (query_id, rank, doc_id,
+    …); rows with rank > ``k`` are ignored so both sides compare at the
+    same depth.
+
+    - ``overlap``/``jaccard``: top-k doc-set intersection size and
+      Jaccard similarity (set metrics, rank-insensitive);
+    - ``rbo``: truncated normalized rank-biased overlap at persistence
+      ``p`` (top-weighted: agreement at rank 1 counts most — see
+      :func:`rbo_weights`); 1.0 = identical rankings;
+    - ``tau``: Kendall's tau-a over the INTERSECTION docs' rank pairs
+      (+1 same order, −1 reversed; NULL when the intersection has < 2
+      docs — rank order is then vacuous).  Ranks within a run are
+      distinct, so no tie correction is needed.
+
+    Queries present in only one run emit a row with overlap 0.
+
+    Scale shape: two shuffles keyed by (query_id, doc_id) for the
+    intersection join, one k-bounded per-query self-join for tau
+    (≤ k(k−1)/2 pairs per query), per-query aggregations — nothing
+    corpus-sized, nothing collected; cardinality out = distinct
+    queries.  At a million queries every stage partitions on query_id.
+    """
+    weights, denom = rbo_weights(k, p)
+    a = run_a.where(F.col("rank") <= k).select(
+        F.col(query_id_col).alias("query_id"), "doc_id",
+        F.col("rank").alias("rank_a"),
+    )
+    b = run_b.where(F.col("rank") <= k).select(
+        F.col(query_id_col).alias("query_id"), "doc_id",
+        F.col("rank").alias("rank_b"),
+    )
+    inter = a.join(b, ["query_id", "doc_id"])
+
+    w_arr = F.array(*[F.lit(w) for w in weights])
+    per_match = inter.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("overlap"),
+        F.sum(
+            F.element_at(w_arr, F.greatest("rank_a", "rank_b").cast("int"))
+        ).alias("rbo_raw"),
+    )
+
+    x, y = inter.alias("x"), inter.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.query_id") == F.col("y.query_id"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.query_id").alias("query_id"),
+        F.when(
+            (F.col("x.rank_a") - F.col("y.rank_a"))
+            * (F.col("x.rank_b") - F.col("y.rank_b")) > 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("s"),
+    )
+    tau_df = pairs.groupBy("query_id").agg(
+        (F.sum("s") / F.count(F.lit(1))).alias("tau")
+    )
+
+    n_a = a.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    n_b = b.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    out = (
+        n_a.join(n_b, "query_id", "full")
+        .withColumn("n_a", F.coalesce("n_a", F.lit(0)))
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)))
+        .join(per_match, "query_id", "left")
+        .withColumn("overlap", F.coalesce("overlap", F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("overlap")
+            / (F.col("n_a") + F.col("n_b") - F.col("overlap")),
+        )
+        .withColumn("rbo", F.coalesce("rbo_raw", F.lit(0.0)) / F.lit(denom))
+        .join(tau_df, "query_id", "left")
+        .select("query_id", "n_a", "n_b", "overlap", "jaccard", "rbo", "tau")
+    )
+    if round_to is not None:
+        for c in ("jaccard", "rbo", "tau"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out
