@@ -1257,6 +1257,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_trending_terms"] = _gate_trending_terms
     q["knn_mmr_rerank"] = _gate_mmr_rerank
 
+    # corpus taxonomy: cosine-argmax cluster assignment at FIXED
+    # arithmetic centroids (the SQL-reproducible configuration — the
+    # trained-k-means path is pytest-checked for determinism/purity in
+    # tests/test_clustering.py, same split as LSH/IVF recall), plus the
+    # per-cluster mix summary and tf-idf-lift keyword labels
+    def _cluster_assign_gate(spark, sf):
+        from bm25s_spark.operators.clustering import cluster_assign
+        from bm25s_spark.operators.similarity import _arith_planes
+
+        return cluster_assign(_embeddings(spark, sf), _arith_planes(64, 8))
+
+    def _cluster_summary_gate(spark, sf):
+        from bm25s_spark.operators.clustering import cluster_summary
+
+        return cluster_summary(_cluster_assign_gate(spark, sf))
+
+    def _cluster_keywords_gate(spark, sf):
+        from bm25s_spark.operators.clustering import cluster_keywords
+
+        return cluster_keywords(
+            _cluster_assign_gate(spark, sf), _documents(spark, sf),
+            top_t=5, min_cluster_df=2,
+        )
+
+    q["cluster_assign"] = _cluster_assign_gate
+    q["cluster_summary"] = _cluster_summary_gate
+    q["cluster_keywords"] = _cluster_keywords_gate
+
     # more-like-this: seed docs → mined top-tf-idf terms → BM25 re-rank
     # (doc→docs composition through the index's own statistics)
     def mlt_gate(spark, sf):
@@ -3785,6 +3813,83 @@ FROM sel
     # the exact top-k bit-for-bit
     o["knn_cosine_lsh"] = _knn_exact_sql
     o["knn_cosine_ivf"] = _knn_exact_sql
+
+    # cluster-assignment twin: the 8×64 centroid matrix regenerated from
+    # the same small-prime integer formula as the Spark side
+    # (similarity._arith_planes — the arithmetic-hyperplane trick the
+    # cosine-near-dup oracle already uses), cosine rounded to 6 BEFORE
+    # the argmax (rounded-before-argmax determinism contract), ties to
+    # the lowest cluster id
+    _cluster_assign_sql_body = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pw AS (
+  SELECT p.range AS cluster, d.range AS dim,
+         ((p.range * 73856093 + d.range * 19349663) % 1000003) / 1000003.0 * 2.0 - 1.0 AS w
+  FROM range(8) p CROSS JOIN range(64) d
+),
+cent AS (SELECT cluster, list(w ORDER BY dim) AS cv FROM pw GROUP BY cluster),
+sims AS (
+  SELECT e.vec_id, c.cluster,
+         round(CASE WHEN list_dot_product(e.v, e.v) > 0
+               THEN list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+               ELSE 0.0 END, 6) AS sim
+  FROM e CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster ASC) AS rn
+  FROM sims
+),
+assign AS (SELECT vec_id, cluster, sim FROM best WHERE rn = 1)"""
+    o["cluster_assign"] = f"""
+WITH {_cluster_assign_sql_body}
+SELECT vec_id, cluster, sim FROM assign
+"""
+    o["cluster_summary"] = f"""
+WITH {_cluster_assign_sql_body}
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(sim), 6) AS avg_sim, round(min(sim), 6) AS min_sim
+FROM assign GROUP BY cluster
+"""
+    # keyword-label twin: identical tokenizer replay (lowercase →
+    # \\w\\w+ → stopword filter, distinct per doc), integer counts into
+    # the same (coverage · smoothed-idf) double expression — exact, like
+    # the JLH significant-terms oracle
+    o["cluster_keywords"] = f"""
+WITH {_cluster_assign_sql_body},
+tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term
+    FROM documents
+  ) WHERE term NOT IN ({_SW_SQL})
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+sizes AS (SELECT cluster, count(*) AS n_c FROM assign GROUP BY cluster),
+cdf AS (
+  SELECT a.cluster, tok.term, CAST(count(*) AS BIGINT) AS cluster_df
+  FROM tok JOIN assign a ON a.vec_id = tok.doc_id
+  GROUP BY a.cluster, tok.term
+  HAVING count(*) >= 2
+),
+scored AS (
+  SELECT cdf.cluster, cdf.term, cdf.cluster_df,
+         round((cdf.cluster_df * 1.0 / s.n_c)
+               * ln((nd.n + 1.0) / (dfreq.df + 1.0)), 6) AS score
+  FROM cdf
+  JOIN sizes s ON s.cluster = cdf.cluster
+  JOIN dfreq ON dfreq.term = cdf.term
+  CROSS JOIN nd
+),
+ranked AS (
+  SELECT cluster, term, cluster_df, score,
+         CAST(row_number() OVER (
+           PARTITION BY cluster ORDER BY score DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT cluster, rank, term, cluster_df, score FROM ranked WHERE rank <= 5
+"""
 
     # int8 quantizer twin: floor(x/s + 0.5) clamp to ±127 (round-half-up
     # spelled as floor so Spark and DuckDB agree bitwise), then the

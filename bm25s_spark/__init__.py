@@ -42,6 +42,12 @@ from bm25s_spark.operators.lm import unigram_counts, with_lm_score
 from bm25s_spark.operators.prf import prf_expand, prf_retrieve
 from bm25s_spark.operators.curate import curate_corpus
 from bm25s_spark.operators.evaldf import compare_runs
+from bm25s_spark.operators.clustering import (
+    cluster_assign,
+    cluster_documents,
+    cluster_keywords,
+    cluster_summary,
+)
 from bm25s_spark.operators.events import session_summary, sessionize
 from bm25s_spark.operators.hybrid import hybrid_retrieve, rrf_fuse
 from bm25s_spark.operators.keywords import top_terms_per_doc
