@@ -2100,6 +2100,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_rollup"] = events_hourly
 
+    # ---- transcripts: per-speaker turn-taking analytics ----
+    def speaker_stats_gate(spark, sf):
+        from bm25s_spark.transcripts import speaker_stats
+
+        return speaker_stats(_transcripts(spark, sf))
+
+    q["transcripts_speaker_stats"] = speaker_stats_gate
+
+    # ---- corpus drift: term movers + divergence summary between two
+    # snapshot halves (even vs odd doc ids — deterministic split) ----
+    def term_drift_gate(spark, sf):
+        from bm25s_spark.operators.drift import term_drift
+
+        d = _documents(spark, sf)
+        return term_drift(
+            d.where(F.col("doc_id") % 2 == 0),
+            d.where(F.col("doc_id") % 2 == 1),
+            top_t=20,
+        )
+
+    q["corpus_term_drift"] = term_drift_gate
+
+    def drift_summary_gate(spark, sf):
+        from bm25s_spark.operators.drift import distribution_divergence
+
+        d = _documents(spark, sf)
+        return distribution_divergence(
+            d.where(F.col("doc_id") % 2 == 0),
+            d.where(F.col("doc_id") % 2 == 1),
+        )
+
+    q["corpus_drift_summary"] = drift_summary_gate
+
     return q
 
 
@@ -4794,6 +4827,118 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    # twin of transcripts.speaker_stats over the derived transcripts
+    # shape: same lag window as events_sessionize, token counts via the
+    # engine tokenizer's pre-stopword \w\w+ replay, latency in exact
+    # integer micros (ts regenerated from doc_id arithmetic — gaps are
+    # timezone-invariant so the naive-vs-instant flavor cannot matter)
+    o["transcripts_speaker_stats"] = """
+WITH t AS (
+  SELECT printf('conv-%06d', doc_id // 4) AS conv_id,
+         CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool'
+         END AS role,
+         text,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + to_microseconds(doc_id * 60000000) AS ts
+  FROM documents
+),
+l AS (
+  SELECT conv_id, role,
+         CAST(length(regexp_extract_all(lower(text), '\\w\\w+')) AS BIGINT) AS nt,
+         lag(role) OVER w AS prev_role,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+f AS (
+  SELECT *, (prev_role IS NOT NULL AND prev_role <> role) AS is_resp FROM l
+)
+SELECT conv_id, role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(sum(nt) / count(*), 6) AS avg_tokens,
+       CAST(count(*) FILTER (is_resp) AS BIGINT) AS n_responses,
+       CAST(coalesce(sum(gap_us) FILTER (is_resp), 0) AS BIGINT) AS sum_response_us,
+       CASE WHEN count(*) FILTER (is_resp) > 0
+            THEN round(sum(gap_us) FILTER (is_resp)
+                       / count(*) FILTER (is_resp) / 1000000.0, 6)
+       END AS avg_response_sec
+FROM f GROUP BY conv_id, role
+"""
+
+    # twins of operators/drift.py: engine-tokenizer replay on the two
+    # snapshot halves, Laplace smoothing over the union vocab — every
+    # probability is one IEEE division of exact integers, so only ln's
+    # last ulp differs cross-engine and the rounding absorbs it
+    _drift_dist_sql = f"""
+ta AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term
+  FROM documents WHERE doc_id % 2 = 0
+),
+tb AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term
+  FROM documents WHERE doc_id % 2 = 1
+),
+fa AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt_a FROM ta
+  WHERE term NOT IN ({_SW_SQL}) GROUP BY term
+),
+fb AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt_b FROM tb
+  WHERE term NOT IN ({_SW_SQL}) GROUP BY term
+),
+j AS (
+  SELECT coalesce(fa.term, fb.term) AS term,
+         CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+         CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+  FROM fa FULL OUTER JOIN fb ON fa.term = fb.term
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(cnt_a) AS BIGINT) AS n_a,
+         CAST(sum(cnt_b) AS BIGINT) AS n_b,
+         CAST(count(*) FILTER (cnt_a > 0) AS BIGINT) AS vocab_a,
+         CAST(count(*) FILTER (cnt_b > 0) AS BIGINT) AS vocab_b
+  FROM j
+),
+p AS (
+  SELECT term, cnt_a, cnt_b, v, n_a, n_b, vocab_a, vocab_b,
+         (cnt_a + 1.0) / (n_a + v) AS pa,
+         (cnt_b + 1.0) / (n_b + v) AS pb
+  FROM j CROSS JOIN tot
+)"""
+
+    o["corpus_term_drift"] = f"""
+WITH {_drift_dist_sql},
+s AS (
+  SELECT term, cnt_a, cnt_b,
+         round(pa, 9) AS p_a, round(pb, 9) AS p_b,
+         round(ln(pa / pb), 9) AS log_ratio,
+         round((pa - pb) * ln(pa / pb), 9) AS score
+  FROM p
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT rank, term, cnt_a, cnt_b, p_a, p_b, log_ratio, score
+FROM r WHERE rank <= 20
+"""
+
+    o["corpus_drift_summary"] = f"""
+WITH {_drift_dist_sql}
+SELECT CAST(max(n_a) AS BIGINT) AS n_tokens_a,
+       CAST(max(n_b) AS BIGINT) AS n_tokens_b,
+       CAST(max(vocab_a) AS BIGINT) AS vocab_a,
+       CAST(max(vocab_b) AS BIGINT) AS vocab_b,
+       CAST(max(v) AS BIGINT) AS vocab_union,
+       round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+       round(sum(-pb * ln(pa / pb)), 6) AS kl_ba,
+       round(sum((pa - pb) * ln(pa / pb)), 6) AS jeffreys
+FROM p
 """
 
     return o

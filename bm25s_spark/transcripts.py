@@ -234,3 +234,70 @@ def conversation_rollup(
         F.min(turn_col).alias("first_turn"),
         F.max(turn_col).alias("last_turn"),
     )
+
+
+def speaker_stats(
+    turns_df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(conversation, role) turn-taking analytics → one row per
+    (``conv_col``, ``role_col``): turn count, token volume, and response
+    latency — the speaker-level report a transcript pipeline runs before
+    deciding per-role sampling weights or turn-granularity filters.
+
+    Columns:
+
+    - ``n_turns`` / ``n_tokens`` / ``avg_tokens`` — volume per speaker;
+      tokens are ``\\w\\w+`` matches of the lowercased text (the engine
+      tokenizer's pattern, pre-stopword), counted JVM-side.
+    - ``n_responses`` — turns whose previous turn (in ``turn_col`` order
+      within the conversation) exists and has a DIFFERENT role, i.e.
+      actual replies rather than consecutive same-speaker turns.
+    - ``sum_response_us`` — total reply latency in exact integer
+      microseconds (the ``session_summary`` convention: float seconds
+      land on round-half boundaries engines resolve differently).
+    - ``avg_response_sec`` — ``sum_response_us / n_responses / 1e6``
+      rounded to 6; NULL for speakers that never reply.
+
+    Scale shape: one hash shuffle on ``conv_col`` for the lag window
+    (per-conversation work is a sequential prefix scan — the same skew
+    bound as sessionization), then a map-side-combinable aggregation on
+    (``conv_col``, ``role_col``).  No Python in the plan, nothing
+    driver-side.  ``turn_col`` is assumed unique per conversation (the
+    input-hint contract), so the window order is total and the lag is
+    deterministic.
+    """
+    from bm25s_spark.operators.events import _ts_micros
+
+    from pyspark.sql import Window
+
+    ts_us = _ts_micros(turns_df, ts_col)
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w\w+"), F.lit(0))
+    )
+    prev_role = F.lag(F.col(role_col)).over(w)
+    prev_us = F.lag(ts_us).over(w)
+    is_resp = prev_role.isNotNull() & (prev_role != F.col(role_col))
+    lagged = turns_df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(role_col).alias("role"),
+        n_tok.cast("long").alias("_nt"),
+        is_resp.cast("int").alias("_ir"),
+        F.when(is_resp, ts_us - prev_us).alias("_rus"),
+    )
+    return lagged.groupBy("conv_id", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.round(F.sum("_nt") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.sum("_ir").cast("long").alias("n_responses"),
+        F.coalesce(F.sum("_rus"), F.lit(0)).cast("long").alias("sum_response_us"),
+        F.when(
+            F.sum("_ir") > 0,
+            F.round(F.sum("_rus") / F.sum("_ir") / F.lit(1000000.0), 6),
+        ).alias("avg_response_sec"),
+    )
