@@ -32,14 +32,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bm25s_spark.functions.text import _ws_tokens
+from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
 
 
-def _bigrams(toks_col):
+def _bigrams(toks_col, keep_tail: bool = False):
     """Adjacent (w1, w2) pairs from a materialized token-array column.
 
     ``zip_with`` of the array against its 1-shift pads the shorter side
-    with NULL, so the trailing (last_token, NULL) pair is filtered out;
-    0- and 1-token documents yield an empty pair array with no
+    with NULL; the trailing (last_token, NULL) pair is filtered out
+    unless ``keep_tail`` — with it kept, EVERY token appears exactly
+    once as ``w1``, which lets unigram counts derive from the
+    aggregated pair table instead of a second corpus scan.  0- and
+    1-token documents yield an empty / tail-only pair array with no
     negative-length slice edge cases.
     """
     shifted = F.slice(
@@ -50,6 +54,8 @@ def _bigrams(toks_col):
         shifted,
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    if keep_tail:
+        return pairs
     return F.filter(pairs, lambda s: s["w2"].isNotNull())
 
 
@@ -75,17 +81,26 @@ def pmi_collocations(
     toks = docs.select(
         _ws_tokens(F.lower(F.col(text_col))).alias("toks")
     )
-    uni = (
-        toks.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bi = (
-        toks.select(F.explode(_bigrams(F.col("toks"))).alias("p"))
+    # ONE corpus scan: pairs with the tail (last_token, NULL) kept mean
+    # every token occurs exactly once as w1, so the aggregated pair
+    # table (vocab²-bounded — in practice the Zipf head) carries both
+    # the bigram AND the unigram statistics; uni/bi/totals all derive
+    # from its eager checkpoint instead of re-tokenizing the corpus
+    # (the previous shape scanned the corpus four times: uni, bi, and
+    # one full recompute per totals collect)
+    bi_all = _eager_checkpoint(
+        toks.select(
+            F.explode(_bigrams(F.col("toks"), keep_tail=True)).alias("p")
+        )
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .agg(F.count(F.lit(1)).alias("pair_count")),
+        reliable=False,
     )
+    uni = bi_all.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("pair_count").alias("c")
+    )
+    bi = bi_all.where(F.col("w2").isNotNull())
     totals = bi.agg(F.sum("pair_count").alias("tb")).collect()[0]
     t_bi = float(totals["tb"] or 0.0)
     t_uni = float(
