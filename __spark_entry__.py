@@ -2133,6 +2133,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_drift_summary"] = drift_summary_gate
 
+    # ---- search ops: per-query index-coverage report (OOV + zero-hit) ----
+    def query_coverage_gate(spark, sf):
+        from bm25s_spark.operators.coverage import query_coverage
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+        return query_coverage(idx, qdf)
+
+    q["search_query_coverage"] = query_coverage_gate
+
     return q
 
 
@@ -4939,6 +4949,59 @@ SELECT CAST(max(n_a) AS BIGINT) AS n_tokens_a,
        round(sum(-pb * ln(pa / pb)), 6) AS kl_ba,
        round(sum((pa - pb) * ln(pa / pb)), 6) AS jeffreys
 FROM p
+"""
+
+    # twin of operators/coverage.py::query_coverage — corpus vocab and
+    # query tokenization replayed with the engine tokenizer's rules;
+    # matched-via-postings == matched-via-vocab because every vocab term
+    # has >= 1 posting and queries never produce the "" patch term
+    o["search_query_coverage"] = f"""
+WITH tok_raw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM tok_raw WHERE term NOT IN ({_SW_SQL})),
+queries(query_id, qtext) AS (VALUES {_QUERIES_SQL}),
+qtok_raw AS (
+  SELECT query_id, unnest(regexp_extract_all(lower(qtext), '\\w\\w+')) AS term
+  FROM queries
+),
+qterms AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS mult
+  FROM qtok_raw WHERE term NOT IN ({_SW_SQL}) GROUP BY query_id, term
+),
+qstats AS (
+  SELECT query_id, CAST(sum(mult) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_unique_terms
+  FROM qterms GROUP BY query_id
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+oov AS (
+  SELECT q.query_id, q.term FROM qterms q
+  LEFT JOIN vocab v ON v.term = q.term WHERE v.term IS NULL
+),
+oov_agg AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_oov_terms,
+         string_agg(term, ',' ORDER BY term) AS oov_terms
+  FROM oov GROUP BY query_id
+),
+cand AS (
+  SELECT q.query_id,
+         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_candidate_docs
+  FROM (SELECT DISTINCT query_id, term FROM qterms) q
+  JOIN toks t USING (term) GROUP BY q.query_id
+)
+SELECT qu.query_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_unique_terms, 0) AS n_unique_terms,
+       coalesce(n_oov_terms, 0) AS n_oov_terms,
+       coalesce(oov_terms, '') AS oov_terms,
+       coalesce(n_candidate_docs, 0) AS n_candidate_docs,
+       CAST(coalesce(n_candidate_docs, 0) = 0 AS INTEGER) AS zero_hit
+FROM queries qu
+LEFT JOIN qstats USING (query_id)
+LEFT JOIN oov_agg USING (query_id)
+LEFT JOIN cand USING (query_id)
 """
 
     return o

@@ -42,6 +42,8 @@ from bm25s_spark.operators.lm import unigram_counts, with_lm_score
 from bm25s_spark.operators.prf import prf_expand, prf_retrieve
 from bm25s_spark.operators.curate import curate_corpus
 from bm25s_spark.operators.evaldf import compare_runs
+from bm25s_spark.operators.drift import distribution_divergence, term_drift
+from bm25s_spark.operators.coverage import query_coverage
 from bm25s_spark.operators.clustering import (
     cluster_assign,
     cluster_documents,
@@ -85,6 +87,7 @@ from bm25s_spark.streaming.dedup import (
 )
 from bm25s_spark.streaming.sessions import session_window_rollup
 from bm25s_spark.streaming.windows import windowed_event_rollup
+from bm25s_spark.transcripts import speaker_stats
 
 __version__ = "0.8.0"
 
@@ -155,4 +158,8 @@ __all__ = [
     "retrieve_after",
     "mean_pool_embeddings",
     "StreamingNearDeduplicator",
+    "term_drift",
+    "distribution_divergence",
+    "query_coverage",
+    "speaker_stats",
 ]
