@@ -39,6 +39,10 @@ def main(argv=None):
                          "required only for quoted-phrase clauses")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
                     help="iceberg: --index is a catalog.db.name table prefix")
+    ap.add_argument("--coverage", action="store_true",
+                    help="emit the per-query index-coverage report "
+                         "(OOV terms, candidate docs, zero-hit) instead "
+                         "of retrieving")
     ap.add_argument("--output", default=None)
     args = ap.parse_args(argv)
     if not args.queries and not args.text:
@@ -56,6 +60,17 @@ def main(argv=None):
         qdf = spark.createDataFrame(
             [("q-0", args.text)], "query_id string, text string"
         )
+    if args.coverage:
+        from bm25s_spark.operators.coverage import query_coverage
+
+        rep = query_coverage(index, qdf)
+        if args.output:
+            rep.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output}))
+        else:
+            for r in rep.orderBy("query_id").collect():
+                print(json.dumps(r.asDict()))
+        return
     if args.syntax:
         from bm25s_spark.operators.querylang import retrieve_parsed
 
