@@ -159,17 +159,29 @@ def cluster_keywords(
         )
     )
     n_docs = docs_df.count()
-    dfreq = doc_terms.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
     a = assign_df.select(
         F.col(assign_df.columns[0]).alias("doc_id"), "cluster"
     )
     sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    # ONE tokenizer pass: left-join the assignment (unassigned docs keep
+    # a NULL cluster) and aggregate once to a (term, cluster)-bounded
+    # table; the corpus-wide df is its per-term sum and the per-cluster
+    # df its non-NULL rows — previously the pandas-UDF tokenization ran
+    # twice, once per consumer (the collocations one-scan pattern)
+    from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
+
+    term_cluster = _eager_checkpoint(
+        doc_terms.join(a, "doc_id", "left")
+        .groupBy("term", "cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")),
+        reliable=False,
+    )
+    dfreq = term_cluster.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df")
+    )
     cdf = (
-        doc_terms.join(a, "doc_id")
-        .groupBy("cluster", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cluster_df"))
+        term_cluster.where(F.col("cluster").isNotNull())
+        .select("cluster", "term", F.col("n").alias("cluster_df"))
         .where(F.col("cluster_df") >= min_cluster_df)
     )
     scored = (
