@@ -79,6 +79,12 @@ def with_lm_score(
     """
     if counts is None:
         counts = unigram_counts(docs, text_col)
+    # vocab-bounded; checkpointed eagerly because both the totals
+    # collect and the scoring join consume it — for the self-scoring
+    # default each would otherwise re-tokenize the whole corpus
+    from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
+
+    counts = _eager_checkpoint(counts, reliable=False)
     totals = counts.agg(
         F.sum("cnt").alias("T"), F.count(F.lit(1)).alias("V")
     ).collect()[0]

@@ -62,9 +62,17 @@ def score_qld(
     if mu <= 0:
         raise ValueError(f"mu must be positive, got {mu}")
     # vocab-sized collection-frequency table; T = Σ cf = Σ dl (every
-    # indexed token is in the vocab, stopwords are gone pre-count)
-    cf = index.postings.groupBy("term").agg(
-        F.sum("tf").cast("double").alias("cf")
+    # indexed token is in the vocab, stopwords are gone pre-count).
+    # Eagerly checkpointed: both the totals collect and the query-term
+    # join consume it, and each would otherwise re-run the full
+    # postings scan + aggregation
+    from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
+
+    cf = _eager_checkpoint(
+        index.postings.groupBy("term").agg(
+            F.sum("tf").cast("double").alias("cf")
+        ),
+        reliable=False,
     )
     total = cf.agg(F.sum("cf").alias("t")).collect()[0]["t"]
     if not total:
