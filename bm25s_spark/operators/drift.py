@@ -67,13 +67,19 @@ def _joined_distributions(
     cb = _term_counts(df_b, text_col, id_col, stopwords).withColumnRenamed(
         "cnt", "cnt_b"
     )
-    joined = (
+    from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
+
+    # vocab-bounded, but downstream of BOTH corpus tokenizations — the
+    # totals broadcast and the main plan each consume it, so without a
+    # checkpoint every corpus would be tokenized twice
+    joined = _eager_checkpoint(
         ca.join(cb, "term", "full_outer")
         .select(
             "term",
             F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
             F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
-        )
+        ),
+        reliable=False,
     )
     totals = joined.agg(
         F.count(F.lit(1)).cast("long").alias("v"),
