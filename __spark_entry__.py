@@ -182,6 +182,8 @@ _REGEX_SQL = ", ".join(f"('{q}', '{p}')" for q, p in REGEX_QUERIES)
 
 _IDF_SQL = {
     "robertson": "ln(greatest((s.n - d.df + 0.5) / (d.df + 0.5), 1.0))",
+    # allow_negative=True: clamp dropped (reference/bm25s/scoring.py:184)
+    "robertson-neg": "ln((s.n - d.df + 0.5) / (d.df + 0.5))",
     "lucene": "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))",
     "atire": "ln(s.n / d.df)",
     "bm25l": "ln((s.n + 1.0) / (d.df + 0.5))",
@@ -264,7 +266,8 @@ def _index_for(spark: SparkSession, sf_dir: str):
 
 
 def _gate_topk(spark: SparkSession, sf_dir: str, method: str,
-               idf_method: str | None = None, mask: bool = False) -> DataFrame:
+               idf_method: str | None = None, mask: bool = False,
+               allow_negative: bool = False) -> DataFrame:
     """Top-k with engine scoring but gate-stable ordering: rank by
     (round(score,4) desc, doc_id) so FP noise below the rounding
     granularity can never flip the cross-engine comparison."""
@@ -278,7 +281,7 @@ def _gate_topk(spark: SparkSession, sf_dir: str, method: str,
             "doc_id", (F.col("doc_id") % 2).cast("double").alias("weight")
         )
     scores = score_all(idx, qdf, method=method, idf_method=idf_method,
-                       weight_mask_df=mask_df)
+                       weight_mask_df=mask_df, allow_negative=allow_negative)
     return _rounded_topk(scores)
 
 
@@ -354,6 +357,23 @@ def _gate_topk_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to=4, expansion_round_to=6,
     )
     scores = score_all(idx, q2, method="lucene")
+    return _rounded_topk(scores)
+
+
+def _gate_topk_prf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-stage PRF semantics, but through the delta-scoring path
+    (round 2 scores only the expansion terms and adds the retained
+    round-1 scores — one fewer full postings pass).  Shares the full
+    path's oracle: delta changes the plan and FP summation order, not
+    the math, and the gate's round-to-4 absorbs the order."""
+    from bm25s_spark.operators.prf import prf_score_delta
+
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    scores = prf_score_delta(
+        idx, qdf, feedback_docs=5, expansion_terms=3, method="lucene",
+        round_to=4, expansion_round_to=6,
+    )
     return _rounded_topk(scores)
 
 
@@ -1046,6 +1066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_atire_robertson"] = (
         lambda spark, sf: _gate_topk(spark, sf, "atire", "robertson")
     )
+    # allow_negative robertson: idf clamp dropped, terms with df > N/2
+    # score negatively (reference/bm25s/scoring.py:178-187) — well
+    # exercised here: most gate-query terms have df > N/2 on this corpus
+    q["bm25_topk_robertson_negative"] = (
+        lambda spark, sf: _gate_topk(spark, sf, "robertson",
+                                     allow_negative=True)
+    )
     q["bm25_topk_weight_mask"] = (
         lambda spark, sf: _gate_topk(spark, sf, "lucene", mask=True)
     )
@@ -1344,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # feedback docs, +3 terms, re-retrieve) — the composition gate for
     # prf_expand + score_all
     q["bm25_topk_prf_expanded"] = _gate_topk_prf
+    q["bm25_topk_prf_delta"] = _gate_topk_prf_delta
     # granularity flip: conversation_rollup → build_index → top-k — one
     # document = one CONVERSATION (the input hint's per-turn granularity
     # inverted, which transcript pipelines run both ways); proves the
@@ -2151,6 +2179,9 @@ def oracle_sql() -> dict[str, str]:
     for m in ("robertson", "lucene", "atire", "bm25l", "bm25+"):
         o[f"bm25_topk_{_SLUG[m]}"] = _bm25_oracle_sql(m)
     o["bm25_topk_atire_robertson"] = _bm25_oracle_sql("atire", "robertson")
+    o["bm25_topk_robertson_negative"] = _bm25_oracle_sql(
+        "robertson", "robertson-neg"
+    )
     o["bm25_topk_weight_mask"] = _bm25_oracle_sql("lucene", mask=True)
     o["bm25_topk_lucene_sharded"] = _bm25_oracle_sql("lucene", shard_round=True)
     o["bm25_topk_bm25plus_sharded"] = _bm25_oracle_sql("bm25+", shard_round=True)
@@ -2325,6 +2356,7 @@ ranked2 AS (
 SELECT seed_doc_id, rank, doc_id, score FROM ranked2 WHERE rank <= {TOPK}
 """
     o["bm25_topk_prf_expanded"] = _bm25_prf_oracle_sql("lucene", m=5, t=3)
+    o["bm25_topk_prf_delta"] = _bm25_prf_oracle_sql("lucene", m=5, t=3)
     o["bm25_topk_conv_granularity"] = _bm25_oracle_sql(
         "lucene", docs_cte=_CONV_DOCS_CTE
     )

@@ -471,18 +471,21 @@ def import_bm25s(
 
 
 def check_compat(index: BM25Index, method: str, idf_method: str,
-                 exact: bool = False) -> None:
+                 exact: bool = False, allow_negative: bool = False) -> None:
     """Raise if a reference-format import is asked for a scoring path
-    its file cannot support (wrong method/idf_method, or exact-mode
-    recomputation which needs the (tf, dl) the format does not carry)."""
+    its file cannot support (wrong method/idf_method, or exact-mode /
+    ``allow_negative`` recomputation, which needs the (tf, dl) the
+    format does not carry)."""
     info = getattr(index, "compat_import", None)
     if info is None:
         return
     stored_idf = info["idf_method"] or info["method"]
-    if method != info["method"] or idf_method != stored_idf or exact:
+    neg = allow_negative and idf_method == "robertson"
+    if method != info["method"] or idf_method != stored_idf or exact or neg:
         raise ValueError(
             "this index was imported from a reference-format save that "
             f"stores only method={info['method']!r} / "
             f"idf_method={stored_idf!r} impacts (no tf/dl): requested "
-            f"method={method!r}, idf_method={idf_method!r}, exact={exact}"
+            f"method={method!r}, idf_method={idf_method!r}, exact={exact}, "
+            f"allow_negative={allow_negative}"
         )

@@ -159,9 +159,12 @@ def cluster_keywords(
         )
     )
     n_docs = docs_df.count()
+    # one-row-per-doc contract: the corpus-wide df below is computed
+    # THROUGH this left join, so a duplicate doc_id here would fan out
+    # doc_terms and silently inflate df / deflate IDF — enforce it
     a = assign_df.select(
         F.col(assign_df.columns[0]).alias("doc_id"), "cluster"
-    )
+    ).dropDuplicates(["doc_id"])
     sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
     # ONE tokenizer pass: left-join the assignment (unassigned docs keep
     # a NULL cluster) and aggregate once to a (term, cluster)-bounded
@@ -174,7 +177,7 @@ def cluster_keywords(
         doc_terms.join(a, "doc_id", "left")
         .groupBy("term", "cluster")
         .agg(F.count(F.lit(1)).cast("long").alias("n")),
-        reliable=False,
+        reliable=True,
     )
     dfreq = term_cluster.groupBy("term").agg(
         F.sum("n").cast("long").alias("df")

@@ -95,7 +95,7 @@ def pmi_collocations(
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count")),
-        reliable=False,
+        reliable=True,
     )
     uni = bi_all.groupBy(F.col("w1").alias("w")).agg(
         F.sum("pair_count").alias("c")

@@ -56,10 +56,17 @@ def query_coverage(
     per_query = hits.groupBy("query_id").agg(
         F.countDistinct("doc_id").cast("long").alias("n_candidate_docs")
     )
-    matched_terms = hits.select("query_id", "term").distinct()
+    # OOV membership comes from the vocab-sized term_stats table, NOT a
+    # second pass over `hits` (every vocab term has ≥1 posting, so the
+    # sets are identical) — this keeps the postings scan at exactly ONE
+    # execution per report.  The broadcast query batch streams against
+    # term_stats; the matched set is query-bounded and re-broadcastable.
+    matched_terms = index.term_stats.select("term").join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
     oov_agg = (
         qt.select("query_id", "term")
-        .join(F.broadcast(matched_terms), ["query_id", "term"], "left_anti")
+        .join(F.broadcast(matched_terms), "term", "left_anti")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_oov_terms"),

@@ -79,7 +79,7 @@ def _joined_distributions(
             F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
             F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
         ),
-        reliable=False,
+        reliable=True,
     )
     totals = joined.agg(
         F.count(F.lit(1)).cast("long").alias("v"),

@@ -78,13 +78,16 @@ def with_lm_score(
     cross-engine comparison; pass None for the raw double.
     """
     if counts is None:
-        counts = unigram_counts(docs, text_col)
-    # vocab-bounded; checkpointed eagerly because both the totals
-    # collect and the scoring join consume it — for the self-scoring
-    # default each would otherwise re-tokenize the whole corpus
-    from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
+        # vocab-bounded; checkpointed eagerly because both the totals
+        # collect and the scoring join consume it — each would otherwise
+        # re-tokenize the whole corpus.  A caller-supplied model is NOT
+        # checkpointed: the caller owns its materialization (it may
+        # already be persisted) and forcing a copy here would duplicate
+        # executor storage for nothing.
+        from bm25s_spark.util import eager_checkpoint as _eager_checkpoint
 
-    counts = _eager_checkpoint(counts, reliable=False)
+        counts = _eager_checkpoint(unigram_counts(docs, text_col),
+                                   reliable=True)
     totals = counts.agg(
         F.sum("cnt").alias("T"), F.count(F.lit(1)).alias("V")
     ).collect()[0]

@@ -35,10 +35,63 @@ from pyspark.sql import functions as F
 
 from bm25s_spark.index_io import BM25Index
 from bm25s_spark.retrieval import (
+    _impact_col,
     _matched_scores,
+    _nnoc_per_query,
+    _with_pad_candidates,
     retrieve,
     tokenize_queries,
 )
+
+
+def _mine_expansion(index: BM25Index, qterms: DataFrame, scores: DataFrame,
+                    feedback_docs: int, expansion_terms: int,
+                    round_to: int | None,
+                    expansion_round_to: int | None) -> DataFrame:
+    """(query_id, term): the top ``expansion_terms`` NEW terms per query,
+    mined from its top ``feedback_docs`` round-1 documents by summed
+    tf-idf (``tf · ln(N/df)``).  ``scores`` is the round-1 matched-score
+    table; both ranking boundaries are rounded/tie-broken for engine
+    stability (doc_id asc at the feedback cut, term asc at the
+    expansion cut)."""
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    hits = (
+        scores.withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= feedback_docs)
+        .select("query_id", "doc_id")
+    )
+
+    escore = F.sum(
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(index.num_docs)) / F.col("df").cast("double"))
+    ).alias("escore")
+    mined = (
+        F.broadcast(hits)
+        .join(index.postings.select("doc_id", "term", "tf", "df"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(escore)
+        .join(
+            F.broadcast(qterms.select("query_id", "term")),
+            ["query_id", "term"],
+            "left_anti",
+        )
+    )
+    if expansion_round_to is not None:
+        mined = mined.withColumn(
+            "escore", F.round("escore", expansion_round_to)
+        )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("escore").desc(), F.col("term").asc()
+    )
+    return (
+        mined.withColumn("r", F.row_number().over(w2))
+        .where(F.col("r") <= expansion_terms)
+        .select("query_id", "term")
+    )
 
 
 def prf_expand(
@@ -75,42 +128,9 @@ def prf_expand(
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
 
     scores = _matched_scores(index, qterms, method, idf_method, None)
-    if round_to is not None:
-        scores = scores.withColumn("score", F.round("score", round_to))
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    hits = (
-        scores.withColumn("r", F.row_number().over(w1))
-        .where(F.col("r") <= feedback_docs)
-        .select("query_id", "doc_id")
-    )
-
-    escore = F.sum(
-        F.col("tf").cast("double")
-        * F.log(F.lit(float(index.num_docs)) / F.col("df").cast("double"))
-    ).alias("escore")
-    mined = (
-        F.broadcast(hits)
-        .join(index.postings.select("doc_id", "term", "tf", "df"), "doc_id")
-        .groupBy("query_id", "term")
-        .agg(escore)
-        .join(
-            F.broadcast(qterms.select("query_id", "term")),
-            ["query_id", "term"],
-            "left_anti",
-        )
-    )
-    if expansion_round_to is not None:
-        mined = mined.withColumn(
-            "escore", F.round("escore", expansion_round_to)
-        )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("escore").desc(), F.col("term").asc()
-    )
     exp = (
-        mined.withColumn("r", F.row_number().over(w2))
-        .where(F.col("r") <= expansion_terms)
+        _mine_expansion(index, qterms, scores, feedback_docs,
+                        expansion_terms, round_to, expansion_round_to)
         .groupBy("query_id")
         .agg(F.sort_array(F.collect_list("term")).alias("etoks"))
     )
@@ -140,6 +160,97 @@ def prf_expand(
     )
 
 
+def prf_score_delta(
+    index: BM25Index,
+    queries_df: DataFrame,
+    feedback_docs: int = 5,
+    expansion_terms: int = 3,
+    method: str = "lucene",
+    idf_method: str | None = None,
+    round_to: int | None = None,
+    expansion_round_to: int | None = 6,
+    pad_candidates_for_k: int | None = None,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score) for the PRF-expanded queries via
+    **delta scoring**: round 2 scores ONLY the expansion terms and adds
+    the retained round-1 scores (BM25 is per-term additive), so the full
+    original-term postings are scanned once, not twice — two postings
+    passes total (round-1 scoring + feedback mining; the round-2 join is
+    LeftSemi-prunable to the ≤ Q·t expansion terms' postings) instead of
+    the full-rescore path's three.
+
+    The math is identical to ``full`` rescoring (an expansion term never
+    duplicates an original term, so the expanded-query score decomposes
+    exactly into round-1 + delta); only the floating-point summation
+    ORDER differs, which the gate's rounding absorbs.  Round-1 scores
+    are eagerly checkpointed — they feed both the feedback cut and the
+    final merge, and are candidate-set-bounded (the same bound round-1
+    retrieval itself has)."""
+    if feedback_docs < 1 or expansion_terms < 0:
+        raise ValueError(
+            f"need feedback_docs >= 1 and expansion_terms >= 0, got "
+            f"{feedback_docs}/{expansion_terms}"
+        )
+    idf_method = idf_method or method
+    from bm25s_spark.util import eager_checkpoint
+
+    qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
+    scores1 = eager_checkpoint(
+        _matched_scores(index, qterms, method, idf_method, None),
+        reliable=True,
+    )
+    eterms = _mine_expansion(
+        index, qterms, scores1, feedback_docs, expansion_terms,
+        round_to, expansion_round_to,
+    ).withColumn("mult", F.lit(1).cast("long"))
+
+    impact = _impact_col(index, method, idf_method)
+    delta = (
+        F.broadcast(eterms)
+        .join(index.postings, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.col("mult").cast("double") * impact.cast("double")
+            ).alias("draw")
+        )
+    )
+    # per-query constants: nnoc over the ORIGINAL terms (the base every
+    # round-1-unmatched doc carries) and over the expansion terms (added
+    # to every doc, matched or not) — both one broadcastable row/query
+    nnoc_o = _nnoc_per_query(index, qterms, method, idf_method)
+    nnoc_e = _nnoc_per_query(index, eterms, method, idf_method)
+    out = (
+        scores1.select("query_id", "doc_id", F.col("score").alias("_s1"))
+        .join(delta, ["query_id", "doc_id"], "full_outer")
+        .join(F.broadcast(nnoc_o.withColumnRenamed("nnoc_sum", "_no")),
+              "query_id", "left")
+        .join(F.broadcast(nnoc_e.withColumnRenamed("nnoc_sum", "_ne")),
+              "query_id", "left")
+        .withColumn(
+            "score",
+            F.coalesce(F.col("_s1"), F.coalesce(F.col("_no"), F.lit(0.0)))
+            + F.coalesce(F.col("draw"), F.lit(0.0))
+            + F.coalesce(F.col("_ne"), F.lit(0.0)),
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    if pad_candidates_for_k is not None:
+        # unmatched docs carry the COMBINED (original + expansion) nnoc
+        # constant for the expanded query — union both term frames so
+        # the shared pad helper computes exactly that
+        qall = qterms.select("query_id", "term", "mult").unionByName(
+            eterms.select("query_id", "term", "mult")
+        )
+        out = _with_pad_candidates(
+            index, queries_df, qall, out, pad_candidates_for_k, method,
+            idf_method, query_id_col,
+        )
+    return out
+
+
 def prf_retrieve(
     index: BM25Index,
     queries_df: DataFrame,
@@ -148,13 +259,47 @@ def prf_retrieve(
     expansion_terms: int = 3,
     method: str = "lucene",
     idf_method: str | None = None,
+    rescore: str = "full",
     query_id_col: str = "query_id",
     text_col: str = "text",
     **retrieve_kwargs,
 ) -> DataFrame:
-    """Two-stage PRF retrieval → (query_id, rank, doc_id, score):
-    ``prf_expand`` then a normal ``retrieve`` over the expanded
-    pre-tokenized queries (any strategy / extra flags pass through)."""
+    """Two-stage PRF retrieval → (query_id, rank, doc_id, score).
+
+    ``rescore="full"`` (default): ``prf_expand`` then a normal
+    ``retrieve`` over the expanded pre-tokenized queries (any strategy /
+    extra flags pass through) — three postings passes.
+    ``rescore="delta"``: :func:`prf_score_delta` — round 2 scores only
+    the expansion terms and adds the retained round-1 scores; one fewer
+    full postings pass, same math up to FP summation order.  The delta
+    path is join-strategy-shaped; strategy/mask flags are rejected."""
+    if rescore not in ("full", "delta"):
+        raise ValueError(f"rescore must be 'full' or 'delta', got {rescore!r}")
+    if rescore == "delta":
+        if retrieve_kwargs:
+            raise ValueError(
+                "rescore='delta' does not accept retrieve pass-through "
+                f"flags (got {sorted(retrieve_kwargs)}); use rescore='full'"
+            )
+        if k > index.num_docs:
+            raise ValueError(
+                f"k={k} is larger than the number of documents "
+                f"({index.num_docs})"
+            )
+        scored = prf_score_delta(
+            index, queries_df, feedback_docs=feedback_docs,
+            expansion_terms=expansion_terms, method=method,
+            idf_method=idf_method, pad_candidates_for_k=k,
+            query_id_col=query_id_col, text_col=text_col,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
     expanded = prf_expand(
         index, queries_df, feedback_docs=feedback_docs,
         expansion_terms=expansion_terms, method=method,

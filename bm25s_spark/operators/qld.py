@@ -72,7 +72,7 @@ def score_qld(
         index.postings.groupBy("term").agg(
             F.sum("tf").cast("double").alias("cf")
         ),
-        reliable=False,
+        reliable=True,
     )
     total = cf.agg(F.sum("cf").alias("t")).collect()[0]["t"]
     if not total:

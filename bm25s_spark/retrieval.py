@@ -73,26 +73,34 @@ def tokenize_queries(index: BM25Index, queries_df: DataFrame,
     return toks.groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("mult"))
 
 
-def _impact_col(index: BM25Index, method: str, idf_method: str):
+def _impact_col(index: BM25Index, method: str, idf_method: str,
+                allow_negative: bool = False):
     """Column expression for the effective per-posting impact.
 
     Standard combos (idf_method == method) read the eagerly-stored float32
     column; cross combos (e.g. atire+robertson — the rank-bm25 equivalence
     setting, ``reference/tests/__init__.py:92-98``) recompute exactly from
-    (tf, dl, df), which the flat postings retain.
+    (tf, dl, df), which the flat postings retain.  ``allow_negative``
+    (robertson idf, ``reference/bm25s/scoring.py:178-187``) also takes the
+    recompute path — the stored impacts are clamped, but the flat postings
+    keep (tf, dl, df), so no index rebuild is needed to flip the knob
+    (the reference requires a rebuild: its impacts are baked at build).
     """
-    if idf_method == method:
+    neg = allow_negative and idf_method == "robertson"
+    if idf_method == method and not neg:
         return F.col(IMPACT_COLS[method])
     return scoring.impact_expr(
         method, idf_method,
         F.col("tf"), F.col("dl"), F.col("df"),
         index.num_docs, index.avg_doc_len,
         index.k1, index.b, index.delta,
+        allow_negative=neg,
     ).cast("double")
 
 
 def _nnoc_per_query(index: BM25Index, qterms: DataFrame,
-                    method: str, idf_method: str) -> DataFrame:
+                    method: str, idf_method: str,
+                    allow_negative: bool = False) -> DataFrame:
     """(query_id, nnoc_sum): Σ mult(t)·nnoc(t) over in-vocab query terms
     (``reference/bm25s/__init__.py:614-618`` — note the indexing keeps
     duplicates, hence the multiplicity weight)."""
@@ -101,7 +109,8 @@ def _nnoc_per_query(index: BM25Index, qterms: DataFrame,
             "nnoc_sum", F.lit(0.0)
         )
     ts = index.term_stats
-    if idf_method == method:
+    neg = allow_negative and idf_method == "robertson"
+    if idf_method == method and not neg:
         nnoc = F.col(NNOC_COLS[method])
     else:
         nnoc = F.when(
@@ -110,6 +119,7 @@ def _nnoc_per_query(index: BM25Index, qterms: DataFrame,
                 method, idf_method, F.col("df"),
                 index.num_docs, index.avg_doc_len,
                 index.k1, index.b, index.delta,
+                allow_negative=neg,
             ),
         ).otherwise(F.lit(0.0))
     # inner join: OOV terms contribute 0, and every consumer left-joins
@@ -128,11 +138,12 @@ def _nnoc_per_query(index: BM25Index, qterms: DataFrame,
 def _matched_scores(index: BM25Index, qterms: DataFrame,
                     method: str, idf_method: str,
                     weight_mask_df: DataFrame | None,
-                    require_all: bool = False) -> DataFrame:
+                    require_all: bool = False,
+                    allow_negative: bool = False) -> DataFrame:
     """(query_id, doc_id, score) for docs sharing ≥1 term with the query
     (``require_all=True``: docs containing EVERY distinct query term).
     Scores include mask and nnoc add-back."""
-    impact = _impact_col(index, method, idf_method)
+    impact = _impact_col(index, method, idf_method, allow_negative)
     joined = F.broadcast(qterms).join(index.postings, "term")
     matched = joined.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("mult").cast("double") * impact.cast("double")).alias("raw"),
@@ -160,7 +171,7 @@ def _matched_scores(index: BM25Index, qterms: DataFrame,
     # nnoc is one row per query — always broadcast (statistics on a
     # derived aggregate won't tell Catalyst it's tiny, and a sort-merge
     # join here would shuffle the whole candidate set by query_id)
-    nnoc = _nnoc_per_query(index, qterms, method, idf_method)
+    nnoc = _nnoc_per_query(index, qterms, method, idf_method, allow_negative)
     return (
         matched.join(F.broadcast(nnoc), "query_id", "left")
         .withColumn("score", F.col("raw") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
@@ -183,6 +194,7 @@ def retrieve(
     round_to: int | None = None,
     query_chunk_size: int = 16384,
     with_docs: bool = False,
+    allow_negative: bool = False,
     query_id_col: str = "query_id",
     text_col: str = "text",
     metrics: dict | None = None,
@@ -206,13 +218,19 @@ def retrieve(
     term therefore matches nothing, and an empty/all-stopword query
     returns no rows); BM25 ranking is unchanged on the qualifying set.
     Padding is skipped (padding would inject docs that fail the AND).
+    ``allow_negative=True`` with robertson idf skips the ≥0 IDF clamp
+    (``reference/bm25s/scoring.py:178-187``) — terms with df > N/2 score
+    negatively.  Applied at query time from the retained (tf, dl, df)
+    columns, so the same index serves both settings (the reference bakes
+    the flag into its stored impacts at build).
     """
     if method not in METHODS:
         raise ValueError(f"Invalid method {method!r}")
     idf_method = idf_method or method
     from bm25s_spark.compat import check_compat
 
-    check_compat(index, method, idf_method, exact=exact)
+    check_compat(index, method, idf_method, exact=exact,
+                 allow_negative=allow_negative)
     if k > index.num_docs:
         raise ValueError(
             f"k={k} is larger than the number of documents ({index.num_docs})"
@@ -237,13 +255,24 @@ def retrieve(
             index, queries_df, k=k, method=method, idf_method=idf_method,
             weight_mask_df=weight_mask_df, pad=pad, prune=prune,
             exact=exact, round_to=round_to, query_chunk_size=query_chunk_size,
+            allow_negative=allow_negative,
             query_id_col=query_id_col, text_col=text_col, metrics=metrics,
         )
         return _maybe_docs(index, out, with_docs)
 
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
     scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df,
-                             require_all=require_all_terms)
+                             require_all=require_all_terms,
+                             allow_negative=allow_negative)
+    if pad and not require_all_terms:
+        # union the nnoc-scored pad-candidate pool BEFORE the window and
+        # let the rank cut drop it — padded retrieval costs ONE job (no
+        # count-probe, no persist; the scoring aggregate feeds both the
+        # window and the pad anti-join through exchange reuse)
+        scores = _with_pad_candidates(
+            index, queries_df, qterms, scores, k, method, idf_method,
+            query_id_col, allow_negative,
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -252,13 +281,7 @@ def retrieve(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
-    if not pad or require_all_terms:
-        return _maybe_docs(index, topk, with_docs)
-    # padding needs a count of topk; persist so the scoring job runs once
-    topk = topk.persist()
-    out = _pad_to_k(index, queries_df, qterms, topk, k, method, idf_method,
-                    query_id_col)
-    return _maybe_docs(index, out, with_docs)
+    return _maybe_docs(index, topk, with_docs)
 
 
 def _maybe_docs(index: BM25Index, results: DataFrame, with_docs: bool) -> DataFrame:
@@ -272,30 +295,61 @@ def _maybe_docs(index: BM25Index, results: DataFrame, with_docs: bool) -> DataFr
     )
 
 
-def _pad_to_k(index, queries_df, qterms, topk, k, method, idf_method,
-              query_id_col) -> DataFrame:
-    """Guarantee exactly k rows per query: unmatched docs carry the
-    query's nnoc constant (0 for non-nnoc variants) — the value the
-    reference's dense score vector assigns them.  Padding only ever
-    touches the first ≤k doc_ids (a broadcastable sliver of doc_map)."""
-    spark = index.spark
+def _with_pad_candidates(index, queries_df, qterms, scores, k, method,
+                         idf_method, query_id_col,
+                         allow_negative: bool = False) -> DataFrame:
+    """Union nnoc-scored pad candidates onto the matched-score table so
+    the caller's top-k window yields exactly k rows per query: unmatched
+    docs carry the query's nnoc constant (0 for non-nnoc variants) — the
+    value the reference's dense score vector assigns them.
+
+    The pool is the 2·k lowest doc_ids (enough to fill k after excluding
+    up to k already-matched pool docs) crossed with EVERY query — a
+    broadcastable ``n_queries × 2k`` sliver.  Pairs that already matched
+    are anti-joined out so a doc never competes twice; the anti-join's
+    big side is the scoring aggregate the window also consumes, which is
+    already hash-partitioned on (query_id, doc_id) — Catalyst reuses the
+    exchange, so the whole padded retrieve stays one job with no
+    count-probe and no persist (a matched pool doc keeps its REAL score,
+    which also preserves rank identity when scores can dip below the
+    nnoc floor, e.g. negative mask weights or ``allow_negative``).
+
+    Documented deviation in the negative-score corner: the reference's
+    dense score vector ranks EVERY unmatched doc (score 0/nnoc) above a
+    negatively-scored matched doc; the scalable pad pool only carries
+    the 2·k lowest doc_ids, so when all of those matched negatively, the
+    zero-score docs outside the pool are not surfaced.  For dense-vector
+    semantics at test scale use ``score_all(dense=True)``."""
     all_q = queries_df.select(F.col(query_id_col).alias("query_id")).distinct()
-    counts = topk.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
-    need = (
-        all_q.join(counts, "query_id", "left")
-        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
-        .where(F.col("n") < k)
-    )
-    if need.limit(1).count() == 0:
-        return topk
-    # candidate pool: 2k lowest doc_ids (enough to fill k after excluding
-    # up to k already-matched docs)
     pool = index.doc_lens.select("doc_id").orderBy("doc_id").limit(2 * k)
-    nnoc = _nnoc_per_query(index, qterms, method, idf_method)
+    nnoc = _nnoc_per_query(index, qterms, method, idf_method, allow_negative)
     cand = (
-        F.broadcast(need.select("query_id")).crossJoin(F.broadcast(pool))
-        .join(topk.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
-        .join(nnoc, "query_id", "left")
+        F.broadcast(all_q).crossJoin(F.broadcast(pool))
+        .join(scores.select("query_id", "doc_id"),
+              ["query_id", "doc_id"], "left_anti")
+        .join(F.broadcast(nnoc), "query_id", "left")
+        .withColumn("score", F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
+        .select("query_id", "doc_id", "score")
+    )
+    return scores.select("query_id", "doc_id", "score").unionByName(cand)
+
+
+def _pad_to_k(index, queries_df, qterms, topk, k, method, idf_method,
+              query_id_col, allow_negative: bool = False) -> DataFrame:
+    """Post-top-k padding for the sharded kernel (whose output is already
+    ≤k rows/query): union nnoc-scored pool candidates and re-rank.  No
+    count-probe — the pad rows are a broadcastable ``n_queries × 2k``
+    sliver, so always unioning and letting the window drop them is
+    cheaper than a probe job.  The caller persists ``topk`` (it is
+    consumed by both the anti-join and the union)."""
+    all_q = queries_df.select(F.col(query_id_col).alias("query_id")).distinct()
+    pool = index.doc_lens.select("doc_id").orderBy("doc_id").limit(2 * k)
+    nnoc = _nnoc_per_query(index, qterms, method, idf_method, allow_negative)
+    cand = (
+        F.broadcast(all_q).crossJoin(F.broadcast(pool))
+        .join(topk.select("query_id", "doc_id"),
+              ["query_id", "doc_id"], "left_anti")
+        .join(F.broadcast(nnoc), "query_id", "left")
         .withColumn("score", F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
         .select("query_id", "doc_id", "score")
     )
@@ -318,6 +372,7 @@ def score_all(
     weight_mask_df: DataFrame | None = None,
     dense: bool = False,
     require_all_terms: bool = False,
+    allow_negative: bool = False,
     query_id_col: str = "query_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -331,12 +386,13 @@ def score_all(
     idf_method = idf_method or method
     from bm25s_spark.compat import check_compat
 
-    check_compat(index, method, idf_method)
+    check_compat(index, method, idf_method, allow_negative=allow_negative)
     if require_all_terms and dense:
         raise ValueError("require_all_terms and dense are mutually exclusive")
     qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
     scores = _matched_scores(index, qterms, method, idf_method, weight_mask_df,
-                             require_all=require_all_terms)
+                             require_all=require_all_terms,
+                             allow_negative=allow_negative)
     if not dense:
         return scores
     all_pairs = (
@@ -344,7 +400,7 @@ def score_all(
         .distinct()
         .crossJoin(index.doc_lens.select("doc_id"))
     )
-    nnoc = _nnoc_per_query(index, qterms, method, idf_method)
+    nnoc = _nnoc_per_query(index, qterms, method, idf_method, allow_negative)
     return (
         all_pairs.join(scores, ["query_id", "doc_id"], "left")
         .join(nnoc, "query_id", "left")

@@ -59,14 +59,23 @@ def _check(method: str) -> str:
     return method
 
 
-def idf_expr(method: str, df_col: Column, n_docs: Column | int) -> Column:
-    """IDF as a column expression over a document-frequency column."""
+def idf_expr(method: str, df_col: Column, n_docs: Column | int,
+             allow_negative: bool = False) -> Column:
+    """IDF as a column expression over a document-frequency column.
+
+    ``allow_negative`` (robertson only, ``reference/bm25s/scoring.py:
+    178-187``): skip the ≥0 clamp, so terms with df > N/2 score
+    negatively — the original Robertson formulation.  Ignored for every
+    other variant (their formulas are non-negative by construction).
+    """
     _check(method)
     n = F.lit(n_docs) if not isinstance(n_docs, Column) else n_docs
     n = n.cast("double")
     dfc = df_col.cast("double")
     if method == "robertson":
         inner = (n - dfc + 0.5) / (dfc + 0.5)
+        if allow_negative:
+            return F.log(inner)
         return F.log(F.greatest(inner, F.lit(1.0)))
     if method == "lucene":
         return F.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
@@ -114,16 +123,18 @@ def impact_expr(
     b: float = DEFAULT_B,
     delta: float = DEFAULT_DELTA,
     subtract_nnoc: bool = True,
+    allow_negative: bool = False,
 ) -> Column:
     """Eager per-(doc, term) impact: ``idf * tfc`` (minus the
     nonoccurrence constant for bm25l/bm25+ when ``subtract_nnoc``,
     matching the reference's stored representation,
     ``reference/bm25s/scoring.py:295-298``)."""
-    imp = idf_expr(idf_method, df_col, n_docs) * tfc_expr(
+    imp = idf_expr(idf_method, df_col, n_docs, allow_negative) * tfc_expr(
         method, tf_col, dl_col, avgdl, k1, b, delta
     )
     if subtract_nnoc and method in METHODS_REQUIRING_NNOC:
-        imp = imp - nnoc_expr(method, idf_method, df_col, n_docs, avgdl, k1, b, delta)
+        imp = imp - nnoc_expr(method, idf_method, df_col, n_docs, avgdl,
+                              k1, b, delta, allow_negative)
     return imp
 
 
@@ -136,6 +147,7 @@ def nnoc_expr(
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
     delta: float = DEFAULT_DELTA,
+    allow_negative: bool = False,
 ) -> Column:
     """Per-term nonoccurrence constant as a column expression
     (``reference/bm25s/scoring.py:76-112``: tfc evaluated at tf=0,
@@ -143,7 +155,7 @@ def nnoc_expr(
     if method not in METHODS_REQUIRING_NNOC:
         return F.lit(0.0)
     avg = F.lit(avgdl) if not isinstance(avgdl, Column) else avgdl
-    return idf_expr(idf_method, df_col, n_docs) * tfc_expr(
+    return idf_expr(idf_method, df_col, n_docs, allow_negative) * tfc_expr(
         method, F.lit(0), avg, avg, k1, b, delta
     )
 
@@ -157,12 +169,14 @@ def nnoc_value(
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
     delta: float = DEFAULT_DELTA,
+    allow_negative: bool = False,
 ) -> float:
     """Driver-side scalar twin of :func:`nnoc_expr` (used by the sharded
     query kernel, which receives plain floats)."""
     if method not in METHODS_REQUIRING_NNOC:
         return 0.0
-    return idf_value(idf_method, df, n_docs) * tfc_value(method, 0.0, avgdl, avgdl, k1, b, delta)
+    return idf_value(idf_method, df, n_docs, allow_negative) * tfc_value(
+        method, 0.0, avgdl, avgdl, k1, b, delta)
 
 
 def tfc_numpy(method: str, tf, dl, avgdl: float,
@@ -187,11 +201,14 @@ def tfc_numpy(method: str, tf, dl, avgdl: float,
     return ((k1 + 1.0) * tf) / (k1 * norm + tf) + delta
 
 
-def idf_value(method: str, df: float, n_docs: float) -> float:
+def idf_value(method: str, df: float, n_docs: float,
+              allow_negative: bool = False) -> float:
     """Scalar IDF (same formulas as :func:`idf_expr`)."""
     _check(method)
     if method == "robertson":
         inner = (n_docs - df + 0.5) / (df + 0.5)
+        if allow_negative:
+            return math.log(inner)
         return math.log(max(inner, 1.0))
     if method == "lucene":
         return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))

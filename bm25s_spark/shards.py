@@ -198,7 +198,8 @@ def ensure_sharded(index: BM25Index) -> DataFrame:
 
 
 def _query_payload(index: BM25Index, qpdf: pd.DataFrame, method: str,
-                   idf_method: str, qidx: dict, exact: bool = False):
+                   idf_method: str, qidx: dict, exact: bool = False,
+                   allow_negative: bool = False):
     """Driver-side broadcast payload for one chunk of queries.
 
     ``qpdf``: pandas frame of (query_id, term, mult, df) for the chunk's
@@ -226,12 +227,13 @@ def _query_payload(index: BM25Index, qpdf: pd.DataFrame, method: str,
         if df <= 0:
             continue  # the "" patch token: no postings, contributes via nnoc only
         if term not in cross:
-            if idf_method == method and not exact:
+            if idf_method == method and not exact and not allow_negative:
                 cross[term] = None
             else:
-                idf_i = scoring.idf_value(idf_method, df, n)
+                idf_i = scoring.idf_value(idf_method, df, n, allow_negative)
                 nnoc_mi = scoring.nnoc_value(
-                    method, idf_method, df, n, avgdl, k1, b, delta
+                    method, idf_method, df, n, avgdl, k1, b, delta,
+                    allow_negative,
                 )
                 cross[term] = (idf_i, nnoc_mi)
         per_term.setdefault(term, []).append((qidx[qid], mult))
@@ -283,6 +285,7 @@ def retrieve_sharded(
     exact: bool = False,
     round_to: int | None = None,
     query_chunk_size: int = 16384,
+    allow_negative: bool = False,
     query_id_col: str = "query_id",
     text_col: str = "text",
     metrics: dict | None = None,
@@ -390,7 +393,10 @@ def retrieve_sharded(
             for r in qstats.select("query_id").distinct().orderBy("query_id").collect()
         ]
     slug = METHOD_SLUGS[method]
-    is_cross = idf_method != method or exact
+    # allow_negative (robertson idf unclamped) rides the cross-recompute
+    # path: the stored float32 impacts are clamped, but tf/dl are kept
+    allow_negative = allow_negative and idf_method == "robertson"
+    is_cross = idf_method != method or exact or allow_negative
     qidx = {q: i for i, q in enumerate(query_ids)}
     has_mask = weight_mask_df is not None
 
@@ -442,7 +448,8 @@ def retrieve_sharded(
 
     def run_chunk(chunk_pdf: pd.DataFrame):
         per_term, cross = _query_payload(
-            index, chunk_pdf, method, idf_method, qidx, exact=exact
+            index, chunk_pdf, method, idf_method, qidx, exact=exact,
+            allow_negative=allow_negative,
         )
         bc = spark.sparkContext.broadcast(
             (per_term, cross, docs_per_shard, k,
@@ -698,6 +705,7 @@ def retrieve_sharded(
                 scoring.nnoc_value(
                     method, idf_method, dfv, index.num_docs,
                     index.avg_doc_len, index.k1, index.b, index.delta,
+                    allow_negative,
                 )
                 if dfv > 0 else 0.0
             )
@@ -840,5 +848,6 @@ def retrieve_sharded(
     from bm25s_spark.retrieval import _pad_to_k
 
     return _pad_to_k(
-        index, queries_df, qterms, topk, k, method, idf_method, query_id_col
+        index, queries_df, qterms, topk, k, method, idf_method, query_id_col,
+        allow_negative,
     )

@@ -173,3 +173,92 @@ def test_require_all_terms_boolean_and(spark, ref_bm25s):
     with pytest.raises(ValueError, match="require_all_terms"):
         engine.retrieve(qdf, k=5, strategy="sharded", require_all_terms=True)
     tdf.unpersist()
+
+
+def test_allow_negative_idf_values(ref_bm25s):
+    """idf_value(..., allow_negative=True) matches the reference's
+    unclamped robertson IDF (reference/bm25s/scoring.py:178-187) across
+    the df range, including the df > N/2 negative region."""
+    from bm25s_spark.scoring import idf_value
+
+    n = 1000.0
+    for df in (1, 10, 499, 500, 501, 700, 999, 1000):
+        ref = ref_bm25s.scoring._score_idf_robertson(
+            float(df), n, allow_negative=True
+        )
+        got = idf_value("robertson", float(df), n, allow_negative=True)
+        assert abs(got - ref) < 1e-12, (df, got, ref)
+        # clamped default still matches too
+        ref_c = ref_bm25s.scoring._score_idf_robertson(float(df), n)
+        got_c = idf_value("robertson", float(df), n)
+        assert abs(got_c - ref_c) < 1e-12, (df, got_c, ref_c)
+    # the knob actually changes something where df > N/2
+    assert idf_value("robertson", 700.0, n, allow_negative=True) < 0.0
+    assert idf_value("robertson", 700.0, n) == 0.0
+
+
+def test_allow_negative_end_to_end(spark, ref_bm25s, monkeypatch):
+    """Parity vs the reference built with the unclamped robertson scorer
+    (functools.partial on _score_idf_robertson — the reference has no
+    constructor knob, so the flag is applied where it lives,
+    reference/bm25s/scoring.py:178-187).  The t2 corpus has head terms
+    with df > N/2, so scores genuinely go negative.
+
+    With negative scores the reference's dense-vector top-k surfaces
+    UNMATCHED docs (score 0) above negatively-scored matched docs, and
+    its pick among the thousands of 0-score ties is arbitrary
+    (argpartition order) — so parity is checked against our dense twin
+    ``score_all(dense=True)``: every reference (doc, score) pair must
+    match our dense score for that doc, and the top-k score profiles
+    must agree positionally.  Both retrieve strategies are then checked
+    for arithmetic agreement with the same dense map."""
+    import functools
+
+    tdf = transcripts_df(spark, "t2").persist()
+    texts = _corpus_texts(tdf)
+    queries = queries_for(texts, 15)
+    k = 10
+
+    orig = ref_bm25s.scoring._score_idf_robertson
+    monkeypatch.setattr(
+        ref_bm25s.scoring,
+        "_score_idf_robertson",
+        functools.partial(orig, allow_negative=True),
+    )
+    docs, scores = ref_topk(
+        ref_bm25s, texts, [q[1] for q in queries], k, "robertson"
+    )
+
+    engine = SparkBM25(method="robertson")
+    engine.index(tdf)
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    dense = {}
+    for r in engine.get_scores(qdf, allow_negative=True, dense=True).collect():
+        dense.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+
+    qids = sorted(q[0] for q in queries)
+    saw_negative = False
+    for qi, qid in enumerate(qids):
+        ref_pairs = list(zip(np.asarray(docs[qi]).tolist(),
+                             np.asarray(scores[qi], dtype=np.float64)))
+        for d, s in ref_pairs:
+            assert abs(dense[qid][d] - s) < 1e-4 + 1e-4 * abs(s), (qid, d, dense[qid][d], s)
+        saw_negative = saw_negative or any(s < -1e-6 for _, s in ref_pairs)
+        # top-k score profile: our best-k dense scores == reference's
+        ours_sorted = sorted(dense[qid].values(), reverse=True)[:k]
+        np.testing.assert_allclose(
+            ours_sorted, sorted((s for _, s in ref_pairs), reverse=True),
+            rtol=1e-4, atol=1e-5, err_msg=qid,
+        )
+    assert saw_negative, "corpus failed to exercise the negative-idf region"
+
+    # both retrieve strategies agree with the dense map on every row
+    for strategy in ("join", "sharded"):
+        got = engine.retrieve(
+            qdf, k=k, strategy=strategy, allow_negative=True, pad=False
+        ).collect()
+        assert got, strategy
+        for r in got:
+            assert abs(dense[r["query_id"]][r["doc_id"]] - r["score"]) < 1e-4, (
+                strategy, r)
+    tdf.unpersist()

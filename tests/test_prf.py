@@ -113,3 +113,57 @@ def test_prf_validation(spark, index):
         prf_expand(index, qdf, feedback_docs=0)
     with pytest.raises(ValueError):
         prf_expand(index, qdf, expansion_terms=-1)
+
+
+def test_prf_delta_matches_full(spark, index):
+    """rescore='delta' reproduces the full-rescore ranking and scores
+    (BM25 per-term additivity — only FP summation order differs)."""
+    qdf = spark.createDataFrame(
+        [("q1", "feline"), ("q2", "kitten yarn"), ("q3", "zzznope"),
+         ("q4", "")],
+        "query_id string, text string",
+    )
+    k = 4
+    full = prf_retrieve(index, qdf, k=k, feedback_docs=3,
+                        expansion_terms=2, rescore="full").collect()
+    delta = prf_retrieve(index, qdf, k=k, feedback_docs=3,
+                         expansion_terms=2, rescore="delta").collect()
+    fm = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in full}
+    dm = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in delta}
+    assert fm.keys() == dm.keys()
+    for key in fm:
+        fd, fs = fm[key]
+        dd, ds = dm[key]
+        assert fd == dd, (key, fm[key], dm[key])
+        assert abs(fs - ds) < 1e-9, (key, fs, ds)
+
+
+def test_prf_delta_nnoc_method(spark, index):
+    """Delta decomposition must also hold for a nonoccurrence-constant
+    variant (bm25+): scores split into round-1 + expansion nnoc + delta."""
+    qdf = spark.createDataFrame(
+        [("q1", "feline"), ("q2", "whiskers purring")],
+        "query_id string, text string",
+    )
+    full = prf_retrieve(index, qdf, k=5, feedback_docs=2,
+                        expansion_terms=2, method="bm25+",
+                        rescore="full").collect()
+    delta = prf_retrieve(index, qdf, k=5, feedback_docs=2,
+                         expansion_terms=2, method="bm25+",
+                         rescore="delta").collect()
+    fm = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+          for r in full}
+    dm = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+          for r in delta}
+    assert fm == dm
+
+
+def test_prf_delta_rejects_passthrough_flags(spark, index):
+    qdf = spark.createDataFrame([("q1", "feline")],
+                                "query_id string, text string")
+    with pytest.raises(ValueError, match="delta"):
+        prf_retrieve(index, qdf, rescore="delta", strategy="sharded")
+    with pytest.raises(ValueError, match="rescore"):
+        prf_retrieve(index, qdf, rescore="bogus")
+    with pytest.raises(ValueError):
+        prf_retrieve(index, qdf, k=99, rescore="delta")
