@@ -165,6 +165,19 @@ FQL_QUERIES = [
 ]
 _FQL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in FQL_QUERIES)
 
+# range-filter gate queries: int + timestamp inclusive ranges, open
+# bounds, a negated range, a range mixed with an equality filter, and
+# an unsatisfiable range (turn_idx only reaches 3)
+RQL_QUERIES = [
+    ("t01", "spark group turn_idx:[0 TO 1]"),
+    ("t02", "merge sort -turn_idx:[2 TO 3]"),
+    ("t03", "fast key ts:[2026-01-01 00:10:00 TO 2026-01-01 03:20:00]"),
+    ("t04", "stream batch ts:[* TO 2026-01-01 01:00:00]"),
+    ("t05", "big table turn_idx:[1 TO *] -role:tool"),
+    ("t06", "slow value turn_idx:[5 TO 9]"),
+]
+_RQL_SQL = ", ".join(f"('{q}', '{t}')" for q, t in RQL_QUERIES)
+
 # regexp gate patterns: full-term match (Lucene RegexpQuery anchoring),
 # alternation, quantifier, a no-match pattern, and a query with TWO
 # patterns both matching the same term (multiplicity 2) — all inside
@@ -1169,6 +1182,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retrieve_parsed(idx, qdf, k=TOPK, round_to=4, metadata_df=meta)
 
     q["bm25_topk_querylang_fields"] = querylang_fields_gate
+
+    # query language with field:[lo TO hi] range filters (timestamps +
+    # ints — the transcript time-filtering ask), incl. open bounds,
+    # negation, and a mixed range + equality query
+    def querylang_range_gate(spark, sf):
+        from bm25s_spark.operators.querylang import retrieve_parsed
+
+        idx = _index_for(spark, sf)
+        qdf = spark.createDataFrame(RQL_QUERIES, "query_id string, text string")
+        meta = idx.doc_lens.select(
+            "doc_id",
+            (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+            (F.lit("2026-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(mins=F.col("doc_id"))).alias("ts"),
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("role"),
+        )
+        return retrieve_parsed(idx, qdf, k=TOPK, round_to=4, metadata_df=meta)
+
+    q["bm25_topk_querylang_range"] = querylang_range_gate
 
     # query language with phrase clauses (positions come from the raw
     # documents table, not the index)
@@ -2926,6 +2961,144 @@ gfiltered AS (
     WHERE f.query_id = r.query_id AND f.neg = 1
       AND ((f.field = 'role' AND m.role = f.value)
         OR (f.field = 'tool' AND m.tool = f.value))
+  )
+),
+gscored AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score FROM gfiltered
+),
+granked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS INTEGER) AS rank
+  FROM gscored
+)
+SELECT query_id, rank, doc_id, score FROM granked WHERE rank <= {TOPK}
+"""
+
+    # range-filter twin: replay the parse order exactly (strip ranges,
+    # then equality filters, then the term grammar), build the same
+    # (turn_idx, ts, role) metadata arithmetically, and apply inclusive
+    # casted-bound range keeps/bans on the candidate set
+    _RGX_RANGE = "[+-]?\\w\\w+:\\[[^\\]]+? to [^\\]]+?\\]"
+    _RANGE_SAT = """CASE f.field
+            WHEN 'turn_idx' THEN
+              (f.lo IS NULL OR m.turn_idx >= CAST(f.lo AS INT))
+              AND (f.hi IS NULL OR m.turn_idx <= CAST(f.hi AS INT))
+            WHEN 'ts' THEN
+              (f.lo IS NULL OR m.ts >= CAST(f.lo AS TIMESTAMP))
+              AND (f.hi IS NULL OR m.ts <= CAST(f.hi AS TIMESTAMP))
+          END"""
+    o["bm25_topk_querylang_range"] = _bm25_common_cte("lucene") + f""",
+gq(query_id, qtext) AS (VALUES {_RQL_SQL}),
+grange AS (
+  SELECT DISTINCT query_id,
+         regexp_extract(tok, '(\\w\\w+):\\[', 1) AS field,
+         nullif(trim(regexp_extract(tok, '\\[([^\\]]+?) to ', 1)), '*') AS lo,
+         nullif(trim(regexp_extract(tok, ' to ([^\\]]+?)\\]', 1)), '*') AS hi,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg
+  FROM (
+    SELECT query_id,
+           unnest(regexp_extract_all(lower(qtext), '{_RGX_RANGE}', 0)) AS tok
+    FROM gq
+  )
+),
+gstripped AS (
+  SELECT query_id,
+         regexp_replace(lower(qtext), '{_RGX_RANGE}', ' ', 'g') AS t1
+  FROM gq
+),
+gflt AS (
+  SELECT DISTINCT query_id,
+         regexp_extract(tok, '(\\w\\w+):', 1) AS field,
+         regexp_extract(tok, ':(\\w\\w+)', 1) AS value,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg
+  FROM (
+    SELECT query_id,
+           unnest(regexp_extract_all(t1, '[+-]?\\w\\w+:\\w\\w+', 0)) AS tok
+    FROM gstripped
+  )
+),
+gmeta AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INT) AS turn_idx,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + CAST(doc_id AS BIGINT) * INTERVAL 1 MINUTE AS ts,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool'
+         END AS role
+  FROM dl
+),
+gtok AS (
+  SELECT query_id,
+         unnest(regexp_extract_all(
+           regexp_replace(t1, '[+-]?\\w\\w+:\\w\\w+', ' ', 'g'),
+           '[+-]?\\w\\w+(\\^\\d+(\\.\\d+)?)?', 0)) AS tok
+  FROM gstripped
+),
+gparsed AS (
+  SELECT query_id,
+         regexp_extract(tok, '\\w\\w+') AS word,
+         CASE WHEN left(tok, 1) = '+' THEN 1 ELSE 0 END AS must,
+         CASE WHEN left(tok, 1) = '-' THEN 1 ELSE 0 END AS neg,
+         CAST(coalesce(nullif(regexp_extract(tok, '\\^(\\d+(\\.\\d+)?)', 1), ''),
+                       '1') AS DOUBLE) AS boost
+  FROM gtok
+),
+gterms AS (
+  SELECT query_id, word AS term,
+         CASE WHEN max(neg) = 1 THEN 0.0
+              ELSE sum(CASE WHEN neg = 0 THEN boost ELSE 0.0 END)
+         END AS weight,
+         CASE WHEN max(neg) = 1 THEN 0
+              ELSE max(CASE WHEN neg = 0 THEN must ELSE 0 END)
+         END AS must,
+         max(neg) AS neg
+  FROM gparsed WHERE word NOT IN ({_SW_SQL})
+  GROUP BY query_id, word
+),
+gneed (query_id, nmust) AS (
+  SELECT query_id, sum(must) FROM gterms GROUP BY query_id
+),
+gnegdocs AS (
+  SELECT DISTINCT l.query_id, tf.doc_id
+  FROM gterms l JOIN tf USING (term) WHERE l.neg = 1
+),
+graw AS (
+  SELECT l.query_id, im.doc_id,
+         sum(CASE WHEN l.neg = 0 THEN l.weight * im.impact ELSE 0.0 END) AS raw
+  FROM gterms l
+  JOIN impacts im USING (term)
+  JOIN gneed n ON n.query_id = l.query_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gnegdocs nd
+    WHERE nd.query_id = l.query_id AND nd.doc_id = im.doc_id
+  )
+  GROUP BY l.query_id, im.doc_id
+  HAVING sum(CASE WHEN l.neg = 0 THEN l.must ELSE 0 END) = any_value(n.nmust)
+),
+gfiltered AS (
+  SELECT r.query_id, r.doc_id, r.raw
+  FROM graw r JOIN gmeta m ON m.doc_id = r.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gflt f
+    WHERE f.query_id = r.query_id AND f.neg = 0
+      AND (f.field = 'role' AND m.role != f.value)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM gflt f
+    WHERE f.query_id = r.query_id AND f.neg = 1
+      AND (f.field = 'role' AND m.role = f.value)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM grange f
+    WHERE f.query_id = r.query_id AND f.neg = 0
+      AND NOT coalesce({_RANGE_SAT}, FALSE)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM grange f
+    WHERE f.query_id = r.query_id AND f.neg = 1
+      AND coalesce({_RANGE_SAT}, FALSE)
   )
 ),
 gscored AS (

@@ -213,6 +213,15 @@ def run_workload(cores: int, sf_dir: str) -> dict:
                      pad=False).collect()
         steps["prf_8q"] = round(time.time() - t, 3)
 
+        # NEW round 5 — the same PRF semantics via delta rescoring
+        # (round 2 scores only the expansion terms and adds the retained
+        # round-1 scores): should track ~2× the plain join-path step,
+        # not the full-rescore path's ~3×
+        t = time.time()
+        prf_retrieve(idx, qdf, k=10, feedback_docs=5, expansion_terms=3,
+                     rescore="delta", pad=False).collect()
+        steps["prf_delta_8q"] = round(time.time() - t, 3)
+
         # NEW round 5 — recency-boosted retrieval: the candidate set
         # joins the full 205k-row (doc_id, ts) table for the decay
         # (measures the metadata-join tax on the query path)
@@ -351,7 +360,40 @@ def run_workload(cores: int, sf_dir: str) -> dict:
             "prune_scan_reduction": round(scored_off / max(scored_on, 1), 3),
             "prune_off_batch_sec": prune_off_sec,
         }
+
+        # ANN recall quantification (untimed, after the headline total):
+        # recall@10 vs brute-force cosine at the PARTIAL probe configs a
+        # real deployment runs — the correctness gates only pin the
+        # exact-by-construction complete-probe settings, so these are
+        # the honest quality numbers for the approximate paths
+        from bm25s_spark.operators.similarity import brute_force_knn, lsh_knn
+
+        qv16 = emb.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        bsets: dict = {}
+        for r in brute_force_knn(emb, qv16, k=10).collect():
+            bsets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        def _recall_vs_brute(res) -> float:
+            asets: dict = {}
+            for r in res.collect():
+                asets.setdefault(r["query_id"], set()).add(r["vec_id"])
+            recs = [len(asets.get(q, set()) & s) / len(s)
+                    for q, s in bsets.items()]
+            return round(sum(recs) / len(recs), 3)
+
+        ann_recall = {
+            f"ivf_recall_at_probe_{p}": _recall_vs_brute(
+                ivf_knn_partitioned(spark, ivf_path, qv16, k=10, n_probe=p)
+            )
+            for p in (1, 2, 4)
+        }
+        ann_recall["lsh_recall_r1"] = _recall_vs_brute(
+            lsh_knn(emb, qv16, k=10, n_planes=8, multiprobe=1)
+        )
         return {
+            **ann_recall,
             "steps": steps,
             "total": total,
             "cold_start_sec": cold_start_sec,
@@ -407,6 +449,9 @@ def run_scaling_workload(cores: int, corpus_path: str, n_queries: int) -> dict:
         ensure_sharded(w).count()
         w.retrieve(_batch_queries(spark, 64), k=5, strategy="sharded",
                    pad=False).count()
+        from bm25s_spark.operators.qld import retrieve_qld
+
+        retrieve_qld(w, _batch_queries(spark, 8), k=5).count()
         w.sharded.unpersist()
         w.unpersist()
 
@@ -427,6 +472,13 @@ def run_scaling_workload(cores: int, corpus_path: str, n_queries: int) -> dict:
         t = time.time()
         idx.retrieve(batch, k=10, strategy="sharded", pad=False).count()
         t_query = time.time() - t
+
+        # one beyond-BM25 operator family in the scaled phases: Dirichlet
+        # query likelihood (join-path shape — broadcast query terms into
+        # the flat postings, per-(query, doc) aggregation)
+        t = time.time()
+        retrieve_qld(idx, _batch_queries(spark, 64), k=10).count()
+        t_qld = time.time() - t
         return {
             "cores": cores,
             "n_docs": n_docs,
@@ -437,6 +489,7 @@ def run_scaling_workload(cores: int, corpus_path: str, n_queries: int) -> dict:
             "build_docs_per_sec": round(n_docs / t_build, 1),
             "query_sec": round(t_query, 2),
             "qps": round(n_queries / t_query, 2),
+            "qld_sec": round(t_qld, 2),
         }
     finally:
         spark.stop()
@@ -527,10 +580,12 @@ def run_bigbatch(cores: int, corpus_path: str) -> dict:
         from bm25s_spark.shards import ensure_sharded
 
         corpus = spark.read.parquet(corpus_path)
+        t = time.time()
         idx = build_index(corpus, order_cols=["conv_id", "turn_idx"],
                           keep_doc_map=False)
         idx.docs_per_shard = max(2048, idx.num_docs // 128)
         ensure_sharded(idx).count()
+        build_sec = round(time.time() - t, 2)
 
         def rss_mb() -> float:
             # CURRENT VmRSS, not ru_maxrss: the high-water mark is
@@ -547,7 +602,12 @@ def run_bigbatch(cores: int, corpus_path: str) -> dict:
                 "BIGBATCH_SIZES", "8192,100000"
             ).split(",")
         )
-        out = {"n_docs": idx.num_docs, "cores": cores}
+        out = {
+            "n_docs": idx.num_docs, "cores": cores,
+            "build_sec": build_sec,
+            "build_docs_per_sec": round(idx.num_docs / build_sec, 1),
+            "post_build_driver_rss_mb": rss_mb(),
+        }
         for n in sizes:
             t = time.time()
             idx.retrieve(_batch_queries(spark, n), k=10, strategy="sharded",
@@ -612,12 +672,15 @@ def main():
         hi = min(hi_runs, key=lambda r: r["build_sec"] + r["query_sec"])
         lo["build_sec"] = min(r["build_sec"] for r in lo_runs)
         lo["query_sec"] = min(r["query_sec"] for r in lo_runs)
+        lo["qld_sec"] = min(r["qld_sec"] for r in lo_runs)
         hi["build_sec"] = min(r["build_sec"] for r in hi_runs)
         hi["query_sec"] = min(r["query_sec"] for r in hi_runs)
+        hi["qld_sec"] = min(r["qld_sec"] for r in hi_runs)
         ratio = n_hi / n_lo
         eff = {
             "index_build": round((lo["build_sec"] / hi["build_sec"]) / ratio, 3),
             "batched_query": round((lo["query_sec"] / hi["query_sec"]) / ratio, 3),
+            "qld_64q": round((lo["qld_sec"] / hi["qld_sec"]) / ratio, 3),
         }
         print(json.dumps({
             "metric": f"throughput scaling efficiency, local[{n_lo}] vs local[{n_hi}] (N vs 4N)",
@@ -649,6 +712,10 @@ def main():
         "postings_scored_prune_off": r["postings_scored_prune_off"],
         "prune_scan_reduction": r["prune_scan_reduction"],
         "prune_off_batch_sec": r["prune_off_batch_sec"],
+        "ivf_recall_at_probe_1": r["ivf_recall_at_probe_1"],
+        "ivf_recall_at_probe_2": r["ivf_recall_at_probe_2"],
+        "ivf_recall_at_probe_4": r["ivf_recall_at_probe_4"],
+        "lsh_recall_r1": r["lsh_recall_r1"],
         "cores": CPUS,
     }))
 

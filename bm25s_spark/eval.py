@@ -5,14 +5,25 @@ The reference evaluates with pytrec_eval over dict-shaped results
 result/qrels shapes but compute NDCG@k / Recall@k / Precision@k / MAP@k
 in plain NumPy (pytrec_eval isn't needed for these standard metrics).
 Inputs are DataFrames; only ≤k rows per query are ever collected.
+
+**This module collects the run to the driver** — it is the small-batch
+/ pytest twin.  For large runs (≳10k queries) use
+:func:`bm25s_spark.operators.evaldf.evaluate_per_query` /
+``evaluate_macro``: the same metrics computed relationally, nothing
+collected, gate-checked against this implementation.
 """
 
 from __future__ import annotations
 
 import math
+import warnings
 from collections import defaultdict
 
 from pyspark.sql import DataFrame
+
+# above this many distinct run queries the collect-based evaluator emits
+# a UserWarning pointing at the distributed twin
+_DRIVER_SIDE_QUERY_SOFT_LIMIT = 10_000
 
 
 def _collect_runs(results_df: DataFrame) -> dict[str, list[tuple[int, float]]]:
@@ -36,9 +47,22 @@ def evaluate(results_df: DataFrame, qrels_df: DataFrame,
              k_values: tuple[int, ...] = (1, 5, 10)) -> dict[str, float]:
     """results: (query_id, rank, doc_id, score); qrels: (query_id,
     doc_id, score).  Returns {"ndcg@k": …, "recall@k": …, "p@k": …,
-    "map@k": …} averaged over queries with ≥1 relevant doc."""
+    "map@k": …} averaged over queries with ≥1 relevant doc.
+
+    Driver-side: the whole run is collected.  Past ~10k queries a
+    UserWarning points at ``operators.evaldf.evaluate_per_query``, the
+    distributed twin that collects nothing."""
     runs = _collect_runs(results_df)
     qrels = _collect_qrels(qrels_df)
+    if len(runs) > _DRIVER_SIDE_QUERY_SOFT_LIMIT:
+        warnings.warn(
+            f"evaluate() collected {len(runs)} queries to the driver; "
+            "for runs this large use bm25s_spark.operators.evaldf."
+            "evaluate_per_query / evaluate_macro (distributed, nothing "
+            "collected)",
+            UserWarning,
+            stacklevel=2,
+        )
     out: dict[str, float] = {}
     # pytrec_eval (the reference's evaluator) counts only rel>0 judgments
     # toward num_rel and skips queries with no positive judgment — qrels

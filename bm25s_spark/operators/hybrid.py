@@ -164,31 +164,49 @@ def hybrid_retrieve(
     rrf_k: int = 60,
     weights: Sequence[float] | None = None,
     knn=None,
+    ivf_path: str | None = None,
     **knn_kwargs,
 ) -> DataFrame:
     """End-to-end hybrid retrieval over one corpus keyed by ``doc_id``.
 
     - ``index``: a built :class:`~bm25s_spark.indexer.BM25Index`.
     - ``emb_df``: ``(vec_id, embedding)`` where ``vec_id`` is the same
-      id space as the index's ``doc_id``.
+      id space as the index's ``doc_id``.  May be ``None`` when
+      ``ivf_path`` supplies the vectors.
     - ``queries_df``: ``(query_id, text)``; ``query_vecs``:
       ``(query_id, embedding)`` — the same queries, both modalities.
     - ``depth``: per-system candidate depth before fusion (default
       ``4·k`` — RRF can promote a doc ranked below k in both systems).
-    - ``knn``: the ANN callable (default
-      :func:`~bm25s_spark.operators.similarity.brute_force_knn`);
-      ``lsh_knn`` / ``ivf_knn`` slot in unchanged for the scale path,
-      with ``**knn_kwargs`` forwarded.
+    - dense side — exactly one of:
+
+      * ``ivf_path``: an ``ivf_build_partitioned`` layout; the dense
+        candidates come from
+        :func:`~bm25s_spark.operators.similarity.ivf_knn_partitioned`
+        (partition-pruned probe scan — the 100 TB path).
+      * ``knn``: an explicit ANN callable with the
+        ``(emb_df, query_vecs, k=...)`` shape —
+        ``brute_force_knn`` / ``lsh_knn`` / ``ivf_knn``, with
+        ``**knn_kwargs`` forwarded.
+
+      There is deliberately NO implicit default: brute-force cosine is
+      the wrong recommendation at corpus scale, so a caller must either
+      hand over the partitioned IVF layout or name their ANN choice.
 
     Returns the fused ``(query_id, rank, doc_id, rrf_score)`` top-k.
     """
-    from bm25s_spark.operators.similarity import brute_force_knn
     from bm25s_spark.retrieval import retrieve
+
+    if (knn is None) == (ivf_path is None):
+        raise ValueError(
+            "pass exactly one dense-side source: ivf_path=<partitioned "
+            "IVF layout> (the scale path) or knn=<ANN callable> (e.g. "
+            "brute_force_knn — explicit, because a silent brute-force "
+            "default is wrong at corpus scale)"
+        )
 
     # clamp: retrieve() raises on k > num_docs, and fusing deeper than
     # the corpus is meaningless anyway
     depth = min(depth or 4 * k, index.num_docs)
-    knn = knn or brute_force_knn
 
     # the engine's own top-k path (MaxScore pruning, sharded strategy
     # available, (score desc, doc_id asc) tie contract) — not a full
@@ -198,7 +216,15 @@ def hybrid_retrieve(
         index, queries_df, k=depth, method=method, idf_method=idf_method,
         pad=False,
     ).select("query_id", "doc_id", "rank")
-    dense = knn(emb_df, query_vecs, k=depth, **knn_kwargs).select(
+    if ivf_path is not None:
+        from bm25s_spark.operators.similarity import ivf_knn_partitioned
+
+        dense = ivf_knn_partitioned(
+            index.spark, ivf_path, query_vecs, k=depth, **knn_kwargs
+        )
+    else:
+        dense = knn(emb_df, query_vecs, k=depth, **knn_kwargs)
+    dense = dense.select(
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([bm25, dense], k=k, rrf_k=rrf_k, weights=weights)

@@ -272,10 +272,12 @@ def prf_retrieve(
     ``rescore="delta"``: :func:`prf_score_delta` — round 2 scores only
     the expansion terms and adds the retained round-1 scores; one fewer
     full postings pass, same math up to FP summation order.  The delta
-    path is join-strategy-shaped; strategy/mask flags are rejected."""
+    path is join-strategy-shaped; of the retrieve flags only ``pad`` is
+    honored (default True), everything else is rejected."""
     if rescore not in ("full", "delta"):
         raise ValueError(f"rescore must be 'full' or 'delta', got {rescore!r}")
     if rescore == "delta":
+        pad = retrieve_kwargs.pop("pad", True)
         if retrieve_kwargs:
             raise ValueError(
                 "rescore='delta' does not accept retrieve pass-through "
@@ -289,7 +291,8 @@ def prf_retrieve(
         scored = prf_score_delta(
             index, queries_df, feedback_docs=feedback_docs,
             expansion_terms=expansion_terms, method=method,
-            idf_method=idf_method, pad_candidates_for_k=k,
+            idf_method=idf_method,
+            pad_candidates_for_k=k if pad else None,
             query_id_col=query_id_col, text_col=text_col,
         )
         w = Window.partitionBy("query_id").orderBy(

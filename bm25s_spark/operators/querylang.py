@@ -27,6 +27,11 @@ match, so that query returns nothing — Lucene's behavior.  Note ``-``
 is an operator prefix: ``foo-bar`` parses as ``foo`` AND NOT ``bar``
 (hyphenate-free queries, the classic-parser quirk).
 
+Metadata clauses extend the language without extra postings passes:
+``field:value`` equality keeps/bans and ``field:[lo TO hi]`` inclusive
+ranges (timestamps, numerics — transcript users filter on time) apply
+to the candidate set through one doc-metadata join.
+
 Scale shape: identical to plain retrieval — the parsed term table is
 batch-sized and broadcast; positives, musts and nots all travel in the
 SAME broadcast table, so the whole language costs ONE pass over the
@@ -140,6 +145,45 @@ def parse_filters(
     ).distinct()
 
 
+# range filters: `field:[lo TO hi]` (inclusive, the Lucene classic
+# bracket syntax) / `-field:[lo TO hi]` (exclude the range); `*` on
+# either side leaves that bound open.  Operands may contain anything
+# but ']' (timestamps with spaces work); text is lowercased upstream so
+# the TO keyword matches case-insensitively
+_RANGE_RE_SQL = r"[+\\-]?\\w\\w+:\\[[^\\]]+? to [^\\]]+?\\]"
+_RANGE_RE_PY = r"[+\-]?\w\w+:\[[^\]]+? to [^\]]+?\]"
+
+
+def parse_range_filters(
+    queries_df: DataFrame,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``field:[lo TO hi]`` clauses → (query_id, field, lo, hi, neg),
+    distinct.  Bounds are inclusive (Lucene ``[]``; the exclusive ``{}``
+    form is not supported); ``*`` leaves a side unbounded (NULL here).
+    ``ts:[2026-01-01 TO 2026-01-31]`` keeps docs whose ``ts`` metadata
+    falls in January; ``-turn_idx:[0 TO 1]`` drops the first two turns.
+    Operands are trimmed and compared after casting to the metadata
+    column's type."""
+    raw = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{_RANGE_RE_SQL}', 0)"
+            )
+        ).alias("tok"),
+    )
+    star_null = lambda c: F.nullif(F.trim(c), F.lit("*"))
+    return raw.select(
+        "query_id",
+        F.regexp_extract("tok", r"(\w\w+):\[", 1).alias("field"),
+        star_null(F.regexp_extract("tok", r"\[([^\]]+?) to ", 1)).alias("lo"),
+        star_null(F.regexp_extract("tok", r" to ([^\]]+?)\]", 1)).alias("hi"),
+        F.when(F.substring("tok", 1, 1) == "-", 1).otherwise(0).alias("neg"),
+    ).distinct()
+
+
 # expansion clauses: `word*` (prefix wildcard) / `word~` / `word~2`
 # (fuzzy, default 1 edit — the engine's fuzzy_retrieve default; Lucene's
 # bare ~ means 2) with an optional trailing boost
@@ -231,6 +275,15 @@ def retrieve_parsed(
     cannot be negated or boosted.  Passing quotes WITHOUT ``docs_df``
     raises.
 
+    **Range filters**: ``field:[lo TO hi]`` / ``-field:[lo TO hi]``
+    clauses (inclusive bounds, ``*`` = open side — the Lucene classic
+    bracket syntax) compare doc metadata after casting the operands to
+    the column's type: ``ts:[2026-01-01 TO 2026-01-31]`` on a timestamp
+    column, ``turn_idx:[0 TO 5]`` on an int.  Like equality filters
+    they restrict the candidate set only (scores untouched); being
+    driver-side literals they compile to plain predicates on the
+    metadata-joined candidates — no extra join or postings pass.
+
     **Field filters**: ``field:value`` / ``-field:value`` clauses apply
     against doc metadata — ``metadata_df`` (doc_id + metadata columns;
     defaults to the index's ``doc_map``).  ``role:user`` keeps only
@@ -253,19 +306,31 @@ def retrieve_parsed(
         F.col(query_id_col).alias("_qid"),
         F.regexp_replace(F.lower(F.col(text_col)), r'"[^"]*"', " ").alias("_t"),
     )
+    # field:[lo TO hi] range clauses — batch-sized, resolved driver-side.
+    # Parsed (and stripped) BEFORE the equality/term parses so the
+    # bracket operands (dates, numbers) never leak into the term bag
+    ranges = parse_range_filters(unquoted, "_qid", "_t").collect()
+    unquoted = unquoted.select(
+        "_qid", F.regexp_replace("_t", _RANGE_RE_PY, " ").alias("_t")
+    )
     # field:value clauses — batch-sized, resolved driver-side
     filters = parse_filters(unquoted, "_qid", "_t").collect()
     meta = None
-    if filters:
+    if filters or ranges:
         meta = metadata_df if metadata_df is not None else index.doc_map
         if meta is None:
             raise ValueError(
-                "query contains field:value filters but neither "
-                "metadata_df nor the index doc_map is available"
+                "query contains field:value / field:[lo TO hi] filters "
+                "but neither metadata_df nor the index doc_map is "
+                "available"
             )
-        unknown = sorted({f.field for f in filters} - set(meta.columns))
+        unknown = sorted(
+            ({f.field for f in filters} | {r.field for r in ranges})
+            - set(meta.columns)
+        )
         if unknown:
             raise ValueError(f"unknown filter field(s): {unknown}")
+    if filters:
         seen: dict[tuple[str, str], str] = {}
         for f in filters:
             if f.neg:
@@ -407,15 +472,15 @@ def retrieve_parsed(
         .withColumn("score", F.col("raw") + F.coalesce(F.col("nnoc_sum"), F.lit(0.0)))
         .select("query_id", "doc_id", "score")
     )
-    if filters:
+    if filters or ranges:
         # one metadata join on the (query-bounded) candidate set, then
         # per-field broadcast clause joins — requirements keep, bans
         # anti-join; scores themselves are untouched (filtered.py
         # contract: statistics stay corpus-wide)
-        fields = sorted({f.field for f in filters})
+        fields = sorted({f.field for f in filters} | {r.field for r in ranges})
         cand = scores.join(meta.select("doc_id", *fields), "doc_id")
         spark = index.spark
-        for fld in fields:
+        for fld in sorted({f.field for f in filters}):
             pos_rows = sorted({(f.query_id, f.value) for f in filters
                                if f.field == fld and not f.neg})
             if pos_rows:
@@ -438,6 +503,32 @@ def retrieve_parsed(
                     & (F.col(fld) == F.col("_ban")),
                     "left_anti",
                 )
+        # range clauses are driver-side literals, so each becomes a
+        # plain WHERE predicate on the candidate set — no join at all.
+        # Inclusive bounds cast to the metadata column's type; NULL
+        # metadata can satisfy no positive range (dropped) and no
+        # negative range (kept).  Multiple positive ranges on a field
+        # intersect (unlike equality, that is satisfiable).
+        for c in sorted(ranges, key=lambda r: (str(r.query_id), r.field,
+                                               str(r.lo), str(r.hi), r.neg)):
+            dtype = meta.schema[c.field].dataType
+            cond = None
+            if c.lo is not None:
+                cond = F.col(c.field) >= F.lit(c.lo).cast(dtype)
+            if c.hi is not None:
+                hi_c = F.col(c.field) <= F.lit(c.hi).cast(dtype)
+                cond = hi_c if cond is None else (cond & hi_c)
+            if cond is None:
+                # [* TO *]: positively vacuous; negated, it bans the
+                # whole corpus for that query
+                if c.neg:
+                    cand = cand.where(F.col("query_id") != F.lit(c.query_id))
+                continue
+            inside = F.coalesce(cond, F.lit(False))
+            keep = ~inside if c.neg else inside
+            cand = cand.where(
+                (F.col("query_id") != F.lit(c.query_id)) | keep
+            )
         scores = cand.select("query_id", "doc_id", "score")
     if docs_df is not None:
         # phrase MUST constraints: the doc must contain every phrase

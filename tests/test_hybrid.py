@@ -94,7 +94,18 @@ def test_hybrid_retrieve_end_to_end(spark):
     qvecs = spark.createDataFrame(
         [("qa", [1.0, 0.0])], "query_id string, embedding array<float>"
     )
-    rows = hybrid_retrieve(idx, emb, queries, qvecs, k=4).orderBy("rank").collect()
+    from bm25s_spark.operators.similarity import brute_force_knn
+
+    # no implicit dense default: the ANN choice must be named (or an
+    # ivf_path supplied) — a silent brute-force would be wrong at scale
+    with pytest.raises(ValueError, match="exactly one dense-side"):
+        hybrid_retrieve(idx, emb, queries, qvecs, k=4)
+    with pytest.raises(ValueError, match="exactly one dense-side"):
+        hybrid_retrieve(idx, emb, queries, qvecs, k=4,
+                        knn=brute_force_knn, ivf_path="/nope")
+    rows = hybrid_retrieve(
+        idx, emb, queries, qvecs, k=4, knn=brute_force_knn
+    ).orderBy("rank").collect()
     # doc 1 ranks high in both systems → fused rank 1
     assert rows[0]["doc_id"] == 1
     got = {r["doc_id"]: r["rrf_score"] for r in rows}
@@ -150,3 +161,42 @@ def test_linear_fuse_validation_and_round(spark):
         linear_fuse([a], weights=[1.0, 2.0])
     rows = linear_fuse([a], round_to=2, k=1).collect()
     assert rows[0]["doc_id"] == 1 and rows[0]["fused_score"] == 1.0
+
+
+def test_hybrid_retrieve_ivf_path(spark, tmp_path_factory):
+    """ivf_path= routes the dense side through the partition-pruned IVF
+    scan (the scale path) — fused output matches the explicit brute
+    callable at an exhaustive probe config (all cells probed → exact)."""
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["spark query engine", "fast sort merge", "query plan cache",
+             "vector search index", "hash join build", "broadcast tiny dim",
+             "shuffle skew salt", "window rank rows"])],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, doc_id_col="doc_id")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where(F.col("vec_id") < 8)
+    path = str(tmp_path_factory.mktemp("ivf_hybrid"))
+    similarity.ivf_build_partitioned(emb, path, n_centroids=4, seed=42)
+    queries = spark.createDataFrame(
+        [("qa", "spark query"), ("qb", "hash join")],
+        "query_id string, text string",
+    )
+    qvecs = emb.where(F.col("vec_id") < 2).select(
+        F.when(F.col("vec_id") == 0, "qa").otherwise("qb").alias("query_id"),
+        "embedding",
+    )
+    via_ivf = hybrid_retrieve(
+        idx, None, queries, qvecs, k=4, ivf_path=path, n_probe=4
+    ).collect()
+    via_brute = hybrid_retrieve(
+        idx, emb, queries, qvecs, k=4, knn=similarity.brute_force_knn
+    ).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"],
+                               round(r["rrf_score"], 9)) for r in rows)
+    assert key(via_ivf) == key(via_brute)

@@ -93,3 +93,28 @@ def test_eval_metrics(spark):
     )
     m0 = evaluate(results, qrels0, k_values=(3,))
     assert m0["recall@3"] == 0.5    # q1 1/1 (doc 12 not relevant), q2 0/1
+
+
+def test_evaluate_warns_on_large_driver_side_runs(spark, monkeypatch):
+    """The collect-based evaluator must steer big runs to the
+    distributed twin (operators/evaldf) with a UserWarning."""
+    import warnings
+
+    from bm25s_spark import eval as eval_mod
+
+    results = spark.createDataFrame(
+        [(f"q{i}", 1, i, 1.0) for i in range(5)],
+        "query_id string, rank int, doc_id long, score double",
+    )
+    qrels = spark.createDataFrame(
+        [(f"q{i}", i, 1) for i in range(5)],
+        "query_id string, doc_id long, score int",
+    )
+    monkeypatch.setattr(eval_mod, "_DRIVER_SIDE_QUERY_SOFT_LIMIT", 3)
+    with pytest.warns(UserWarning, match="evaluate_per_query"):
+        eval_mod.evaluate(results, qrels)
+    # under the limit: silent
+    monkeypatch.setattr(eval_mod, "_DRIVER_SIDE_QUERY_SOFT_LIMIT", 10_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        eval_mod.evaluate(results, qrels)

@@ -288,3 +288,71 @@ def test_expansion_guards(spark, idx):
     # short fuzzy word: exact only ("sk~" matches nothing; "skew" does
     # not come within reach of a 2-char token)
     assert retrieve_parsed(idx, _q(spark, "sk~"), k=5).count() == 0
+
+
+def test_parse_range_filters(spark, idx):
+    from bm25s_spark.operators.querylang import parse_range_filters
+
+    rows = {
+        (r.field, r.lo, r.hi, r.neg)
+        for r in parse_range_filters(
+            _q(spark, 'spark turn_idx:[0 TO 5] '
+                      'ts:[2026-01-01 00:10:00 TO 2026-01-31 23:00:00] '
+                      '-score:[* TO 10] open:[3 TO *]')
+        ).collect()
+    }
+    assert rows == {
+        ("turn_idx", "0", "5", 0),
+        ("ts", "2026-01-01 00:10:00", "2026-01-31 23:00:00", 0),
+        ("score", None, "10", 1),
+        ("open", "3", None, 0),
+    }
+    # no clause → no rows; a malformed bracket (no TO) parses nothing
+    assert parse_range_filters(_q(spark, "plain words")).count() == 0
+    assert parse_range_filters(_q(spark, "x:[1 5]")).count() == 0
+
+
+def test_range_filters_end_to_end(spark, idx):
+    meta = spark.createDataFrame(
+        [(0, 0, "2026-01-01 00:00:00"), (1, 1, "2026-01-01 00:10:00"),
+         (2, 2, "2026-01-01 00:20:00"), (3, 3, "2026-01-01 00:30:00"),
+         (4, 0, None)],
+        "doc_id long, turn_idx int, ts_s string",
+    ).select("doc_id", "turn_idx", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    def got(text):
+        return {r.doc_id for r in retrieve_parsed(
+            idx, _q(spark, text), k=5, metadata_df=meta).collect()}
+
+    base = got("spark shuffle scan")
+    assert base == {0, 1, 2, 3, 4}
+    # int range keeps docs 1-2 of the matched set
+    assert got("spark shuffle scan turn_idx:[1 TO 2]") == {1, 2}
+    # negated range drops them (NULL metadata is kept on a ban)
+    assert got("spark shuffle scan -turn_idx:[1 TO 2]") == {0, 3, 4}
+    # open bounds
+    assert got("spark shuffle scan turn_idx:[2 TO *]") == {2, 3}
+    assert got("spark shuffle scan ts:[* TO 2026-01-01 00:15:00]") == {0, 1}
+    # NULL ts can satisfy no positive range (doc 4 dropped)
+    assert got("spark shuffle scan ts:[2026-01-01 00:00:00 TO 2026-12-31 00:00:00]") == {0, 1, 2, 3}
+    # intersecting positive ranges on one field are satisfiable
+    assert got("spark shuffle scan turn_idx:[1 TO 3] turn_idx:[0 TO 2]") == {1, 2}
+    # unsatisfiable range → nothing; unknown field raises
+    assert got("spark shuffle scan turn_idx:[7 TO 9]") == set()
+    with pytest.raises(ValueError, match="unknown filter field"):
+        got("spark nope:[1 TO 2]")
+    # scores on surviving docs are untouched (filtered.py contract)
+    full = {r.doc_id: r.score for r in retrieve_parsed(
+        idx, _q(spark, "spark shuffle scan"), k=5, metadata_df=meta).collect()}
+    ranged = {r.doc_id: r.score for r in retrieve_parsed(
+        idx, _q(spark, "spark shuffle scan turn_idx:[1 TO 2]"), k=5,
+        metadata_df=meta).collect()}
+    for d, s in ranged.items():
+        assert s == pytest.approx(full[d])
+    # range operands never leak into the term bag: adding a clause with
+    # wordy operands does not change the score profile
+    noisy = {r.doc_id: r.score for r in retrieve_parsed(
+        idx, _q(spark, "spark shuffle scan ts:[2026-01-01 TO 2026-12-31]"),
+        k=5, metadata_df=meta).collect()}
+    for d, s in noisy.items():
+        assert s == pytest.approx(full[d])
