@@ -262,3 +262,30 @@ def test_allow_negative_end_to_end(spark, ref_bm25s, monkeypatch):
             assert abs(dense[r["query_id"]][r["doc_id"]] - r["score"]) < 1e-4, (
                 strategy, r)
     tdf.unpersist()
+
+
+def test_padded_retrieve_plans_lazily(spark):
+    """Padding no longer runs an eager count-probe inside retrieve():
+    constructing the padded plan must launch ZERO Spark jobs — the pad
+    candidates are unioned pre-window and the rank cut drops them at
+    action time (one job end-to-end instead of probe + persist + rank)."""
+    tdf = transcripts_df(spark, "t1")
+    engine = SparkBM25(method="bm25+")
+    engine.index(tdf)
+    qdf = spark.createDataFrame(
+        [("q1", "cat"), ("q2", "zzqx")], "query_id string, text string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("pad-lazy", "padded retrieve plan construction")
+    try:
+        df = engine.retrieve(qdf, k=3, pad=True)
+        jobs = sc.statusTracker().getJobIdsForGroup("pad-lazy")
+        assert not jobs, f"plan construction launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    rows = df.collect()
+    # and the padding itself still honors the k-rows contract
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert {q: len(v) for q, v in by_q.items()} == {"q1": 3, "q2": 3}
