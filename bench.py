@@ -8,9 +8,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 (qps, corpus size).
 
 --scaling: runs the same fixed workload at two parallelism levels
-(local[8] vs local[32], standing in for N vs 4N executors) and reports
-throughput at both plus scaling efficiency — the north_rule's
+(local[N] vs local[4N], N = $SCALING_N, default 2 — standing in for
+N vs 4N executors; each level taskset-pinned in a fresh JVM) and
+reports throughput at both plus scaling efficiency — the north_rule's
 two-cluster-size criterion evidenced in-sandbox.
+
+--bigbatch: builds an index over $SCALING_CONVS × $SCALING_TURNS
+transcript turns and runs chunked query batches ($BIGBATCH_SIZES,
+default 8192,100000), reporting QPS and driver-RSS flatness.
 """
 
 from __future__ import annotations
@@ -626,6 +631,10 @@ def run_bigbatch(cores: int, corpus_path: str) -> dict:
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        return
+
     if "--bigbatch" in sys.argv:
         n_convs = int(os.environ.get("SCALING_CONVS", "50000"))
         turns = int(os.environ.get("SCALING_TURNS", "20"))

@@ -177,9 +177,11 @@ def prf_score_delta(
     **delta scoring**: round 2 scores ONLY the expansion terms and adds
     the retained round-1 scores (BM25 is per-term additive), so the full
     original-term postings are scanned once, not twice — two postings
-    passes total (round-1 scoring + feedback mining; the round-2 join is
-    LeftSemi-prunable to the ≤ Q·t expansion terms' postings) instead of
-    the full-rescore path's three.
+    passes total (round-1 scoring + feedback mining; the round-2 join
+    carries a driver-known ``term IN (...)`` predicate over the ≤ Q·t
+    expansion terms, pushed to the scan so disk-backed postings read
+    O(expansion terms) row groups) instead of the full-rescore path's
+    three.
 
     The math is identical to ``full`` rescoring (an expansion term never
     duplicates an original term, so the expanded-query score decomposes
@@ -201,15 +203,31 @@ def prf_score_delta(
         _matched_scores(index, qterms, method, idf_method, None),
         reliable=True,
     )
-    eterms = _mine_expansion(
+    eterms_plan = _mine_expansion(
         index, qterms, scores1, feedback_docs, expansion_terms,
         round_to, expansion_round_to,
     ).withColumn("mult", F.lit(1).cast("long"))
+    # The expansion set is batch-bounded (≤ Q·expansion_terms rows — query
+    # metadata, not corpus data), so land it on the driver: (a) the mining
+    # postings pass executes exactly ONCE (lazy, it would re-execute inside
+    # each of its three consumers — Spark does not dedupe common subplans);
+    # (b) the driver-known term list pushes `term IN (...)` into the
+    # round-2 postings scan, so disk-backed postings skip every row group
+    # outside the expansion terms' ranges; (c) downstream joins broadcast
+    # a local relation instead of a subplan.
+    erows = eterms_plan.collect()
+    spark = queries_df.sparkSession
+    eterms = spark.createDataFrame(erows, eterms_plan.schema)
 
     impact = _impact_col(index, method, idf_method)
+    postings = index.postings
+    if erows:
+        postings = postings.where(
+            F.col("term").isin(sorted({r["term"] for r in erows}))
+        )
     delta = (
         F.broadcast(eterms)
-        .join(index.postings, "term")
+        .join(postings, "term")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(

@@ -4,6 +4,7 @@ mined terms, recall-bridging behavior, and edge cases."""
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter
 
 import pytest
@@ -167,3 +168,32 @@ def test_prf_delta_rejects_passthrough_flags(spark, index):
         prf_retrieve(index, qdf, rescore="bogus")
     with pytest.raises(ValueError):
         prf_retrieve(index, qdf, k=99, rescore="delta")
+
+
+def test_prf_delta_localizes_expansion_terms(spark, index):
+    """The round-2 plan must consume the mined expansion set as a DRIVER-
+    LOCAL relation (the mining postings pass runs once at call time, not
+    re-executed inside each of its three consumers) and must carry the
+    driver-known `term IN (...)` predicate so a disk-backed postings
+    scan can skip row groups outside the expansion terms' ranges."""
+    import contextlib
+    import io
+
+    from bm25s_spark.operators.prf import prf_score_delta
+
+    qdf = spark.createDataFrame(
+        [("q1", "feline")], "query_id string, text string"
+    )
+    out = prf_score_delta(index, qdf, feedback_docs=3, expansion_terms=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # expansion side is a materialized local relation, not the mining plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    # round-1 feedback mining must NOT appear in the returned plan — it
+    # already ran ("escore" is the mining aggregate's unique marker; the
+    # index's own term-id assignment windows legitimately remain)
+    assert "escore" not in plan, plan
+    # the pushable membership predicate over the mined terms is present
+    assert re.search(r"term#\d+ IN(SET)? \(", plan), plan
