@@ -480,9 +480,13 @@ def run_scaling_workload(cores: int, corpus_path: str, n_queries: int) -> dict:
 
         # one beyond-BM25 operator family in the scaled phases: Dirichlet
         # query likelihood (join-path shape — broadcast query terms into
-        # the flat postings, per-(query, doc) aggregation)
+        # the flat postings, per-(query, doc) aggregation).  The batch
+        # size is tunable: at 64 queries the phase is fixed-cost-heavy
+        # (cf checkpoint + broadcast build) and its efficiency reading is
+        # noise-dominated; 256+ amortizes.
+        n_qld = int(os.environ.get("SCALING_QLD_QUERIES", "64"))
         t = time.time()
-        retrieve_qld(idx, _batch_queries(spark, 64), k=10).count()
+        retrieve_qld(idx, _batch_queries(spark, n_qld), k=10).count()
         t_qld = time.time() - t
         return {
             "cores": cores,

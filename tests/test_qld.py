@@ -135,3 +135,18 @@ def test_validation(spark, tiny_index):
         score_qld(tiny_index, qdf, mu=0.0)
     with pytest.raises(ValueError, match="k"):
         retrieve_qld(tiny_index, qdf, k=0)
+
+
+def test_collection_frequencies_memoized(spark, tiny_index):
+    """cf is static per index: the postings aggregation runs once and is
+    reused by every subsequent scoring call (the second lookup returns
+    the SAME materialized table, no recomputation)."""
+    from bm25s_spark.operators.qld import collection_frequencies
+
+    cf1, t1 = collection_frequencies(tiny_index)
+    cf2, t2 = collection_frequencies(tiny_index)
+    assert cf2 is cf1 and t2 == t1
+    # the memo survives a retrieve call and feeds it
+    qdf = spark.createDataFrame([("q1", "apple")], "query_id string, text string")
+    retrieve_qld(tiny_index, qdf, k=2).count()
+    assert tiny_index._qld_cf[0] is cf1
