@@ -221,10 +221,15 @@ def prf_score_delta(
 
     impact = _impact_col(index, method, idf_method)
     postings = index.postings
-    if erows:
-        postings = postings.where(
-            F.col("term").isin(sorted({r["term"] for r in erows}))
-        )
+    # IN-list pushdown is capped: at huge query batches the distinct
+    # expansion set approaches vocab size, and a vocab-sized IN
+    # expression bloats the plan past any row-group-skip payoff (and
+    # past parquet predicate-pushdown limits).  Above the cap the
+    # broadcast hash join alone prunes the scan stream-side, which is
+    # the right plan anyway once most row groups contain a hit.
+    eset = sorted({r["term"] for r in erows})
+    if erows and len(eset) <= 8192:
+        postings = postings.where(F.col("term").isin(eset))
     delta = (
         F.broadcast(eterms)
         .join(postings, "term")
