@@ -43,6 +43,16 @@ from bm25s_spark.retrieval import (
     tokenize_queries,
 )
 
+# Delta rescoring pushes a driver-known ``term IN (...)`` predicate into
+# the round-2 postings scan so disk-backed postings skip row groups
+# outside the expansion terms' ranges.  Capped: at huge query batches
+# the distinct expansion set approaches vocab size, and a vocab-sized
+# IN expression bloats the plan past any row-group-skip payoff (and
+# past parquet predicate-pushdown limits); above the cap the broadcast
+# hash join alone prunes the scan stream-side, which is the right plan
+# once most row groups contain a hit anyway.
+IN_LIST_CAP = 8192
+
 
 def _mine_expansion(index: BM25Index, qterms: DataFrame, scores: DataFrame,
                     feedback_docs: int, expansion_terms: int,
@@ -221,14 +231,10 @@ def prf_score_delta(
 
     impact = _impact_col(index, method, idf_method)
     postings = index.postings
-    # IN-list pushdown is capped: at huge query batches the distinct
-    # expansion set approaches vocab size, and a vocab-sized IN
-    # expression bloats the plan past any row-group-skip payoff (and
-    # past parquet predicate-pushdown limits).  Above the cap the
-    # broadcast hash join alone prunes the scan stream-side, which is
-    # the right plan anyway once most row groups contain a hit.
+    # IN-list pushdown capped at IN_LIST_CAP (see its comment): above
+    # the cap the broadcast hash join alone prunes the scan.
     eset = sorted({r["term"] for r in erows})
-    if erows and len(eset) <= 8192:
+    if erows and len(eset) <= IN_LIST_CAP:
         postings = postings.where(F.col("term").isin(eset))
     delta = (
         F.broadcast(eterms)

@@ -197,3 +197,36 @@ def test_prf_delta_localizes_expansion_terms(spark, index):
     assert "escore" not in plan, plan
     # the pushable membership predicate over the mined terms is present
     assert re.search(r"term#\d+ IN(SET)? \(", plan), plan
+
+
+def test_prf_delta_above_cap_skips_in_list(spark, index, monkeypatch):
+    """Above IN_LIST_CAP the delta path must NOT build a vocab-sized
+    IN expression — the broadcast hash join alone prunes the postings
+    scan — and the scores must be unchanged (the predicate is a scan
+    optimization, not a semantic filter)."""
+    import contextlib
+    import io
+
+    import bm25s_spark.operators.prf as prf_mod
+    from bm25s_spark.operators.prf import prf_score_delta
+
+    qdf = spark.createDataFrame(
+        [("q1", "feline"), ("q2", "kitten yarn")],
+        "query_id string, text string",
+    )
+    capped = prf_score_delta(index, qdf, feedback_docs=3,
+                             expansion_terms=2)
+    baseline = {(r["query_id"], r["doc_id"]): round(r["score"], 9)
+                for r in capped.collect()}
+
+    monkeypatch.setattr(prf_mod, "IN_LIST_CAP", 0)
+    uncapped = prf_score_delta(index, qdf, feedback_docs=3,
+                               expansion_terms=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        uncapped.explain("formatted")
+    plan = buf.getvalue()
+    assert not re.search(r"term#\d+ IN(SET)? \(", plan), plan
+    got = {(r["query_id"], r["doc_id"]): round(r["score"], 9)
+           for r in uncapped.collect()}
+    assert got == baseline
