@@ -132,7 +132,8 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         n_docs = idx.num_docs
 
         t = time.time()
-        idx.docs_per_shard = 65536
+        # shard size left at build_index's adaptive pick (~one kernel
+        # task per core; 8192 → 26 shards at this 205k-doc corpus)
         sharded = ensure_sharded(idx)
         n_blocks = sharded.count()
         steps["index_shard_compress"] = round(time.time() - t, 3)

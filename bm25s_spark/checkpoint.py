@@ -143,9 +143,15 @@ def build_index_checkpointed(
     stopwords="en",
     stemmer: str | None = None,
     empty_fallback: bool = False,
-    docs_per_shard: int = 65536,
+    docs_per_shard: int | None = None,
 ) -> tuple[BM25Index, Checkpointer]:
-    """Stage-checkpointed twin of ``indexer.build_index``."""
+    """Stage-checkpointed twin of ``indexer.build_index``.
+
+    ``docs_per_shard=None`` (default) resolves adaptively once the doc
+    count is known (``indexer.auto_docs_per_shard``); the resolved size
+    is baked into the sharded stage's name, so a parallelism change
+    rebuilds only that stage and never reloads a layout built under a
+    different shard size."""
     spark = docs.sparkSession
     tok_kwargs = dict(stopwords=stopwords, stemmer=stemmer, empty_fallback=empty_fallback)
     fingerprint = json.dumps(
@@ -162,7 +168,7 @@ def build_index_checkpointed(
             "text_col": text_col,
             "doc_id_col": doc_id_col,
             "order_cols": order_cols,
-            "docs_per_shard": docs_per_shard,
+            "docs_per_shard": "auto" if docs_per_shard is None else docs_per_shard,
             "version": 1,
         },
         sort_keys=True,
@@ -195,6 +201,15 @@ def build_index_checkpointed(
         F.max("dl").alias("maxdl"),
     ).collect()[0]
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+    if docs_per_shard is None:
+        from bm25s_spark.indexer import auto_docs_per_shard
+
+        docs_per_shard = auto_docs_per_shard(
+            num_docs, spark.sparkContext.defaultParallelism
+        )
+        sharded_stage = f"sharded_dps{docs_per_shard}"
+    else:
+        sharded_stage = "sharded"
 
     def s_tf():
         from bm25s_spark.indexer import narrow_tf
@@ -258,7 +273,7 @@ def build_index_checkpointed(
         return build_sharded_postings(index, docs_per_shard)
 
     index.sharded = ck.stage(
-        "sharded", s_sharded,
+        sharded_stage, s_sharded,
         metrics_fn=lambda rows: {"blocks_compressed": rows},
     )
     return index, ck

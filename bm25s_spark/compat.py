@@ -59,7 +59,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from bm25s_spark.indexer import BM25Index, IMPACT_COLS, NNOC_COLS
+from bm25s_spark.indexer import (
+    BM25Index,
+    IMPACT_COLS,
+    NNOC_COLS,
+    auto_docs_per_shard,
+)
 from bm25s_spark.scoring import METHODS, METHODS_REQUIRING_NNOC
 
 # Exact file names the reference's save()/load() default to
@@ -465,6 +470,9 @@ def import_bm25s(
         k1=float(params.get("k1", 1.5)),
         b=float(params.get("b", 0.75)),
         delta=float(params.get("delta", 0.5)),
+        docs_per_shard=auto_docs_per_shard(
+            num_docs, spark.sparkContext.defaultParallelism
+        ),
     )
     index.compat_import = {"method": method, "idf_method": idf_method}
     return index

@@ -156,10 +156,15 @@ class IncrementalIndexer:
                     num_docs, avgdl, k1, b, delta,
                 ).cast("double"),
             )
+        from bm25s_spark.indexer import auto_docs_per_shard
+
         return BM25Index(
             spark=spark, postings=postings, term_stats=term_stats,
             doc_lens=doc_lens, doc_map=None,
             num_docs=num_docs, avg_doc_len=avgdl,
             k1=k1, b=b, delta=delta,
             tokenizer_kwargs=self.tokenizer_kwargs,
+            docs_per_shard=auto_docs_per_shard(
+                num_docs, spark.sparkContext.defaultParallelism
+            ),
         )

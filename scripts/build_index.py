@@ -4,7 +4,7 @@
     spark-submit --py-files bm25s_spark.zip scripts/build_index.py \
         --input <transcripts table/parquet> --output <index dir> \
         [--checkpoint <dir>] [--method-params k1=1.5,b=0.75,delta=0.5] \
-        [--stemmer english] [--docs-per-shard 65536]
+        [--stemmer english] [--docs-per-shard N]
 
 Input: the canonical transcripts shape (conv_id, turn_idx, role, text,
 tool, ts).  On a cluster the SparkSession comes from spark-submit; this
@@ -29,7 +29,9 @@ def main(argv=None):
     ap.add_argument("--delta", type=float, default=0.5)
     ap.add_argument("--stopwords", default="en")
     ap.add_argument("--stemmer", default=None)
-    ap.add_argument("--docs-per-shard", type=int, default=65536)
+    ap.add_argument("--docs-per-shard", type=int, default=None,
+                    help="override the adaptive default (~one kernel "
+                         "task per core, clamped to [4096, 65536])")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
                     help="iceberg: --output is a catalog.db.name table prefix")
     args = ap.parse_args(argv)
@@ -62,7 +64,8 @@ def main(argv=None):
             k1=args.k1, b=args.b, delta=args.delta,
             stopwords=args.stopwords, stemmer=args.stemmer,
         )
-        index.docs_per_shard = args.docs_per_shard
+        if args.docs_per_shard is not None:
+            index.docs_per_shard = args.docs_per_shard
 
     save_index(index, args.output, fmt=args.format)
     print(json.dumps({

@@ -195,3 +195,42 @@ def test_kernel_metrics_accumulators(spark):
                  metrics=m_off).count()
     assert m_off["postings_scored"].value >= m["postings_scored"].value
     assert m_off["postings_scored"].value >= m_off["postings_scanned"].value
+
+
+def test_auto_docs_per_shard_math():
+    """One shard per core, power-of-two, clamped to [floor, cap]."""
+    from bm25s_spark.indexer import (
+        SHARD_SIZE_CAP,
+        SHARD_SIZE_FLOOR,
+        auto_docs_per_shard,
+    )
+
+    # tiny corpus → floor (one shard is fine)
+    assert auto_docs_per_shard(4, 32) == SHARD_SIZE_FLOOR
+    # the measured bench case: 205k docs / 32 cores → 8192 (26 shards)
+    assert auto_docs_per_shard(205_000, 32) == 8192
+    # big corpus keeps the cap (10M docs / 32 cores → 153 shards,
+    # identical to the old fixed 65536)
+    assert auto_docs_per_shard(10_000_000, 32) == SHARD_SIZE_CAP
+    # exact power-of-two quotient is kept, not doubled
+    assert auto_docs_per_shard(8192 * 16, 16) == 8192
+    # degenerate parallelism never divides by zero
+    assert auto_docs_per_shard(100_000, 0) == SHARD_SIZE_CAP
+    # result is always a power of two within the clamp
+    for n in (1, 999, 12_345, 3_000_000):
+        d = auto_docs_per_shard(n, 32)
+        assert d & (d - 1) == 0
+        assert SHARD_SIZE_FLOOR <= d <= SHARD_SIZE_CAP
+
+
+def test_build_index_sets_adaptive_shard_size(spark):
+    """build_index resolves docs_per_shard from the corpus size and the
+    session parallelism instead of the fixed dataclass default."""
+    from bm25s_spark.indexer import auto_docs_per_shard, build_index
+
+    tdf = transcripts_df(spark, "t2")
+    idx = build_index(tdf, order_cols=["conv_id", "turn_idx"])
+    expected = auto_docs_per_shard(
+        idx.num_docs, spark.sparkContext.defaultParallelism
+    )
+    assert idx.docs_per_shard == expected
