@@ -41,6 +41,8 @@ the group, exclusion = a max flag; both post-aggregation filters).
 
 from __future__ import annotations
 
+from collections import namedtuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -227,6 +229,108 @@ def parse_expansions(
     )
 
 
+# driver-side clause shapes: retrieve_parsed resolves every batch-sized
+# clause family (ranges, equality filters, expansions, phrase presence)
+# in ONE collected probe job; these carry the same field names the
+# collected parse_* Rows exposed, so the application logic is unchanged
+_FilterClause = namedtuple("_FilterClause", "query_id field value neg")
+_RangeClause = namedtuple("_RangeClause", "query_id field lo hi neg")
+_ExpandClause = namedtuple(
+    "_ExpandClause", "query_id word wild edits neg must boost"
+)
+
+
+def _probe_clauses(unquoted: DataFrame):
+    """All driver-side clause probes in ONE Spark job.
+
+    Equivalent to collecting ``parse_range_filters`` /
+    ``parse_filters`` / ``parse_expansions`` separately (plus the
+    phrase-presence peek) — but as one row per query carrying struct
+    arrays, so a 4-probe interactive path pays one job floor instead of
+    four.  Extraction runs in Spark's own regex engine via
+    ``F.transform`` (never Python ``re``), so tokens parse EXACTLY as
+    the standalone parse_* functions would.
+
+    Returns ``(ranges, filters, exps, has_phrases)`` where the first
+    three are lists of clause namedtuples (ranges/filters deduped like
+    the parse functions' ``.distinct()``; exps a multiset, preserving
+    repeats) and ``has_phrases`` is the ``parse_phrases(...).take(1)``
+    answer.  ``unquoted`` must carry ``(_qid, _nph, _t)`` — quote-
+    stripped lowered text plus the quoted-span count."""
+    neg_of = lambda t: F.when(F.substring(t, 1, 1) == "-", 1).otherwise(0)
+    star_null = lambda c: F.nullif(F.trim(c), F.lit("*"))
+    rng = lambda t: F.struct(
+        F.regexp_extract(t, r"(\w\w+):\[", 1).alias("field"),
+        star_null(F.regexp_extract(t, r"\[([^\]]+?) to ", 1)).alias("lo"),
+        star_null(F.regexp_extract(t, r" to ([^\]]+?)\]", 1)).alias("hi"),
+        neg_of(t).alias("neg"),
+    )
+    flt = lambda t: F.struct(
+        F.regexp_extract(t, r"(\w\w+):", 1).alias("field"),
+        F.regexp_extract(t, r":(\w\w+)", 1).alias("value"),
+        neg_of(t).alias("neg"),
+    )
+    exp = lambda t: F.struct(
+        F.regexp_extract(t, r"\w\w+", 0).alias("word"),
+        F.when(t.contains("*"), 1).otherwise(0).alias("wild"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(t, r"~(\d)", 1), F.lit("")),
+            F.lit("1"),
+        ).cast("int").alias("edits"),
+        neg_of(t).alias("neg"),
+        F.when(F.substring(t, 1, 1) == "+", 1).otherwise(0).alias("must"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(t, r"\^(\d+(?:\.\d+)?)", 1), F.lit("")),
+            F.lit("1"),
+        ).cast("double").alias("boost"),
+    )
+    rows = (
+        unquoted
+        .withColumn(
+            "_rt", F.expr(f"regexp_extract_all(_t, '{_RANGE_RE_SQL}', 0)")
+        )
+        .withColumn("_t2", F.regexp_replace("_t", _RANGE_RE_PY, " "))
+        .select(
+            "_qid",
+            "_nph",
+            F.transform("_rt", rng).alias("_ranges"),
+            F.transform(
+                F.expr(f"regexp_extract_all(_t2, '{_FILTER_RE_SQL}', 0)"),
+                flt,
+            ).alias("_filters"),
+            F.transform(
+                F.expr(f"regexp_extract_all(_t2, '{_EXPAND_RE_SQL}', 0)"),
+                exp,
+            ).alias("_exps"),
+        )
+        .collect()
+    )
+    ranges = sorted(
+        {
+            _RangeClause(r["_qid"], s["field"], s["lo"], s["hi"], s["neg"])
+            for r in rows
+            for s in r["_ranges"]
+        }
+    )
+    filters = sorted(
+        {
+            _FilterClause(r["_qid"], s["field"], s["value"], s["neg"])
+            for r in rows
+            for s in r["_filters"]
+        }
+    )
+    exps = [  # multiset: a repeated clause adds its weight again
+        _ExpandClause(
+            r["_qid"], s["word"], s["wild"], s["edits"],
+            s["neg"], s["must"], s["boost"],
+        )
+        for r in rows
+        for s in r["_exps"]
+    ]
+    has_phrases = any(r["_nph"] > 0 for r in rows)
+    return ranges, filters, exps, has_phrases
+
+
 def parse_phrases(
     queries_df: DataFrame,
     query_id_col: str = "query_id",
@@ -301,20 +405,27 @@ def retrieve_parsed(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     phrases = parse_phrases(queries_df, query_id_col, text_col)
-    # strip quoted spans before the filter/term-operator parse
+    # strip quoted spans before the filter/term-operator parse; the
+    # quoted-span count rides along so the probe answers phrase
+    # presence without a separate take(1) job
     unquoted = queries_df.select(
         F.col(query_id_col).alias("_qid"),
-        F.regexp_replace(F.lower(F.col(text_col)), r'"[^"]*"', " ").alias("_t"),
+        F.lower(F.col(text_col)).alias("_lt"),
+    ).select(
+        "_qid",
+        F.size(
+            F.expr("regexp_extract_all(_lt, '\"([^\"]*)\"', 1)")
+        ).alias("_nph"),
+        F.regexp_replace("_lt", r'"[^"]*"', " ").alias("_t"),
     )
-    # field:[lo TO hi] range clauses — batch-sized, resolved driver-side.
-    # Parsed (and stripped) BEFORE the equality/term parses so the
-    # bracket operands (dates, numbers) never leak into the term bag
-    ranges = parse_range_filters(unquoted, "_qid", "_t").collect()
+    # every batch-sized clause family — ranges (parsed and stripped
+    # BEFORE the equality/term parses so bracket operands never leak
+    # into the term bag), equality filters, wildcard/fuzzy expansions,
+    # phrase presence — resolves in ONE collected probe job
+    ranges, filters, exps, has_phrases = _probe_clauses(unquoted)
     unquoted = unquoted.select(
         "_qid", F.regexp_replace("_t", _RANGE_RE_PY, " ").alias("_t")
     )
-    # field:value clauses — batch-sized, resolved driver-side
-    filters = parse_filters(unquoted, "_qid", "_t").collect()
     meta = None
     if filters or ranges:
         meta = metadata_df if metadata_df is not None else index.doc_map
@@ -342,9 +453,8 @@ def retrieve_parsed(
                     f"query {f.query_id!r}: {seen[key]!r} vs {f.value!r}"
                 )
             seen[key] = f.value
-    # wildcard/fuzzy clauses — batch-sized, resolved driver-side (the
-    # expansion JOIN against the vocabulary stays distributed)
-    exps = parse_expansions(unquoted, "_qid", "_t").collect()
+    # wildcard/fuzzy clauses came from the same probe (the expansion
+    # JOIN against the vocabulary stays distributed)
     for e in exps:
         if e.must:
             raise ValueError(
@@ -373,7 +483,7 @@ def retrieve_parsed(
             .select("query_id", "term", "weight",
                     F.lit(0).alias("must"), F.lit(0).alias("neg"))
         )
-    elif phrases.take(1):
+    elif has_phrases:
         raise ValueError(
             "query contains quoted phrase clauses but docs_df was not "
             "provided (positions are not stored in the BM25 index)"

@@ -356,3 +356,61 @@ def test_range_filters_end_to_end(spark, idx):
         k=5, metadata_df=meta).collect()}
     for d, s in noisy.items():
         assert s == pytest.approx(full[d])
+
+
+def test_probe_clauses_matches_standalone_parses(spark):
+    """The single-job probe must return exactly what collecting the
+    standalone parse functions would — same dedup (distinct for
+    ranges/filters), same multiset semantics for expansions, same
+    phrase-presence answer."""
+    from bm25s_spark.operators.querylang import (
+        _RANGE_RE_PY,
+        _probe_clauses,
+        parse_expansions,
+        parse_filters,
+        parse_phrases,
+        parse_range_filters,
+    )
+
+    qdf = spark.createDataFrame(
+        [
+            ("q1", 'role:user -tool:bash "merge sort" spark~2^1.5 shuf*'),
+            ("q2", "ts:[2026-01-01 TO 2026-01-31] -turn_idx:[* TO 1] scan"),
+            ("q3", "plain +query -negated boost^2"),
+            # duplicates: filters/ranges dedupe, expansions repeat
+            ("q4", "role:user role:user wild* wild* tx:[1 TO 2] tx:[1 TO 2]"),
+            ("q5", ""),
+        ],
+        "query_id string, text string",
+    )
+    unq = qdf.select(
+        F.col("query_id").alias("_qid"), F.lower("text").alias("_lt")
+    ).select(
+        "_qid",
+        F.size(F.expr("regexp_extract_all(_lt, '\"([^\"]*)\"', 1)")
+               ).alias("_nph"),
+        F.regexp_replace("_lt", r'"[^"]*"', " ").alias("_t"),
+    )
+    ranges, filters, exps, has_phrases = _probe_clauses(unq)
+
+    stripped = unq.select("_qid", "_t")
+    want_ranges = sorted(
+        tuple(r) for r in parse_range_filters(stripped, "_qid", "_t").collect()
+    )
+    post_range = stripped.select(
+        "_qid", F.regexp_replace("_t", _RANGE_RE_PY, " ").alias("_t")
+    )
+    want_filters = sorted(
+        tuple(r) for r in parse_filters(post_range, "_qid", "_t").collect()
+    )
+    want_exps = sorted(
+        tuple(r) for r in parse_expansions(post_range, "_qid", "_t").collect()
+    )
+    assert sorted(tuple(r) for r in ranges) == want_ranges
+    assert sorted(tuple(r) for r in filters) == want_filters
+    assert sorted(tuple(r) for r in exps) == want_exps
+    assert has_phrases == bool(parse_phrases(qdf).take(1))
+    # duplicate clauses: deduped for filters/ranges, kept for expansions
+    assert len([f for f in filters if f.query_id == "q4"]) == 1
+    assert len([r for r in ranges if r.query_id == "q4"]) == 1
+    assert len([e for e in exps if e.query_id == "q4"]) == 2
