@@ -353,6 +353,30 @@ def _gate_topk_pretokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(scores)
 
 
+def _gate_topk_sqltok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene top-k over an index whose tokenization ran as pure JVM
+    column expressions (``tokenizer_engine="sql"`` — ``lower`` →
+    ``regexp_extract_all`` → stopword ``filter``, no Python in the
+    corpus scan): the fast-path engine must be indistinguishable from
+    the reference-exact pandas-UDF build against the same oracle.
+    Queries tokenize JVM-side too (the engine travels in
+    ``tokenizer_kwargs``)."""
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.retrieval import score_all
+
+    key = (os.path.abspath(sf_dir), "sqltok")
+    if key not in _INDEX_CACHE:
+        idx = build_index(
+            _transcripts(spark, sf_dir),
+            order_cols=["conv_id", "turn_idx"],
+            tokenizer_engine="sql",
+        ).persist()
+        _INDEX_CACHE[key] = idx
+    idx = _INDEX_CACHE[key]
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    return _rounded_topk(score_all(idx, qdf, method="lucene"))
+
+
 def _gate_topk_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PRF retrieval: expand each gate query with the top-3
     new terms mined (by summed tf·idf) from its top-5 round-1 documents,
@@ -1107,6 +1131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda spark, sf: _gate_topk_sharded(spark, sf, "lucene", chunk=3)
     )
     q["bm25_topk_lucene_pretokenized"] = _gate_topk_pretokenized
+    # pure-JVM tokenizer engine (no Python in the corpus scan) must be
+    # indistinguishable from the pandas-UDF build
+    q["bm25_topk_lucene_sqltok"] = _gate_topk_sqltok
     # boolean-AND retrieval: docs containing EVERY distinct query term
     # (require_all_terms=True); OOV / all-stopword queries → zero rows
     q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
@@ -2227,6 +2254,7 @@ def oracle_sql() -> dict[str, str]:
         "lucene", shard_round=True
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
+    o["bm25_topk_lucene_sqltok"] = _bm25_oracle_sql("lucene")
     # the interop round trip is lossless at float64, so the imported
     # index must reproduce the native bm25l ranking exactly
     o["bm25_topk_imported_roundtrip"] = _bm25_oracle_sql("bm25l")

@@ -131,6 +131,17 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         steps["index_build"] = round(time.time() - t, 3)
         n_docs = idx.num_docs
 
+        # same build through the pure-JVM tokenizer engine (no Python in
+        # the corpus scan; gate bm25_topk_lucene_sqltok pins identical
+        # output) — the fast path a stemmer-less deployment gets
+        t = time.time()
+        sq = build_index(corpus, order_cols=["conv_id", "turn_idx"],
+                         keep_doc_map=False, tokenizer_engine="sql")
+        sq.postings.count()
+        steps["index_build_sqltok"] = round(time.time() - t, 3)
+        sq.unpersist()
+        del sq
+
         t = time.time()
         # shard size left at build_index's adaptive pick (~one kernel
         # task per core; 8192 → 26 shards at this 205k-doc corpus)

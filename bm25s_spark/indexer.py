@@ -204,12 +204,19 @@ def build_index(
     token_pattern: str | None = None,
     empty_fallback: bool = False,
     keep_doc_map: bool = True,
+    tokenizer_engine: str = "pandas",
 ) -> BM25Index:
     """Build the eager BM25 index from a document DataFrame.
 
     ``doc_id_col``: use an existing integer doc id column; otherwise dense
     ids are assigned by rank under ``order_cols`` (default
     ``(conv_id, turn_idx)`` — the transcripts doc-identity rule).
+
+    ``tokenizer_engine="sql"`` tokenizes with pure JVM column
+    expressions (stemmer must be None) — same output as the default
+    Arrow-UDF path for ASCII/ordinary-Unicode text, no Python in the
+    corpus scan; the engine travels in ``tokenizer_kwargs`` so queries
+    tokenize identically at retrieve time.
     """
     spark = docs.sparkSession
     tok_kwargs = dict(
@@ -219,6 +226,8 @@ def build_index(
     )
     if token_pattern is not None:
         tok_kwargs["token_pattern"] = token_pattern
+    if tokenizer_engine != "pandas":
+        tok_kwargs["engine"] = tokenizer_engine
 
     if doc_id_col is not None:
         base = docs.withColumn("doc_id", F.col(doc_id_col).cast("long"))

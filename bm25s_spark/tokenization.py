@@ -138,20 +138,76 @@ def load_stemmer(stemmer: str | Callable | None):
         ) from exc
 
 
+def _sql_token_pattern(py_pattern: str) -> str:
+    """Translate the tokenizer's Python ``re`` pattern for Java regex.
+
+    The default ``(?u)\\b\\w\\w+\\b`` becomes ``(?U)\\w\\w+`` — extract-all
+    of a greedy word-char run is leftmost-longest, so the boundaries are
+    implied, and Java's ``(?U)`` flag makes ``\\w`` Unicode-aware like
+    Python's default.  Custom patterns pass through with only the flag
+    respelled (callers own any remaining engine-semantics gap)."""
+    if py_pattern == DEFAULT_TOKEN_PATTERN:
+        return r"(?U)\w\w+"
+    if py_pattern.startswith("(?u)"):
+        return "(?U)" + py_pattern[4:]
+    return py_pattern
+
+
 def make_tokenizer_udf(
     stopwords: str | Iterable[str] | None = "en",
     token_pattern: str = DEFAULT_TOKEN_PATTERN,
     lower: bool = True,
     stemmer: str | None = None,
     empty_fallback: bool = False,
+    engine: str = "pandas",
 ):
-    """Build the ``text:string -> tokens:array<string>`` pandas UDF.
+    """Build the ``text:string -> tokens:array<string>`` tokenizer.
 
     ``stemmer`` must be a *spec* (language string or None) — not a live
     object — so the UDF closure stays picklable; the stemmer is
     instantiated lazily on each executor task.
+
+    ``engine="pandas"`` (default) is the reference-exact path: Python
+    ``re`` findall inside an Arrow-batched pandas UDF, required for
+    stemming and for bit-exact Python-regex semantics on exotic Unicode.
+    ``engine="sql"`` compiles the same pipeline to pure JVM column
+    expressions (``lower`` → ``regexp_extract_all`` → stopword
+    ``filter``) — no Python in the scan at all, whole-stage-codegen
+    eligible.  Identical output for ASCII and ordinary Unicode text
+    (Java's ``(?U)\\w`` vs Python's ``\\w`` differ only on exotic
+    categories: superscript digits and the like); stemming is not
+    expressible JVM-side, so ``engine="sql"`` with a stemmer raises.
+    Both engines return a callable ``Column -> Column``, so the spec
+    travels in ``tokenizer_kwargs`` and query-side tokenization always
+    matches the index's build-side engine.
     """
     sw = resolve_stopwords(stopwords)
+    if engine == "sql":
+        if stemmer is not None:
+            raise ValueError(
+                "engine='sql' cannot stem (Snowball is not expressible "
+                "as JVM column expressions); use engine='pandas' or "
+                "stemmer=None"
+            )
+        jpattern = _sql_token_pattern(token_pattern)
+        sw_sorted = sorted(sw)
+
+        def sql_tokenize(col):
+            c = F.coalesce(col, F.lit(""))
+            if lower:
+                c = F.lower(c)
+            arr = F.regexp_extract_all(c, F.lit(jpattern), 0)
+            if empty_fallback:
+                arr = F.when(
+                    F.size(arr) == 0, F.array(F.lit(""))
+                ).otherwise(arr)
+            if sw_sorted:
+                arr = F.filter(arr, lambda t: ~t.isin(*sw_sorted))
+            return arr
+
+        return sql_tokenize
+    if engine != "pandas":
+        raise ValueError(f"unknown tokenizer engine {engine!r}")
     pattern = token_pattern
     do_lower = lower
     fallback = empty_fallback

@@ -165,3 +165,70 @@ def test_full_language_alias_names(spark, ref_bm25s):
         ("korean", "ko"), ("NORWEGIAN", "no"),
     ]:
         assert resolve_stopwords(alias) == resolve_stopwords(code)
+
+
+def test_sql_engine_token_parity(spark):
+    """The pure-JVM tokenizer (engine='sql') must emit the exact token
+    stream the reference-exact pandas path does — including NULL/empty
+    text, 1-char drops, ordinary Unicode, and the empty_fallback quirk."""
+    from bm25s_spark.tokenization import make_tokenizer_udf
+
+    docs = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "a"),
+            (3, "The THE the?!x yz_9 café naïve"),
+            (4, "  multiple   spaces\tand\nnewlines  "),
+            (5, "don't stop-word co-op 42 7 ab"),
+            (6, "the and a of"),  # all stopwords
+        ],
+        "doc_id long, text string",
+    )
+    for kw in (
+        dict(stopwords="en"),
+        dict(stopwords=None),
+        dict(stopwords="en", empty_fallback=True),
+        dict(stopwords="de"),
+    ):
+        p = make_tokenizer_udf(**kw)
+        s = make_tokenizer_udf(engine="sql", **kw)
+        bad = (
+            docs.select(
+                p(F.col("text")).alias("a"), s(F.col("text")).alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert bad == 0, f"engine divergence under {kw}"
+
+
+def test_sql_engine_build_retrieve_parity(spark):
+    """An index built with tokenizer_engine='sql' retrieves the same
+    ranks and scores as the pandas-UDF build, and the engine travels in
+    tokenizer_kwargs so queries tokenize JVM-side too."""
+    import pytest as _pytest
+
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.retrieval import retrieve
+    from bm25s_spark.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, "t1")
+    qdf = spark.createDataFrame(
+        [("q1", "a cat is a feline, it's sometimes beautiful but cannot fly")],
+        "query_id string, text string",
+    )
+    a = build_index(tdf, order_cols=["conv_id", "turn_idx"])
+    b = build_index(
+        tdf, order_cols=["conv_id", "turn_idx"], tokenizer_engine="sql"
+    )
+    assert b.tokenizer_kwargs.get("engine") == "sql"
+    ra = [(r.rank, r.doc_id, round(r.score, 9))
+          for r in retrieve(a, qdf, k=4).orderBy("rank").collect()]
+    rb = [(r.rank, r.doc_id, round(r.score, 9))
+          for r in retrieve(b, qdf, k=4).orderBy("rank").collect()]
+    assert ra == rb
+    # stemming is not expressible JVM-side
+    with _pytest.raises(ValueError, match="sql"):
+        build_index(tdf, order_cols=["conv_id", "turn_idx"],
+                    tokenizer_engine="sql", stemmer="english")
