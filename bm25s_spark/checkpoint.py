@@ -144,6 +144,7 @@ def build_index_checkpointed(
     stemmer: str | None = None,
     empty_fallback: bool = False,
     docs_per_shard: int | None = None,
+    tokenizer_engine: str = "pandas",
 ) -> tuple[BM25Index, Checkpointer]:
     """Stage-checkpointed twin of ``indexer.build_index``.
 
@@ -151,9 +152,13 @@ def build_index_checkpointed(
     count is known (``indexer.auto_docs_per_shard``); the resolved size
     is baked into the sharded stage's name, so a parallelism change
     rebuilds only that stage and never reloads a layout built under a
-    different shard size."""
+    different shard size.  ``tokenizer_engine`` is part of the stage
+    fingerprint (it rides in the tokenizer kwargs), so switching engines
+    rebuilds rather than reusing the other engine's tokenized stage."""
     spark = docs.sparkSession
     tok_kwargs = dict(stopwords=stopwords, stemmer=stemmer, empty_fallback=empty_fallback)
+    if tokenizer_engine != "pandas":
+        tok_kwargs["engine"] = tokenizer_engine
     fingerprint = json.dumps(
         {
             "corpus_tag": corpus_tag,

@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--docs-per-shard", type=int, default=None,
                     help="override the adaptive default (~one kernel "
                          "task per core, clamped to [4096, 65536])")
+    ap.add_argument("--tokenizer-engine", default="pandas",
+                    choices=["pandas", "sql"],
+                    help="sql: tokenize with pure JVM column expressions "
+                         "(no Python in the corpus scan; stemmer-less "
+                         "builds only)")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
                     help="iceberg: --output is a catalog.db.name table prefix")
     args = ap.parse_args(argv)
@@ -54,6 +59,7 @@ def main(argv=None):
             k1=args.k1, b=args.b, delta=args.delta,
             stopwords=args.stopwords, stemmer=args.stemmer,
             docs_per_shard=args.docs_per_shard,
+            tokenizer_engine=args.tokenizer_engine,
         )
         print(json.dumps(ck.summary()))
     else:
@@ -63,6 +69,7 @@ def main(argv=None):
             docs, order_cols=["conv_id", "turn_idx"],
             k1=args.k1, b=args.b, delta=args.delta,
             stopwords=args.stopwords, stemmer=args.stemmer,
+            tokenizer_engine=args.tokenizer_engine,
         )
         if args.docs_per_shard is not None:
             index.docs_per_shard = args.docs_per_shard

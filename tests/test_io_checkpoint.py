@@ -158,3 +158,31 @@ def test_iceberg_write_composition(spark, monkeypatch):
     conf = iceberg_session_conf("cat", "/tmp/wh")
     assert conf["spark.sql.catalog.cat.type"] == "hadoop"
     assert conf["spark.sql.catalog.cat.warehouse"] == "/tmp/wh"
+
+
+def test_checkpointed_build_sql_tokenizer_engine(spark, tmp_path):
+    """The checkpointed builder accepts tokenizer_engine='sql' (pure-JVM
+    tokenization), carries the engine in tokenizer_kwargs, and produces
+    retrieval identical to the pandas-engine build; the engine is part
+    of the stage fingerprint, so the two builds never share stages."""
+    from bm25s_spark.retrieval import retrieve
+    from bm25s_spark.transcripts import transcripts_df
+
+    tdf = transcripts_df(spark, "t1")
+    qdf = spark.createDataFrame(
+        [("q1", "a cat is a feline, it's sometimes beautiful")],
+        "query_id string, text string",
+    )
+    a, _ = build_index_checkpointed(
+        tdf, str(tmp_path / "ck_pd"), corpus_tag="t1", docs_per_shard=512
+    )
+    b, _ = build_index_checkpointed(
+        tdf, str(tmp_path / "ck_sq"), corpus_tag="t1", docs_per_shard=512,
+        tokenizer_engine="sql",
+    )
+    assert b.tokenizer_kwargs.get("engine") == "sql"
+    ra = [(r.rank, r.doc_id, round(r.score, 9))
+          for r in retrieve(a, qdf, k=4).orderBy("rank").collect()]
+    rb = [(r.rank, r.doc_id, round(r.score, 9))
+          for r in retrieve(b, qdf, k=4).orderBy("rank").collect()]
+    assert ra == rb
