@@ -500,6 +500,17 @@ def run_scaling_workload(cores: int, corpus_path: str, n_queries: int) -> dict:
         t = time.time()
         retrieve_qld(idx, _batch_queries(spark, n_qld), k=10).count()
         t_qld = time.time() - t
+
+        # the pure-JVM tokenizer fast path (gate bm25_topk_lucene_sqltok):
+        # same timed shape as the flat build (scan → tokenize → doc-stats
+        # action) so the two engines' scaling is directly comparable —
+        # tokenization is perfectly data-parallel and the engine swap
+        # must not change the build's scaling behavior
+        t = time.time()
+        sq = build_index(corpus, order_cols=["conv_id", "turn_idx"],
+                         keep_doc_map=False, tokenizer_engine="sql")
+        t_sqltok = time.time() - t
+        sq.unpersist()
         return {
             "cores": cores,
             "n_docs": n_docs,
@@ -511,6 +522,7 @@ def run_scaling_workload(cores: int, corpus_path: str, n_queries: int) -> dict:
             "query_sec": round(t_query, 2),
             "qps": round(n_queries / t_query, 2),
             "qld_sec": round(t_qld, 2),
+            "build_sqltok_sec": round(t_sqltok, 2),
         }
     finally:
         spark.stop()
@@ -698,14 +710,19 @@ def main():
         lo["build_sec"] = min(r["build_sec"] for r in lo_runs)
         lo["query_sec"] = min(r["query_sec"] for r in lo_runs)
         lo["qld_sec"] = min(r["qld_sec"] for r in lo_runs)
+        lo["build_sqltok_sec"] = min(r["build_sqltok_sec"] for r in lo_runs)
         hi["build_sec"] = min(r["build_sec"] for r in hi_runs)
         hi["query_sec"] = min(r["query_sec"] for r in hi_runs)
         hi["qld_sec"] = min(r["qld_sec"] for r in hi_runs)
+        hi["build_sqltok_sec"] = min(r["build_sqltok_sec"] for r in hi_runs)
         ratio = n_hi / n_lo
         eff = {
             "index_build": round((lo["build_sec"] / hi["build_sec"]) / ratio, 3),
             "batched_query": round((lo["query_sec"] / hi["query_sec"]) / ratio, 3),
             "qld_64q": round((lo["qld_sec"] / hi["qld_sec"]) / ratio, 3),
+            "build_sqltok": round(
+                (lo["build_sqltok_sec"] / hi["build_sqltok_sec"]) / ratio, 3
+            ),
         }
         print(json.dumps({
             "metric": f"throughput scaling efficiency, local[{n_lo}] vs local[{n_hi}] (N vs 4N)",
