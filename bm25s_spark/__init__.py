@@ -88,6 +88,16 @@ from bm25s_spark.streaming.dedup import (
 from bm25s_spark.streaming.sessions import session_window_rollup
 from bm25s_spark.streaming.windows import windowed_event_rollup
 from bm25s_spark.transcripts import speaker_stats
+from bm25s_spark.hub import (
+    HfHubClient,
+    LocalHubClient,
+    load_index_from_hub,
+    load_tokenizer_from_hub,
+    save_index_to_hub,
+    save_tokenizer_to_hub,
+)
+from bm25s_spark.mcp_server import McpServer, create_mcp_server
+from bm25s_spark.tokenization import make_hf_tokenizer_udf, tokenize_hf
 
 __version__ = "0.8.0"
 

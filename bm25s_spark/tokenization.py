@@ -251,6 +251,64 @@ def tokenize(
     return df.withColumn(out_col, udf(F.col(text_col)))
 
 
+def make_hf_tokenizer_udf(tokenizer_loader: Callable[[], object],
+                          add_special_tokens: bool = False):
+    """Bridge a Hugging Face tokenizer into the pipeline as a pandas UDF
+    (the reference's ``batch_tokenize``, ``reference/bm25s/hf.py:187-203``,
+    which runs any HF tokenizer over the corpus and keeps the token
+    *strings*).
+
+    ``tokenizer_loader`` is a zero-arg picklable callable that returns
+    the tokenizer **on the executor** — HF tokenizer objects (Rust
+    handles) are not reliably picklable, the same constraint the stemmer
+    has; a loader like ``lambda: AutoTokenizer.from_pretrained(...)``
+    (or the ``tokenizers.Tokenizer.from_file`` twin) runs once per task.
+    The returned object may speak either HF interface:
+
+    - ``tokenizers.Tokenizer``: ``encode_batch(texts)`` → encodings with
+      ``.tokens``
+    - ``transformers`` tokenizer: batch ``__call__`` → a BatchEncoding
+      whose ``[i].tokens`` gives the token strings (exactly the
+      reference's extraction).
+
+    Output is ``array<string>`` — feed it to ``indexer.
+    build_index_from_tokens`` (corpus side) and pass the tokenized
+    array column as the query text (``retrieval.tokenize_queries``
+    accepts arrays verbatim), so both sides use the same subword vocab.
+    """
+
+    def hf_tokenize_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        tok = tokenizer_loader()
+        encode_batch = getattr(tok, "encode_batch", None)
+
+        def tokens_of(texts: list[str]) -> list[list[str]]:
+            if encode_batch is not None:
+                encs = encode_batch(texts)
+                return [list(e.tokens) for e in encs]
+            out = tok(
+                texts,
+                return_attention_mask=False,
+                return_token_type_ids=False,
+                add_special_tokens=add_special_tokens,
+                max_length=None,
+            )
+            return [list(out[i].tokens) for i in range(len(texts))]
+
+        for series in batches:
+            texts = series.fillna("").tolist()
+            yield pd.Series(tokens_of(texts), index=series.index)
+
+    return F.pandas_udf(hf_tokenize_iter, ArrayType(StringType()))
+
+
+def tokenize_hf(df: DataFrame, tokenizer_loader: Callable[[], object],
+                text_col: str = "text", out_col: str = "tokens",
+                add_special_tokens: bool = False) -> DataFrame:
+    """Append an HF-tokenized ``tokens`` column (bridge convenience)."""
+    udf = make_hf_tokenizer_udf(tokenizer_loader, add_special_tokens)
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
 def tokens_to_terms(df: DataFrame, doc_id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
     """Explode tokens to one row per occurrence: (doc_id, term)."""
     return df.select(doc_id_col, F.explode_outer(tokens_col).alias("term")).where(
