@@ -377,6 +377,61 @@ def _gate_topk_sqltok(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(score_all(idx, qdf, method="lucene"))
 
 
+def _gate_topk_hf_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene top-k over an index built through the HF-tokenizer bridge
+    (``make_hf_tokenizer_udf`` / ``tokenize_hf`` — the reference's
+    ``batch_tokenize`` surface, ``reference/bm25s/hf.py:187-203``) with a
+    deterministic in-process stand-in speaking the ``tokenizers``
+    ``encode_batch`` → ``.tokens`` interface and reproducing the gate's
+    reference tokenization (lower → ``\\w\\w+`` findall → Lucene-EN
+    stopword filter).  Queries go through the same bridge and enter
+    retrieval as array-typed token lists, so this exercises the
+    executor-side loader, the Arrow bridge UDF, the pretokenized build,
+    AND the token-list query path against the standard lucene oracle."""
+    from bm25s_spark.indexer import build_index_from_tokens
+    from bm25s_spark.retrieval import score_all
+    from bm25s_spark.tokenization import tokenize_hf
+
+    def _load_fake_hf_tokenizer():
+        # defined in-closure so cloudpickle ships it by value (this
+        # module is loaded from a file path, not importable on executors)
+        import re
+
+        from bm25s_spark.tokenization import STOPWORDS_EN
+
+        class _Enc:
+            __slots__ = ("tokens",)
+
+            def __init__(self, tokens):
+                self.tokens = tokens
+
+        class _FakeHFTokenizer:
+            _pat = re.compile(r"(?u)\b\w\w+\b")
+
+            def encode_batch(self, texts):
+                return [
+                    _Enc([t for t in self._pat.findall(x.lower())
+                          if t not in STOPWORDS_EN])
+                    for x in texts
+                ]
+
+        return _FakeHFTokenizer()
+
+    key = (os.path.abspath(sf_dir), "hfbridge")
+    if key not in _INDEX_CACHE:
+        tdf = tokenize_hf(_transcripts(spark, sf_dir), _load_fake_hf_tokenizer)
+        idx = build_index_from_tokens(
+            tdf, order_cols=["conv_id", "turn_idx"]
+        ).persist()
+        _INDEX_CACHE[key] = idx
+    idx = _INDEX_CACHE[key]
+    qdf = spark.createDataFrame(GATE_QUERIES, "query_id string, text string")
+    qtok = tokenize_hf(qdf, _load_fake_hf_tokenizer)
+    return _rounded_topk(
+        score_all(idx, qtok, method="lucene", text_col="tokens")
+    )
+
+
 def _gate_topk_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PRF retrieval: expand each gate query with the top-3
     new terms mined (by summed tf·idf) from its top-5 round-1 documents,
@@ -1134,6 +1189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pure-JVM tokenizer engine (no Python in the corpus scan) must be
     # indistinguishable from the pandas-UDF build
     q["bm25_topk_lucene_sqltok"] = _gate_topk_sqltok
+    # HF-tokenizer bridge (executor-side loader + encode_batch interface
+    # + array-typed query path) must match the text path token-for-token
+    q["bm25_topk_hf_bridge"] = _gate_topk_hf_bridge
     # boolean-AND retrieval: docs containing EVERY distinct query term
     # (require_all_terms=True); OOV / all-stopword queries → zero rows
     q["bm25_topk_conjunctive"] = _gate_topk_conjunctive
@@ -2255,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bm25_topk_lucene_pretokenized"] = _bm25_oracle_sql("lucene")
     o["bm25_topk_lucene_sqltok"] = _bm25_oracle_sql("lucene")
+    o["bm25_topk_hf_bridge"] = _bm25_oracle_sql("lucene")
     # the interop round trip is lossless at float64, so the imported
     # index must reproduce the native bm25l ranking exactly
     o["bm25_topk_imported_roundtrip"] = _bm25_oracle_sql("bm25l")

@@ -11,7 +11,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 (local[N] vs local[4N], N = $SCALING_N, default 2 — standing in for
 N vs 4N executors; each level taskset-pinned in a fresh JVM) and
 reports throughput at both plus scaling efficiency — the north_rule's
-two-cluster-size criterion evidenced in-sandbox.
+two-cluster-size criterion evidenced in-sandbox.  $SCALING_PHASES
+(comma subset of build,query,qld,sqltok; default all) restricts which
+phases run — e.g. SCALING_PHASES=sqltok re-measures just the
+JVM-tokenizer build at a corpus size large enough to amortize the
+fixed per-job floor, without paying for the slow local[1] phases.
 
 --bigbatch: builds an index over $SCALING_CONVS × $SCALING_TURNS
 transcript turns and runs chunked query batches ($BIGBATCH_SIZES,
@@ -471,59 +475,79 @@ def run_scaling_workload(cores: int, corpus_path: str, n_queries: int) -> dict:
         retrieve_qld(w, _batch_queries(spark, 8), k=5).count()
         w.sharded.unpersist()
         w.unpersist()
+        # warm the JVM-tokenizer engine's distinct codegen path too
+        ws = build_index(distributed_transcripts(spark, 500, 4),
+                         order_cols=["conv_id", "turn_idx"],
+                         keep_doc_map=False, tokenizer_engine="sql")
+        ws.unpersist()
 
         corpus = spark.read.parquet(corpus_path)
+        phases = set(
+            os.environ.get("SCALING_PHASES", "build,query,qld,sqltok")
+            .split(",")
+        )
+        out: dict = {"cores": cores}
 
-        t = time.time()
-        idx = build_index(corpus, order_cols=["conv_id", "turn_idx"],
-                          keep_doc_map=False)
-        n_docs = idx.num_docs
-        t_flat = time.time() - t
-        idx.docs_per_shard = max(2048, n_docs // 128)
-        t = time.time()
-        n_blocks = ensure_sharded(idx).count()
-        t_shard = time.time() - t
-        t_build = t_flat + t_shard
+        if phases & {"build", "query", "qld"}:
+            t = time.time()
+            idx = build_index(corpus, order_cols=["conv_id", "turn_idx"],
+                              keep_doc_map=False)
+            n_docs = idx.num_docs
+            t_flat = time.time() - t
+            idx.docs_per_shard = max(2048, n_docs // 128)
+            t = time.time()
+            n_blocks = ensure_sharded(idx).count()
+            t_shard = time.time() - t
+            t_build = t_flat + t_shard
+            out.update(
+                n_docs=n_docs,
+                n_blocks=n_blocks,
+                build_sec=round(t_build, 2),
+                build_flat_sec=round(t_flat, 2),
+                build_shard_sec=round(t_shard, 2),
+                build_docs_per_sec=round(n_docs / t_build, 1),
+            )
 
-        batch = _batch_queries(spark, n_queries)
-        t = time.time()
-        idx.retrieve(batch, k=10, strategy="sharded", pad=False).count()
-        t_query = time.time() - t
+        if "query" in phases:
+            batch = _batch_queries(spark, n_queries)
+            t = time.time()
+            idx.retrieve(batch, k=10, strategy="sharded", pad=False).count()
+            t_query = time.time() - t
+            out.update(query_sec=round(t_query, 2),
+                       qps=round(n_queries / t_query, 2))
 
-        # one beyond-BM25 operator family in the scaled phases: Dirichlet
-        # query likelihood (join-path shape — broadcast query terms into
-        # the flat postings, per-(query, doc) aggregation).  The batch
-        # size is tunable: at 64 queries the phase is fixed-cost-heavy
-        # (cf checkpoint + broadcast build) and its efficiency reading is
-        # noise-dominated; 256+ amortizes.
-        n_qld = int(os.environ.get("SCALING_QLD_QUERIES", "64"))
-        t = time.time()
-        retrieve_qld(idx, _batch_queries(spark, n_qld), k=10).count()
-        t_qld = time.time() - t
+        if "qld" in phases:
+            # one beyond-BM25 operator family in the scaled phases:
+            # Dirichlet query likelihood (join-path shape — broadcast
+            # query terms into the flat postings, per-(query, doc)
+            # aggregation).  The batch size is tunable: at 64 queries the
+            # phase is fixed-cost-heavy (cf checkpoint + broadcast build)
+            # and its efficiency reading is noise-dominated; 256+
+            # amortizes.
+            n_qld = int(os.environ.get("SCALING_QLD_QUERIES", "64"))
+            t = time.time()
+            retrieve_qld(idx, _batch_queries(spark, n_qld), k=10).count()
+            t_qld = time.time() - t
+            out["qld_sec"] = round(t_qld, 2)
 
-        # the pure-JVM tokenizer fast path (gate bm25_topk_lucene_sqltok):
-        # same timed shape as the flat build (scan → tokenize → doc-stats
-        # action) so the two engines' scaling is directly comparable —
-        # tokenization is perfectly data-parallel and the engine swap
-        # must not change the build's scaling behavior
-        t = time.time()
-        sq = build_index(corpus, order_cols=["conv_id", "turn_idx"],
-                         keep_doc_map=False, tokenizer_engine="sql")
-        t_sqltok = time.time() - t
-        sq.unpersist()
-        return {
-            "cores": cores,
-            "n_docs": n_docs,
-            "n_blocks": n_blocks,
-            "build_sec": round(t_build, 2),
-            "build_flat_sec": round(t_flat, 2),
-            "build_shard_sec": round(t_shard, 2),
-            "build_docs_per_sec": round(n_docs / t_build, 1),
-            "query_sec": round(t_query, 2),
-            "qps": round(n_queries / t_query, 2),
-            "qld_sec": round(t_qld, 2),
-            "build_sqltok_sec": round(t_sqltok, 2),
-        }
+        if "sqltok" in phases:
+            # the pure-JVM tokenizer fast path (gate
+            # bm25_topk_lucene_sqltok): same timed shape as the flat
+            # build (scan → tokenize → doc-stats action) so the two
+            # engines' scaling is directly comparable — tokenization is
+            # perfectly data-parallel and the engine swap must not change
+            # the build's scaling behavior
+            t = time.time()
+            sq = build_index(corpus, order_cols=["conv_id", "turn_idx"],
+                             keep_doc_map=False, tokenizer_engine="sql")
+            t_sqltok = time.time() - t
+            out["build_sqltok_sec"] = round(t_sqltok, 3)
+            out.setdefault("n_docs", sq.num_docs)
+            out["build_sqltok_docs_per_sec"] = round(
+                out["n_docs"] / t_sqltok, 1
+            )
+            sq.unpersist()
+        return out
     finally:
         spark.stop()
 
@@ -705,25 +729,19 @@ def main():
         for _ in range(reps):
             lo_runs.append(_scaling_subprocess(n_lo, corpus_path, n_queries))
             hi_runs.append(_scaling_subprocess(n_hi, corpus_path, n_queries))
-        lo = min(lo_runs, key=lambda r: r["build_sec"] + r["query_sec"])
-        hi = min(hi_runs, key=lambda r: r["build_sec"] + r["query_sec"])
-        lo["build_sec"] = min(r["build_sec"] for r in lo_runs)
-        lo["query_sec"] = min(r["query_sec"] for r in lo_runs)
-        lo["qld_sec"] = min(r["qld_sec"] for r in lo_runs)
-        lo["build_sqltok_sec"] = min(r["build_sqltok_sec"] for r in lo_runs)
-        hi["build_sec"] = min(r["build_sec"] for r in hi_runs)
-        hi["query_sec"] = min(r["query_sec"] for r in hi_runs)
-        hi["qld_sec"] = min(r["qld_sec"] for r in hi_runs)
-        hi["build_sqltok_sec"] = min(r["build_sqltok_sec"] for r in hi_runs)
+        timed_keys = [k for k in ("build_sec", "query_sec", "qld_sec",
+                                  "build_sqltok_sec") if k in lo_runs[0]]
+        lo = min(lo_runs, key=lambda r: sum(r[k] for k in timed_keys))
+        hi = min(hi_runs, key=lambda r: sum(r[k] for k in timed_keys))
+        # per-phase min over interleaved reps (noise-robust estimator)
+        for k in timed_keys:
+            lo[k] = min(r[k] for r in lo_runs)
+            hi[k] = min(r[k] for r in hi_runs)
         ratio = n_hi / n_lo
-        eff = {
-            "index_build": round((lo["build_sec"] / hi["build_sec"]) / ratio, 3),
-            "batched_query": round((lo["query_sec"] / hi["query_sec"]) / ratio, 3),
-            "qld_64q": round((lo["qld_sec"] / hi["qld_sec"]) / ratio, 3),
-            "build_sqltok": round(
-                (lo["build_sqltok_sec"] / hi["build_sqltok_sec"]) / ratio, 3
-            ),
-        }
+        eff_names = {"build_sec": "index_build", "query_sec": "batched_query",
+                     "qld_sec": "qld_64q", "build_sqltok_sec": "build_sqltok"}
+        eff = {eff_names[k]: round((lo[k] / hi[k]) / ratio, 3)
+               for k in timed_keys}
         print(json.dumps({
             "metric": f"throughput scaling efficiency, local[{n_lo}] vs local[{n_hi}] (N vs 4N)",
             "sf": SF_DIR,
