@@ -34,6 +34,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bm25s_spark.index_io import load_index, save_index
 from bm25s_spark.indexer import BM25Index
@@ -173,7 +174,15 @@ class LocalHubClient:
         if local_dir is None:
             return snap
         if os.path.abspath(local_dir) != snap:
-            shutil.copytree(snap, local_dir, dirs_exist_ok=True)
+            # local_dir becomes an EXACT copy of the snapshot: stale
+            # files from a previously downloaded revision are removed
+            # first.  Spark part-file names are unique per write, so a
+            # merge (dirs_exist_ok alone) would leave both generations
+            # on disk and spark.read.parquet would read them all —
+            # silently doubled postings.
+            if os.path.isdir(local_dir):
+                shutil.rmtree(local_dir)
+            shutil.copytree(snap, local_dir)
         return local_dir
 
     def list_commits(self, repo_id: str) -> list[str]:
@@ -283,7 +292,13 @@ def save_index_to_hub(
             corpus.write.mode("overwrite").json(
                 os.path.join(save_dir, "corpus.jsonl"))
         if include_readme:
-            num_postings = index.postings.count()
+            # sum(df) over the vocab-sized term_stats == the number of
+            # (term, doc) posting rows — NEVER count() the postings
+            # table (a full corpus-sized scan) for a README stat
+            num_postings = int(
+                index.term_stats.agg(
+                    F.sum("df").alias("s")).collect()[0]["s"] or 0
+            )
             with open(os.path.join(save_dir, "README.md"), "w") as f:
                 f.write(_README_TEMPLATE.format(
                     repo_id=repo_id,

@@ -96,8 +96,10 @@ class McpServer:
                 params = msg.get("params") or {}
                 name = params.get("name")
                 if name not in self._tools:
-                    return self._error(msg_id, INVALID_PARAMS,
-                                       f"unknown tool {name!r}")
+                    # JSON-RPC 2.0: a notification NEVER gets a response,
+                    # not even an error one
+                    return None if is_notification else self._error(
+                        msg_id, INVALID_PARAMS, f"unknown tool {name!r}")
                 args = params.get("arguments") or {}
                 fn = self._tools[name]["fn"]
                 try:
@@ -105,7 +107,8 @@ class McpServer:
                     # distinct from tool failures (isError content)
                     inspect.signature(fn).bind(**args)
                 except TypeError as exc:
-                    return self._error(msg_id, INVALID_PARAMS, str(exc))
+                    return None if is_notification else self._error(
+                        msg_id, INVALID_PARAMS, str(exc))
                 try:
                     text = fn(**args)
                     result = {
@@ -124,7 +127,8 @@ class McpServer:
                 return self._error(msg_id, METHOD_NOT_FOUND,
                                    f"method {method!r} not found")
         except TypeError as exc:  # bad kwargs shape for a tool
-            return self._error(msg_id, INVALID_PARAMS, str(exc))
+            return None if is_notification else self._error(
+                msg_id, INVALID_PARAMS, str(exc))
         if is_notification:
             return None
         return {"jsonrpc": JSONRPC, "id": msg_id, "result": result}

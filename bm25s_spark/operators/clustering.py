@@ -162,9 +162,11 @@ def cluster_keywords(
     # one-row-per-doc contract: the corpus-wide df below is computed
     # THROUGH this left join, so a duplicate doc_id here would fan out
     # doc_terms and silently inflate df / deflate IDF — enforce it
+    # DETERMINISTICALLY (min cluster per doc; dropDuplicates keeps a
+    # partition-order-dependent row, so reruns could disagree)
     a = assign_df.select(
         F.col(assign_df.columns[0]).alias("doc_id"), "cluster"
-    ).dropDuplicates(["doc_id"])
+    ).groupBy("doc_id").agg(F.min("cluster").alias("cluster"))
     sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
     # ONE tokenizer pass: left-join the assignment (unassigned docs keep
     # a NULL cluster) and aggregate once to a (term, cluster)-bounded

@@ -57,11 +57,13 @@ def query_coverage(
         F.countDistinct("doc_id").cast("long").alias("n_candidate_docs")
     )
     # OOV membership comes from the vocab-sized term_stats table, NOT a
-    # second pass over `hits` (every vocab term has ≥1 posting, so the
-    # sets are identical) — this keeps the postings scan at exactly ONE
-    # execution per report.  The broadcast query batch streams against
+    # second pass over `hits` — this keeps the postings scan at exactly
+    # ONE execution per report.  df > 0 makes the sets identical: the
+    # '' vocab-patch row (indexer B9) carries df=0 and NO postings, so
+    # without the guard an empty-fallback query token would silently
+    # stop counting as OOV.  The broadcast query batch streams against
     # term_stats; the matched set is query-bounded and re-broadcastable.
-    matched_terms = index.term_stats.select("term").join(
+    matched_terms = index.term_stats.where(F.col("df") > 0).select("term").join(
         F.broadcast(qt.select("term").distinct()), "term", "left_semi"
     )
     oov_agg = (

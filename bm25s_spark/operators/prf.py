@@ -226,6 +226,19 @@ def prf_score_delta(
     # outside the expansion terms' ranges; (c) downstream joins broadcast
     # a local relation instead of a subplan.
     erows = eterms_plan.collect()
+    if not erows:
+        # nothing mined anywhere in the batch (e.g. every query OOV):
+        # the delta join would still execute a full postings pass just
+        # to produce zero rows — return the retained round-1 scores
+        # directly (exactly equal: delta = 0 and the expansion nnoc
+        # frame would be empty → +0.0 per row)
+        out = scores1.select("query_id", "doc_id", "score")
+        if pad_candidates_for_k is not None:
+            out = _with_pad_candidates(
+                index, queries_df, qterms, out, pad_candidates_for_k,
+                method, idf_method, query_id_col,
+            )
+        return out
     spark = queries_df.sparkSession
     eterms = spark.createDataFrame(erows, eterms_plan.schema)
 

@@ -129,14 +129,20 @@ def parse_filters(
     ``role:user`` requires the doc's ``role`` metadata to equal
     ``user``; ``-role:tool`` excludes docs whose ``role`` is ``tool``.
     A ``+`` prefix is accepted (filters are always must).  Field and
-    value are lowercased with the rest of the query text.
+    value are lowercased with the rest of the query text.  Range
+    clauses are stripped first (same order as ``retrieve_parsed``'s
+    probe) so a range operand like ``ts:[2026-01-01 00:10:00 TO *]``
+    never sheds a bogus ``00:10`` equality filter.
     """
     raw = queries_df.select(
         F.col(query_id_col).alias("query_id"),
+        F.regexp_replace(
+            F.lower(F.col(text_col)), _RANGE_RE_PY, " "
+        ).alias("_t2"),
+    ).select(
+        "query_id",
         F.explode(
-            F.expr(
-                f"regexp_extract_all(lower({text_col}), '{_FILTER_RE_SQL}', 0)"
-            )
+            F.expr(f"regexp_extract_all(_t2, '{_FILTER_RE_SQL}', 0)")
         ).alias("tok"),
     )
     return raw.select(
@@ -200,13 +206,18 @@ def parse_expansions(
 ) -> DataFrame:
     """Wildcard/fuzzy clauses → (query_id, word, wild, edits, neg, must,
     boost).  ``wild``=1 for ``word*``; otherwise ``edits`` is the fuzzy
-    budget (explicit ``~N`` digit, default 1)."""
+    budget (explicit ``~N`` digit, default 1).  Range clauses are
+    stripped first (same order as ``retrieve_parsed``'s probe) so their
+    operands never leak expansion tokens."""
     raw = queries_df.select(
         F.col(query_id_col).alias("query_id"),
+        F.regexp_replace(
+            F.lower(F.col(text_col)), _RANGE_RE_PY, " "
+        ).alias("_t2"),
+    ).select(
+        "query_id",
         F.explode(
-            F.expr(
-                f"regexp_extract_all(lower({text_col}), '{_EXPAND_RE_SQL}', 0)"
-            )
+            F.expr(f"regexp_extract_all(_t2, '{_EXPAND_RE_SQL}', 0)")
         ).alias("tok"),
     )
     head = F.substring("tok", 1, 1)
@@ -310,7 +321,10 @@ def _probe_clauses(unquoted: DataFrame):
             _RangeClause(r["_qid"], s["field"], s["lo"], s["hi"], s["neg"])
             for r in rows
             for s in r["_ranges"]
-        }
+        },
+        # open bounds ('*') are None: a plain tuple sort would compare
+        # None against str when two clauses tie on (query_id, field)
+        key=lambda c: (c.query_id, c.field, c.lo or "", c.hi or "", c.neg),
     )
     filters = sorted(
         {

@@ -124,3 +124,32 @@ def test_train_empty_corpus_raises(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         train_cluster_centroids(emb, 4)
+
+
+def test_keywords_duplicate_assignment_resolves_to_min_cluster(spark):
+    """A doc assigned to multiple clusters violates the one-row-per-doc
+    contract; the guard must resolve it DETERMINISTICALLY (min cluster)
+    rather than keep a partition-order-dependent row (regression:
+    dropDuplicates could pick either run to run)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta common"), (1, "alpha gamma common"),
+         (2, "delta epsilon common"), (3, "delta zeta common")],
+        "doc_id long, text string",
+    )
+    assign = spark.createDataFrame(
+        # doc 1 claimed by BOTH clusters (bad input) — min wins → 0
+        [(0, 0), (1, 0), (1, 1), (2, 1), (3, 1)],
+        "vec_id long, cluster int",
+    )
+    runs = [
+        {(r.cluster, r.term, r.cluster_df, r.score)
+         for r in cluster_keywords(assign, docs, min_cluster_df=1,
+                                   top_t=10).collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # doc 1 landed in cluster 0: alpha has cluster_df 2 there
+    alpha = [t for t in runs[0] if t[0] == 0 and t[1] == "alpha"]
+    assert alpha and alpha[0][2] == 2
+    # and cluster 1 never counts doc 1's terms (gamma absent from c1)
+    assert not [t for t in runs[0] if t[0] == 1 and t[1] == "gamma"]

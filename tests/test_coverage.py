@@ -74,3 +74,20 @@ def test_query_coverage_broadcasts_query_side(spark, animal_index):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_empty_patch_token_counts_as_oov(spark, animal_index):
+    """The '' vocab-patch row (df=0, NO postings) must still be
+    reported OOV: pre-tokenized queries can carry the empty-fallback
+    token (regression: term_stats membership without the df>0 guard
+    treated '' as in-vocab)."""
+    qdf = spark.createDataFrame(
+        [("q_empty", [""]), ("q_mix", ["cat", ""])],
+        "query_id string, text array<string>",
+    )
+    got = {r["query_id"]: r
+           for r in query_coverage(animal_index, qdf).collect()}
+    e = got["q_empty"]
+    assert (e["n_oov_terms"], e["n_candidate_docs"], e["zero_hit"]) == (1, 0, 1)
+    m = got["q_mix"]
+    assert m["n_oov_terms"] == 1 and m["n_candidate_docs"] == 1

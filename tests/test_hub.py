@@ -163,3 +163,33 @@ def test_tokenizer_hub_with_vocab_table(spark, tmp_path):
     spec, vdf = load_tokenizer_from_hub(spark, "alice/tok-v", hub)
     assert spec == idx.tokenizer_kwargs
     assert vdf is not None and vdf.count() == vocab.count()
+
+
+def test_snapshot_download_reused_local_dir_is_exact(spark, tmp_path):
+    """Downloading a DIFFERENT revision into the same local_dir must
+    replace it wholesale: Spark part-file names are unique per write,
+    so a merge would leave both generations of parquet parts on disk
+    and spark.read.parquet would read doubled postings (regression)."""
+    small = transcripts_df(spark, "t1", seed=74)
+    big = transcripts_df(spark, "t2", seed=74)
+    idx_small = SparkBM25(method="lucene").index(small)
+    idx_big = SparkBM25(method="lucene").index(big)
+
+    hub = LocalHubClient(str(tmp_path / "hub"))
+    c1 = save_index_to_hub(idx_big, "carol/swap", hub, commit_message="big")
+    c2 = save_index_to_hub(idx_small, "carol/swap", hub,
+                           commit_message="small")
+    assert c1 != c2
+
+    local = str(tmp_path / "local_copy")
+    got_big = load_index_from_hub(spark, "carol/swap", hub, revision=c1,
+                                  local_dir=local)
+    assert got_big.num_docs == idx_big.num_docs
+    n_postings_big = got_big.postings.count()
+    assert n_postings_big == idx_big.postings.count()
+
+    # re-download the OTHER revision into the SAME dir: no stale parts
+    got_small = load_index_from_hub(spark, "carol/swap", hub, revision=c2,
+                                    local_dir=local)
+    assert got_small.num_docs == idx_small.num_docs
+    assert got_small.postings.count() == idx_small.postings.count()

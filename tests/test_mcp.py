@@ -127,3 +127,24 @@ def test_reference_tools_over_real_index(spark, tmp_path):
     assert body.count("Rank ") == 3
     # doc text came from the saved doc_map join
     assert "doc_id=" not in body
+
+
+def test_notifications_never_get_responses_even_on_error():
+    """JSON-RPC 2.0: a notification (no id) MUST NOT receive a response
+    — including error responses for an unknown tool or a bad argument
+    shape (regression: these branches returned id:null errors)."""
+    s = _mk()
+    # unknown tool as a notification → silence
+    assert s.handle({"jsonrpc": "2.0", "method": "tools/call",
+                     "params": {"name": "nope"}}) is None
+    # bad argument shape as a notification → silence
+    assert s.handle({"jsonrpc": "2.0", "method": "tools/call",
+                     "params": {"name": "echo",
+                                "arguments": {"bogus": 1}}}) is None
+    # a tools/call notification that works also stays silent
+    assert s.handle({"jsonrpc": "2.0", "method": "tools/call",
+                     "params": {"name": "echo",
+                                "arguments": {"text": "hi"}}}) is None
+    # the same shapes WITH an id still get their error responses
+    r = s.handle(_req("tools/call", msg_id=7, name="nope"))
+    assert r["id"] == 7 and "error" in r

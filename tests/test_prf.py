@@ -230,3 +230,46 @@ def test_prf_delta_above_cap_skips_in_list(spark, index, monkeypatch):
     got = {(r["query_id"], r["doc_id"]): round(r["score"], 9)
            for r in uncapped.collect()}
     assert got == baseline
+
+
+def test_prf_delta_empty_expansion_short_circuits(spark, index):
+    """An all-OOV batch mines nothing: the delta path must return the
+    round-1 scores without executing the round-2 postings pass
+    (regression: an empty broadcast join still scanned every posting).
+    With padding, each query still gets k nnoc-scored rows."""
+    qdf = spark.createDataFrame(
+        [("q1", "zzznope"), ("q2", "qqqnada")],
+        "query_id string, text string",
+    )
+    k = 3
+    got = prf_retrieve(index, qdf, k=k, feedback_docs=3,
+                       expansion_terms=2, rescore="delta").collect()
+    # both queries fully OOV → padded zero-score rows, k per query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"q1", "q2"}
+    for rows in by_q.values():
+        assert len(rows) == k
+        assert all(r["score"] == 0.0 for r in rows)
+    # and it matches the full path exactly
+    full = prf_retrieve(index, qdf, k=k, feedback_docs=3,
+                        expansion_terms=2, rescore="full").collect()
+    assert sorted((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                  for r in got) == \
+           sorted((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                  for r in full)
+
+
+def test_prf_delta_empty_expansion_plan_has_no_postings_scan(spark, index):
+    """The short-circuited plan must not reference the round-2 postings
+    join at all — prf_score_delta with zero mined terms is round-1 only."""
+    from bm25s_spark.operators.prf import prf_score_delta
+
+    qdf = spark.createDataFrame(
+        [("q1", "zzznope")], "query_id string, text string"
+    )
+    out = prf_score_delta(index, qdf, feedback_docs=2, expansion_terms=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the delta leg's full_outer join is absent from the lineage
+    assert "full_outer" not in plan.lower().replace("fullouter", "full_outer")

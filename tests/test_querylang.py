@@ -414,3 +414,47 @@ def test_probe_clauses_matches_standalone_parses(spark):
     assert len([f for f in filters if f.query_id == "q4"]) == 1
     assert len([r for r in ranges if r.query_id == "q4"]) == 1
     assert len([e for e in exps if e.query_id == "q4"]) == 2
+
+
+def test_range_probe_mixed_open_bounds_same_field(spark, idx):
+    """Two range clauses on the SAME field where one has an open '*'
+    bound: the probe's dedup sort must not compare None against str
+    (regression: TypeError in sorted() on the _RangeClause set)."""
+    from bm25s_spark.operators.querylang import _probe_clauses
+
+    qdf = _q(spark, "spark ts:[* to 5] ts:[2 to *]")
+    unq = qdf.select(
+        F.col("query_id").alias("_qid"), F.lower("text").alias("_lt")
+    ).select(
+        "_qid",
+        F.size(F.expr("regexp_extract_all(_lt, '\"([^\"]*)\"', 1)")
+               ).alias("_nph"),
+        F.regexp_replace("_lt", r'"[^"]*"', " ").alias("_t"),
+    )
+    ranges, _, _, _ = _probe_clauses(unq)  # must not raise
+    assert {(r.lo, r.hi) for r in ranges} == {(None, "5"), ("2", None)}
+    # and the end-to-end path composes the two as an intersection
+    meta = spark.createDataFrame(
+        [(i, i) for i in range(5)], "doc_id long, ts long"
+    )
+    got = retrieve_parsed(
+        idx, _q(spark, "spark ts:[* TO 5] ts:[2 TO *]"),
+        k=5, metadata_df=meta,
+    ).collect()
+    assert {r.doc_id for r in got} == {2}  # docs 0-2 contain spark; ts>=2
+
+
+def test_standalone_parsers_strip_range_clauses(spark):
+    """parse_filters / parse_expansions on RAW text must ignore range
+    operands — a timestamp operand like '00:10:00' is not an equality
+    filter, and 'foo~2' inside brackets is not a fuzzy clause
+    (regression: drift vs the probe, which always stripped first)."""
+    from bm25s_spark.operators.querylang import (
+        parse_expansions, parse_filters,
+    )
+
+    qdf = _q(spark, "scan ts:[2026-01-01 00:10:00 TO foo~2] role:user")
+    filters = parse_filters(qdf).collect()
+    assert {(f.field, f.value) for f in filters} == {("role", "user")}
+    exps = parse_expansions(qdf).collect()
+    assert exps == []
