@@ -173,7 +173,7 @@ class LocalHubClient:
         snap = os.path.join(self._repo_dir(repo_id), "commits", cid)
         if local_dir is None:
             return snap
-        if os.path.abspath(local_dir) != snap:
+        if os.path.abspath(local_dir) != os.path.abspath(snap):
             # local_dir becomes an EXACT copy of the snapshot: stale
             # files from a previously downloaded revision are removed
             # first.  Spark part-file names are unique per write, so a

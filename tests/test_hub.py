@@ -193,3 +193,25 @@ def test_snapshot_download_reused_local_dir_is_exact(spark, tmp_path):
                                     local_dir=local)
     assert got_small.num_docs == idx_small.num_docs
     assert got_small.postings.count() == idx_small.postings.count()
+
+
+def test_snapshot_download_local_dir_equal_to_snapshot_is_noop(tmp_path):
+    """Pointing local_dir AT the snapshot itself (via a relative hub
+    root) must be a no-op — the old abspath-vs-relative compare missed
+    the match and rmtree'd the snapshot before copying from it."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        hub = LocalHubClient("relhub")  # RELATIVE root
+        hub.create_repo("dana/idx")
+        src = str(tmp_path / "stage")
+        _write(src, "f.txt", "payload")
+        cid = hub.upload_folder("dana/idx", src)
+        snap_rel = os.path.join("relhub", "dana", "idx", "commits", cid)
+        out = hub.snapshot_download("dana/idx", revision=cid,
+                                    local_dir=snap_rel)
+        assert os.path.isfile(os.path.join(out, "f.txt"))
+        with open(os.path.join(snap_rel, "f.txt")) as f:
+            assert f.read() == "payload"
+    finally:
+        os.chdir(cwd)
