@@ -146,6 +146,31 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         sq.unpersist()
         del sq
 
+        # STEMMED builds, both engines, same window: the pandas engine
+        # stems every corpus occurrence inside the tokenizer UDF
+        # (memoized — each occurrence is a dict hit); the sql engine
+        # scans JVM-side and folds stemming into a vocab-sized pass
+        # (indexer.stem_tf — Python cost O(distinct terms), but two
+        # extra posting-sized exchanges).  Measured roughly break-even
+        # here; the sqlstem path exists for deployments where Python
+        # worker capacity is the constraint.  Exact-equality parity is
+        # pytest-pinned (test_sqlstem_build_exact_parity_realistic_vocab)
+        t = time.time()
+        st = build_index(corpus, order_cols=["conv_id", "turn_idx"],
+                         keep_doc_map=False, stemmer="english")
+        st.postings.count()
+        steps["index_build_stemmed"] = round(time.time() - t, 3)
+        st.unpersist()
+        del st
+        t = time.time()
+        ss = build_index(corpus, order_cols=["conv_id", "turn_idx"],
+                         keep_doc_map=False, stemmer="english",
+                         tokenizer_engine="sql")
+        ss.postings.count()
+        steps["index_build_sqlstem"] = round(time.time() - t, 3)
+        ss.unpersist()
+        del ss
+
         t = time.time()
         # shard size left at build_index's adaptive pick (~one kernel
         # task per core; 8192 → 26 shards at this 205k-doc corpus)

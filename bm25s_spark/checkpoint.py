@@ -187,7 +187,14 @@ def build_index_checkpointed(
 
     base = ck.stage("doc_ids", s_docs)
 
-    udf = make_tokenizer_udf(**tok_kwargs)
+    # sql engine + stemmer: JVM scan over SURFACE tokens, stemming folds
+    # into a vocab-sized stage (indexer.stem_tf) after TF — mirrors
+    # build_index; the fingerprint already distinguishes the spec
+    sql_stem = tokenizer_engine == "sql" and stemmer is not None
+    if sql_stem:
+        udf = make_tokenizer_udf(**dict(tok_kwargs, stemmer=None))
+    else:
+        udf = make_tokenizer_udf(**tok_kwargs)
 
     def s_tokenized():
         return base.select(
@@ -217,11 +224,14 @@ def build_index_checkpointed(
         sharded_stage = "sharded"
 
     def s_tf():
-        from bm25s_spark.indexer import narrow_tf
+        from bm25s_spark.indexer import narrow_tf, stem_tf
 
         # max(dl) is already known from the stats agg: skip the megadoc
         # union branch (double tokenized scan) when nothing needs it
-        return narrow_tf(tokenized, max_doc_len=int(agg["maxdl"] or 0))
+        t = narrow_tf(tokenized, max_doc_len=int(agg["maxdl"] or 0))
+        if sql_stem:
+            t = stem_tf(t, stemmer)
+        return t
 
     tf = ck.stage("tf", s_tf)
 

@@ -191,6 +191,56 @@ def narrow_tf(tokenized: DataFrame, tokens_col: str = "tokens",
     return narrow.unionByName(wide)
 
 
+def stem_tf(tf_surface: DataFrame, stemmer,
+            broadcast_max_terms: int = 2_000_000) -> DataFrame:
+    """Fold surface-form TF rows into stemmed-term TF rows.
+
+    Stemming is deterministic per token TYPE, so it never needs to run
+    per occurrence: stem the distinct surface terms once (a vocab-sized
+    pandas pass — the only Python in the whole build when the corpus
+    scan used the JVM tokenizer), then join the ``(surface, stem)`` map
+    back onto the TF table and re-aggregate ``(doc_id, stem)``.  Exactly
+    equal to stemming every occurrence: tf sums over the surface forms
+    of a stem, and ``dl`` is stem-invariant (stemming maps token→token
+    after the stopword filter, preserving count).
+
+    Scale shape: the map is checkpointed (it feeds one join; the stem
+    UDF runs once), counted, and broadcast only while its term count is
+    ≤ ``broadcast_max_terms`` — web-scale vocabularies (10⁸ surface
+    forms) fall back to a shuffle join, which AQE plans alongside the
+    groupBy's own posting-sized exchange.  The re-aggregation is
+    map-side combinable and bounded by the postings themselves.
+
+    MEASURED tradeoff (bench steps ``index_build_stemmed`` vs
+    ``index_build_sqlstem``, 205k docs / ~31k surface forms): the fold
+    is break-even to slightly SLOWER than the pandas engine's
+    per-occurrence stemming — the tokenizer UDF memoizes stems per
+    task, so each occurrence costs one dict hit, while the fold pays
+    two posting-sized exchanges (the distinct and the re-aggregation).
+    Choose this path when Python worker capacity is the constrained
+    resource (it removes Python from the corpus scan entirely; the
+    stem UDF touches only the vocab), not for single-host speed.
+    """
+    from bm25s_spark.tokenization import make_stem_udf
+    from bm25s_spark.util import eager_checkpoint
+
+    stem_udf = make_stem_udf(stemmer)
+    mapping = eager_checkpoint(
+        tf_surface.select("term").distinct().select(
+            "term", stem_udf(F.col("term")).alias("_stem")
+        ),
+        reliable=True,
+    )
+    m = F.broadcast(mapping) if mapping.count() <= broadcast_max_terms \
+        else mapping
+    return (
+        tf_surface.join(m, "term")
+        .select("doc_id", "dl", F.col("_stem").alias("term"), "tf")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+
+
 def build_index(
     docs: DataFrame,
     text_col: str = "text",
@@ -213,10 +263,15 @@ def build_index(
     ``(conv_id, turn_idx)`` — the transcripts doc-identity rule).
 
     ``tokenizer_engine="sql"`` tokenizes with pure JVM column
-    expressions (stemmer must be None) — same output as the default
-    Arrow-UDF path for ASCII/ordinary-Unicode text, no Python in the
-    corpus scan; the engine travels in ``tokenizer_kwargs`` so queries
-    tokenize identically at retrieve time.
+    expressions — same output as the default Arrow-UDF path for
+    ASCII/ordinary-Unicode text, no Python in the corpus scan; the
+    engine travels in ``tokenizer_kwargs`` so queries tokenize
+    identically at retrieve time.  WITH a stemmer, the corpus scan is
+    still pure-JVM (surface tokens) and stemming folds into a
+    vocab-sized pass (:func:`stem_tf` — Python cost O(distinct terms),
+    not O(corpus tokens); see its docstring for the measured tradeoff);
+    query batches stem through the pandas twin ``make_tokenizer_udf``
+    returns for this spec.
     """
     spark = docs.sparkSession
     tok_kwargs = dict(
@@ -234,7 +289,13 @@ def build_index(
     else:
         base = assign_doc_ids(docs, order_cols)
 
-    udf = make_tokenizer_udf(**tok_kwargs)
+    sql_stem = tokenizer_engine == "sql" and stemmer is not None
+    if sql_stem:
+        # JVM scan over SURFACE tokens; the stemmer spec stays in
+        # tok_kwargs (query side + stem_tf fold), but never in the scan
+        udf = make_tokenizer_udf(**dict(tok_kwargs, stemmer=None))
+    else:
+        udf = make_tokenizer_udf(**tok_kwargs)
     # persist: tokenization (the one Python stage) must run exactly once
     # even though three downstream branches (stats, TF, DF) consume it;
     # the checkpointed builder materializes this stage as a table instead
@@ -246,7 +307,8 @@ def build_index(
 
     doc_map = base if keep_doc_map else None
     return _index_from_tokenized(
-        spark, tokenized, doc_map, k1, b, delta, tok_kwargs
+        spark, tokenized, doc_map, k1, b, delta, tok_kwargs,
+        stem_with=stemmer if sql_stem else None,
     )
 
 
@@ -258,8 +320,15 @@ def _index_from_tokenized(
     b: float,
     delta: float,
     tok_kwargs: dict,
+    stem_with=None,
 ) -> BM25Index:
-    """Shared back half of the build: (doc_id, tokens) → BM25Index."""
+    """Shared back half of the build: (doc_id, tokens) → BM25Index.
+
+    ``stem_with``: stemmer spec when ``tokenized`` carries SURFACE
+    tokens that still need the vocab-sized stemming fold
+    (:func:`stem_tf` — the ``tokenizer_engine="sql"`` + stemmer path).
+    ``dl`` and the corpus scalars are stem-invariant, so they are
+    computed before the fold."""
     doc_lens = tokenized.select(
         "doc_id", F.size("tokens").alias("dl")
     ).persist()
@@ -275,6 +344,8 @@ def _index_from_tokenized(
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
     tf = narrow_tf(tokenized, max_doc_len=int(agg["maxdl"] or 0))
+    if stem_with is not None:
+        tf = stem_tf(tf, stem_with)
     return _index_from_tf(
         spark, tf, doc_lens, doc_map, num_docs, avgdl, k1, b, delta, tok_kwargs
     )

@@ -175,20 +175,22 @@ def make_tokenizer_udf(
     ``filter``) — no Python in the scan at all, whole-stage-codegen
     eligible.  Identical output for ASCII and ordinary Unicode text
     (Java's ``(?U)\\w`` vs Python's ``\\w`` differ only on exotic
-    categories: superscript digits and the like); stemming is not
-    expressible JVM-side, so ``engine="sql"`` with a stemmer raises.
+    categories: superscript digits and the like).
+
+    ``engine="sql"`` WITH a stemmer returns the pandas UDF (stemming is
+    not expressible as JVM column expressions): the spec is honored by
+    ``indexer.build_index``, which scans the corpus with the JVM
+    tokenizer and folds stemming into a vocab-sized pass
+    (:func:`bm25s_spark.indexer.stem_tf`); query batches — tiny next to
+    the corpus — take this exact pandas twin, so query tokens stem
+    identically to the build's vocab pass (same Snowball code).
+
     Both engines return a callable ``Column -> Column``, so the spec
     travels in ``tokenizer_kwargs`` and query-side tokenization always
-    matches the index's build-side engine.
+    matches the index's build-side semantics.
     """
     sw = resolve_stopwords(stopwords)
-    if engine == "sql":
-        if stemmer is not None:
-            raise ValueError(
-                "engine='sql' cannot stem (Snowball is not expressible "
-                "as JVM column expressions); use engine='pandas' or "
-                "stemmer=None"
-            )
+    if engine == "sql" and stemmer is None:
         jpattern = _sql_token_pattern(token_pattern)
         sw_sorted = sorted(sw)
 
@@ -206,7 +208,7 @@ def make_tokenizer_udf(
             return arr
 
         return sql_tokenize
-    if engine != "pandas":
+    if engine not in ("pandas", "sql"):
         raise ValueError(f"unknown tokenizer engine {engine!r}")
     pattern = token_pattern
     do_lower = lower
@@ -249,6 +251,34 @@ def tokenize(
     (functional ``bm25s.tokenize`` analog, returning a DataFrame)."""
     udf = make_tokenizer_udf(**udf_kwargs)
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def make_stem_udf(stemmer: str | Callable):
+    """``term:string -> stem:string`` pandas UDF over token *types*.
+
+    The building block of the vocab-sized stemming fold
+    (:func:`bm25s_spark.indexer.stem_tf`): stemming is deterministic per
+    token type, so it never needs to run per occurrence — this UDF is
+    applied to the distinct-term table (vocab-sized), not the corpus.
+    Same lazy-instantiation + memoization contract as the tokenizer UDF
+    (``stemmer`` is a picklable spec; the stemmer object is created per
+    executor task); ``""`` maps to ``""`` (the empty-fallback token)."""
+    spec = stemmer
+
+    def stem_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        stem_fn = load_stemmer(spec)
+        if stem_fn is None:
+            raise ValueError("make_stem_udf requires a stemmer spec")
+        cache: dict[str, str] = {"": ""}
+        for series in batches:
+            toks = series.fillna("").tolist()
+            missing = [t for t in set(toks) if t not in cache]
+            if missing:
+                for tok, st in zip(missing, stem_fn(missing)):
+                    cache[tok] = st
+            yield pd.Series([cache[t] for t in toks], index=series.index)
+
+    return F.pandas_udf(stem_iter, StringType())
 
 
 def make_hf_tokenizer_udf(tokenizer_loader: Callable[[], object],

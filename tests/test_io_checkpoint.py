@@ -186,3 +186,39 @@ def test_checkpointed_build_sql_tokenizer_engine(spark, tmp_path):
     rb = [(r.rank, r.doc_id, round(r.score, 9))
           for r in retrieve(b, qdf, k=4).orderBy("rank").collect()]
     assert ra == rb
+
+
+def test_checkpointed_sqlstem_matches_plain_build(spark, tmp_path):
+    """The checkpointed builder's sqlstem path (JVM surface scan + the
+    vocab-sized stem fold as part of the tf stage) produces the same
+    index as build_index with the same spec, and resumes cleanly."""
+    from bm25s_spark.indexer import build_index
+
+    tdf = transcripts_df(spark, "t2")
+    qdf = spark.createDataFrame(
+        queries_for(
+            [r["text"] for r in tdf.orderBy("conv_id", "turn_idx")
+             .select("text").collect()], 4, seed=31),
+        "query_id string, text string",
+    )
+    ckdir = str(tmp_path / "ck_sqlstem")
+    idx1, ck1 = build_index_checkpointed(
+        tdf, ckdir, corpus_tag="t2", docs_per_shard=512,
+        stemmer="english", tokenizer_engine="sql",
+    )
+    plain = build_index(tdf, order_cols=["conv_id", "turn_idx"],
+                        stemmer="english", tokenizer_engine="sql")
+    pa = sorted(tuple(r) for r in
+                plain.postings.select("term", "doc_id", "tf").collect())
+    pb = sorted(tuple(r) for r in
+                idx1.postings.select("term", "doc_id", "tf").collect())
+    assert pa == pb
+    r1 = _normalize(idx1.retrieve(qdf, k=5))
+    assert _normalize(plain.retrieve(qdf, k=5)) == r1
+    # resume reads every stage back
+    idx2, ck2 = build_index_checkpointed(
+        tdf, ckdir, corpus_tag="t2", docs_per_shard=512,
+        stemmer="english", tokenizer_engine="sql",
+    )
+    assert all(s.resumed for s in ck2.log)
+    assert _normalize(idx2.retrieve(qdf, k=5)) == r1

@@ -207,8 +207,6 @@ def test_sql_engine_build_retrieve_parity(spark):
     """An index built with tokenizer_engine='sql' retrieves the same
     ranks and scores as the pandas-UDF build, and the engine travels in
     tokenizer_kwargs so queries tokenize JVM-side too."""
-    import pytest as _pytest
-
     from bm25s_spark.indexer import build_index
     from bm25s_spark.retrieval import retrieve
     from bm25s_spark.transcripts import transcripts_df
@@ -228,7 +226,75 @@ def test_sql_engine_build_retrieve_parity(spark):
     rb = [(r.rank, r.doc_id, round(r.score, 9))
           for r in retrieve(b, qdf, k=4).orderBy("rank").collect()]
     assert ra == rb
-    # stemming is not expressible JVM-side
-    with _pytest.raises(ValueError, match="sql"):
-        build_index(tdf, order_cols=["conv_id", "turn_idx"],
-                    tokenizer_engine="sql", stemmer="english")
+
+
+def test_sqlstem_build_exact_parity_realistic_vocab(spark):
+    """tokenizer_engine='sql' WITH a stemmer (JVM corpus scan +
+    vocab-sized stemming fold, ``indexer.stem_tf``) must produce the
+    EXACT SAME index tables and retrieval as the pandas-stemmer build:
+    stemming is deterministic per token type, tf sums over the surface
+    forms of a stem, and dl is stem-invariant — so the fold is equality,
+    not approximation.  Run at realistic vocab scale (3,000 docs,
+    ~3,700 surface forms) so stem CONFLATION (several surface forms in
+    one doc sharing a stem → summed tf) is actually exercised."""
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.retrieval import retrieve
+    from tests.test_stemmer import _morph_corpus
+
+    docs, queries = _morph_corpus(n_docs=400, seed=23)
+    tdf = spark.createDataFrame(
+        [(f"c{i:04d}", 0, "user", t) for i, t in enumerate(docs)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    a = build_index(tdf, order_cols=["conv_id", "turn_idx"],
+                    stemmer="english")
+    b = build_index(tdf, order_cols=["conv_id", "turn_idx"],
+                    stemmer="english", tokenizer_engine="sql")
+    assert b.tokenizer_kwargs.get("engine") == "sql"
+    assert b.tokenizer_kwargs.get("stemmer") == "english"
+
+    ta = sorted((r.term, r.df) for r in
+                a.term_stats.select("term", "df").collect())
+    tb = sorted((r.term, r.df) for r in
+                b.term_stats.select("term", "df").collect())
+    assert ta == tb
+    cols = ["term", "doc_id", "tf", "dl", "impact_lucene", "impact_bm25l"]
+    pa = sorted(tuple(r) for r in a.postings.select(*cols).collect())
+    pb = sorted(tuple(r) for r in b.postings.select(*cols).collect())
+    assert pa == pb  # exact, including float64 impacts
+
+    # conflation actually happened (some doc holds 2+ surface forms of
+    # one stem), otherwise this test proves nothing about the tf fold
+    from bm25s_spark.tokenization import resolve_stopwords
+
+    stop = resolve_stopwords("en")
+    n_surface_pairs = sum(len(set(d.split()) - stop) for d in docs)
+    assert a.postings.count() < n_surface_pairs
+
+    qdf = spark.createDataFrame(queries[:8], "query_id string, text string")
+    ra = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+          for r in retrieve(a, qdf, k=5).collect()]
+    rb = [(r.query_id, r.rank, r.doc_id, round(r.score, 9))
+          for r in retrieve(b, qdf, k=5).collect()]
+    assert sorted(ra) == sorted(rb)
+
+
+def test_sqlstem_query_udf_is_pandas_twin(spark):
+    """make_tokenizer_udf(engine='sql', stemmer=...) returns the pandas
+    tokenizer (query-side twin of the sqlstem build) — same tokens as
+    the explicit pandas engine, stemming included."""
+    from pyspark.sql import functions as F
+
+    from bm25s_spark.tokenization import make_tokenizer_udf
+
+    df = spark.createDataFrame(
+        [(1, "Connected runners running quickly!"), (2, "the and of"),
+         (3, None), (4, "caresses ponies flies")],
+        "id int, text string",
+    )
+    u_sql = make_tokenizer_udf(engine="sql", stemmer="english")
+    u_pd = make_tokenizer_udf(engine="pandas", stemmer="english")
+    rows = df.select(
+        u_sql(F.col("text")).alias("a"), u_pd(F.col("text")).alias("b")
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows)
