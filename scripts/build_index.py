@@ -35,8 +35,8 @@ def main(argv=None):
     ap.add_argument("--tokenizer-engine", default="pandas",
                     choices=["pandas", "sql"],
                     help="sql: tokenize with pure JVM column expressions "
-                         "(no Python in the corpus scan; stemmer-less "
-                         "builds only)")
+                         "(no Python in the corpus scan; with --stemmer, "
+                         "stemming folds into a vocab-sized pass)")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"],
                     help="iceberg: --output is a catalog.db.name table prefix")
     args = ap.parse_args(argv)
