@@ -135,3 +135,54 @@ def test_components_match_union_find(spark):
             for r in duplicate_components(pairs).collect()
         }
         assert got == _components_oracle(edges), (seed, edges)
+
+
+def test_sqlstem_build_matches_pandas_randomized(spark):
+    """Seed-looped randomized corpora (empty docs, stopword-only docs,
+    ordinary Unicode, morphological suffixes, empty_fallback on/off):
+    the sqlstem build (JVM surface scan + indexer.stem_tf vocab fold)
+    must equal the pandas-stemmer build exactly — postings (term,
+    doc_id, tf, dl) and term_stats (term, df)."""
+    import random
+
+    from bm25s_spark.indexer import build_index
+
+    stems_pool = ["run", "connect", "caress", "walk", "über", "café",
+                  "pony", "fli", "happi", "gener"]
+    sufs = ["", "s", "ed", "ing", "er", "ers", "ation", "ly", "ness"]
+    stop = ["the", "a", "and", "of", "to", "is", "it"]
+    for seed in range(3):
+        rng = random.Random(400 + seed)
+        docs = []
+        for i in range(40):
+            r = rng.random()
+            if r < 0.08:
+                text = ""                       # empty doc
+            elif r < 0.16:
+                text = " ".join(rng.choices(stop, k=rng.randint(1, 4)))
+            else:
+                text = " ".join(
+                    rng.choice(stems_pool) + rng.choice(sufs)
+                    if rng.random() > 0.25 else rng.choice(stop)
+                    for _ in range(rng.randint(3, 20))
+                )
+            docs.append((f"c{i:03d}", 0, "user", text))
+        tdf = spark.createDataFrame(
+            docs, "conv_id string, turn_idx int, role string, text string"
+        )
+        for fb in (False, True):
+            a = build_index(tdf, order_cols=["conv_id", "turn_idx"],
+                            stemmer="english", empty_fallback=fb)
+            b = build_index(tdf, order_cols=["conv_id", "turn_idx"],
+                            stemmer="english", empty_fallback=fb,
+                            tokenizer_engine="sql")
+            pa = sorted(tuple(r) for r in a.postings.select(
+                "term", "doc_id", "tf", "dl").collect())
+            pb = sorted(tuple(r) for r in b.postings.select(
+                "term", "doc_id", "tf", "dl").collect())
+            assert pa == pb, (seed, fb)
+            ta = sorted((r.term, r.df) for r in
+                        a.term_stats.select("term", "df").collect())
+            tb = sorted((r.term, r.df) for r in
+                        b.term_stats.select("term", "df").collect())
+            assert ta == tb, (seed, fb)
