@@ -55,6 +55,7 @@ from bm25s_spark import scoring
 from bm25s_spark.indexer import IMPACT_COLS, NNOC_COLS, BM25Index
 from bm25s_spark.scoring import METHODS, METHODS_REQUIRING_NNOC, METHOD_SLUGS
 from bm25s_spark.retrieval import tokenize_queries
+from bm25s_spark.tokenization import make_local_tokenizer
 
 
 SHARD_SCHEMA_FIELDS = [
@@ -273,6 +274,71 @@ def _mask_shard_rows(weight_mask_df: DataFrame, docs_per_shard: int) -> DataFram
     )
 
 
+def _local_qstats(
+    index: BM25Index,
+    probe_pdf: pd.DataFrame,
+    query_id_col: str,
+    text_col: str,
+    local_tok,
+    nnoc_cols,
+) -> pd.DataFrame:
+    """Driver-side twin of the ``tokenize_queries ⨝ term_stats`` metadata
+    pull for a ≤chunk batch already resident as ``probe_pdf``.
+
+    Tokenization runs on the driver through the SAME pandas kernel the
+    distributed UDF wraps (``local_tok``; ``None`` means ``text_col`` is
+    pre-tokenized arrays, exploded verbatim — the distributed contract).
+    Only the per-term df lookup touches Spark: the batch's distinct
+    terms (bounded by chunk × query length) broadcast-join into the
+    vocab-sized ``term_stats`` — one JVM-only job, no Python workers, no
+    explode/groupBy shuffle.  Output columns/dtypes match the
+    distributed ``qstats.toPandas()`` frame: (query_id, term, mult, df
+    [, _nnoc]) with inner-join semantics (OOV terms and empty-token
+    queries drop here, exactly as the distributed join drops them)."""
+    if local_tok is not None:
+        token_lists = local_tok(probe_pdf[text_col])
+    else:
+        token_lists = probe_pdf[text_col]
+    qids: list = []
+    terms: list = []
+    for qid, toks in zip(probe_pdf[query_id_col], token_lists):
+        if toks is None:
+            continue
+        for t in toks:
+            qids.append(qid)
+            terms.append(t)
+    qt = pd.DataFrame({"query_id": qids, "term": terms})
+    if len(qt):
+        qt = (
+            qt.groupby(["query_id", "term"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "mult"})
+        )
+        qt["mult"] = qt["mult"].astype("int64")
+    else:
+        qt["mult"] = pd.Series([], dtype="int64")
+    distinct_terms = sorted(set(terms))
+    spark = index.spark
+    out_cols = ["query_id", "term", "mult", "df"] + (
+        ["_nnoc"] if nnoc_cols else []
+    )
+    if not distinct_terms:
+        stats = pd.DataFrame({"term": pd.Series([], dtype=object),
+                              "df": pd.Series([], dtype="int64")})
+        if nnoc_cols:
+            stats["_nnoc"] = pd.Series([], dtype="float64")
+        return qt.merge(stats, on="term", how="inner")[out_cols]
+    tdf = spark.createDataFrame(
+        [(t,) for t in distinct_terms], "term string"
+    )
+    stats = (
+        index.term_stats.join(F.broadcast(tdf), "term")
+        .select("term", "df", *nnoc_cols)
+        .toPandas()
+    )
+    return qt.merge(stats, on="term", how="inner")[out_cols]
+
+
 def retrieve_sharded(
     index: BM25Index,
     queries_df: DataFrame,
@@ -353,7 +419,6 @@ def retrieve_sharded(
     docs_per_shard = index.docs_per_shard
     qid_type = queries_df.schema[query_id_col].dataType
 
-    qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
     # a reference-format import (compat.import_bm25s) carries stored
     # per-term nnoc values but no (avgdl, dl) to recompute them from —
     # ride the stored column along the metadata pull instead
@@ -364,34 +429,65 @@ def retrieve_sharded(
     _nnoc_cols = (
         [F.col(NNOC_COLS[method]).alias("_nnoc")] if compat_nnoc else []
     )
-    qstats = (
-        qterms.join(
-            index.term_stats.select("term", "df", *_nnoc_cols), "term"
+    # batch-size probe doubling as the metadata pull: when the query
+    # tokenizer has a driver-local twin (the pandas engine — every
+    # config except stemmer-less "sql"), pull the ≤chunk+1 query rows
+    # themselves (one tiny Arrow job) — a ≤chunk batch then tokenizes
+    # ON THE DRIVER (milliseconds for a few thousand short strings,
+    # identical output by construction: make_local_tokenizer shares the
+    # UDF's kernel closure) and only the vocab-side df lookup runs as a
+    # Spark job (JVM-only broadcast semi-join into term_stats — no
+    # Python-worker round-trip, no explode/groupBy shuffle).  The limit
+    # bounds the probe to O(chunk) rows however big the batch is; row
+    # count over-approximates distinct ids, which can only push a
+    # duplicated-id batch onto the chunked path — correct either way
+    pretok = isinstance(queries_df.schema[text_col].dataType, ArrayType)
+    local_tok = (
+        None if pretok
+        else make_local_tokenizer(**index.tokenizer_kwargs)
+    )
+    probe_pdf = None
+    if pretok or local_tok is not None:
+        probe_pdf = (
+            queries_df.select(query_id_col, text_col)
+            .limit(query_chunk_size + 1)
+            .toPandas()
         )
-        .select("query_id", "term", "mult", "df",
-                *(["_nnoc"] if compat_nnoc else []))
-    )
-    # cheap batch-size probe on the *query* side only (no tokenization,
-    # no index scan) to pick the driver-memory strategy; the limit bounds
-    # the probe to O(chunk) rows however big the batch is.  Row count
-    # over-approximates distinct ids, which can only push a duplicated-id
-    # batch onto the chunked path — correct either way
-    n_q_probe = (
-        queries_df.select(query_id_col).limit(query_chunk_size + 1).count()
-    )
-    if n_q_probe <= query_chunk_size:
-        # Arrow toPandas, not collect(): the driver holds one compact
-        # columnar frame of (query_id, term, mult, df) — ~10× denser
-        # than per-row Python objects
-        qpdf = qstats.toPandas()
+        n_q_probe = len(probe_pdf)
+    else:
+        n_q_probe = (
+            queries_df.select(query_id_col).limit(query_chunk_size + 1).count()
+        )
+    qterms = None
+    if n_q_probe <= query_chunk_size and probe_pdf is not None:
+        qpdf = _local_qstats(
+            index, probe_pdf, query_id_col, text_col, local_tok,
+            _nnoc_cols,
+        )
         query_ids = sorted(pd.unique(qpdf["query_id"]).tolist())
     else:
-        qpdf = None
-        qstats = qstats.persist()
-        query_ids = [
-            r[0]
-            for r in qstats.select("query_id").distinct().orderBy("query_id").collect()
-        ]
+        qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
+        qstats = (
+            qterms.join(
+                index.term_stats.select("term", "df", *_nnoc_cols), "term"
+            )
+            .select("query_id", "term", "mult", "df",
+                    *(["_nnoc"] if compat_nnoc else []))
+        )
+        if n_q_probe <= query_chunk_size:
+            # Arrow toPandas, not collect(): the driver holds one compact
+            # columnar frame of (query_id, term, mult, df) — ~10× denser
+            # than per-row Python objects
+            qpdf = qstats.toPandas()
+            query_ids = sorted(pd.unique(qpdf["query_id"]).tolist())
+        else:
+            qpdf = None
+            qstats = qstats.persist()
+            query_ids = [
+                r[0]
+                for r in qstats.select("query_id").distinct()
+                .orderBy("query_id").collect()
+            ]
     slug = METHOD_SLUGS[method]
     # allow_negative (robertson idf unclamped) rides the cross-recompute
     # path: the stored float32 impacts are clamped, but tf/dl are kept
@@ -847,6 +943,24 @@ def retrieve_sharded(
     topk = topk.persist()
     from bm25s_spark.retrieval import _pad_to_k
 
+    if qterms is None:
+        # driver-local metadata branch: rebuild the tiny in-vocab
+        # (query_id, term, mult) relation from the chunk frame instead
+        # of re-tokenizing distributed.  Post-vocab-join qterms is
+        # equivalent for padding: _nnoc_per_query inner-joins term_stats
+        # anyway, and its consumers left-join + coalesce(nnoc_sum, 0)
+        qt_schema = StructType([
+            StructField("query_id", qid_type, False),
+            StructField("term", StringType(), False),
+            StructField("mult", LongType(), False),
+        ])
+        qterms = spark.createDataFrame(
+            [(q, t, int(m)) for q, t, m in zip(
+                qpdf["query_id"].tolist(), qpdf["term"].tolist(),
+                qpdf["mult"].tolist(),
+            )],
+            qt_schema,
+        )
     return _pad_to_k(
         index, queries_df, qterms, topk, k, method, idf_method, query_id_col,
         allow_negative,

@@ -216,29 +216,77 @@ def make_tokenizer_udf(
     stemmer_spec = stemmer
 
     def tokenize_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        stem_fn = load_stemmer(stemmer_spec)
-        stem_cache: dict[str, str] = {"": ""}
-
-        def finish(tokens: list[str]) -> list[str]:
-            if fallback and not tokens:
-                tokens = [""]
-            kept = [t for t in tokens if t not in sw]
-            if stem_fn is None:
-                return kept
-            missing = [t for t in set(kept) if t not in stem_cache]
-            if missing:
-                for tok, st in zip(missing, stem_fn(missing)):
-                    stem_cache[tok] = st
-            return [stem_cache[t] for t in kept]
-
+        run = _pandas_token_fn(pattern, do_lower, fallback, sw, stemmer_spec)
         for series in batches:
-            s = series.fillna("")
-            if do_lower:
-                s = s.str.lower()
-            found = s.str.findall(pattern)
-            yield found.map(finish)
+            yield run(series)
 
     return F.pandas_udf(tokenize_iter, ArrayType(StringType()))
+
+
+def _pandas_token_fn(pattern, do_lower, fallback, sw, stemmer_spec):
+    """The pandas tokenizer kernel — ``pd.Series[str] -> pd.Series[list]``.
+
+    ONE implementation shared by the Arrow UDF (executor-side) and
+    :func:`make_local_tokenizer` (driver-side), so the two are identical
+    by construction: lower → ``re`` findall → empty fallback → stopword
+    filter → memoized per-type stemming."""
+    stem_fn = load_stemmer(stemmer_spec)
+    stem_cache: dict[str, str] = {"": ""}
+
+    def finish(tokens: list[str]) -> list[str]:
+        if fallback and not tokens:
+            tokens = [""]
+        kept = [t for t in tokens if t not in sw]
+        if stem_fn is None:
+            return kept
+        missing = [t for t in set(kept) if t not in stem_cache]
+        if missing:
+            for tok, st in zip(missing, stem_fn(missing)):
+                stem_cache[tok] = st
+        return [stem_cache[t] for t in kept]
+
+    def run(series: pd.Series) -> pd.Series:
+        s = series.fillna("")
+        if do_lower:
+            s = s.str.lower()
+        found = s.str.findall(pattern)
+        return found.map(finish)
+
+    return run
+
+
+def make_local_tokenizer(
+    stopwords: str | Iterable[str] | None = "en",
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+    lower: bool = True,
+    stemmer: str | None = None,
+    empty_fallback: bool = False,
+    engine: str = "pandas",
+):
+    """Driver-local twin of :func:`make_tokenizer_udf` for query batches
+    already resident on the driver (``pd.Series[str] -> pd.Series[list]``).
+
+    The sharded retrieval path pulls each ≤chunk query batch to the
+    driver anyway (the kernel broadcast needs the metadata), so
+    tokenizing those few thousand short strings through a pandas UDF
+    costs a full Spark job + Python-worker round-trip for work the
+    driver does in milliseconds.  This returns the SAME kernel the UDF
+    wraps (:func:`_pandas_token_fn` — shared closure, parity by
+    construction) whenever the query-side tokenizer is the pandas path:
+    ``engine="pandas"``, or ``engine="sql"`` WITH a stemmer (where
+    :func:`make_tokenizer_udf` already returns the pandas twin for
+    queries).  Returns ``None`` for the stemmer-less ``engine="sql"``
+    configuration — there query tokenization is JVM column expressions,
+    and Python ``re`` differs on exotic Unicode categories, so the
+    caller must keep the distributed path to match the build's vocab."""
+    if engine == "sql" and stemmer is None:
+        return None
+    if engine not in ("pandas", "sql"):
+        raise ValueError(f"unknown tokenizer engine {engine!r}")
+    return _pandas_token_fn(
+        token_pattern, lower, empty_fallback,
+        resolve_stopwords(stopwords), stemmer,
+    )
 
 
 def tokenize(

@@ -298,3 +298,111 @@ def test_sqlstem_query_udf_is_pandas_twin(spark):
         u_sql(F.col("text")).alias("a"), u_pd(F.col("text")).alias("b")
     ).collect()
     assert all(r["a"] == r["b"] for r in rows)
+
+
+def test_local_tokenizer_matches_udf(spark):
+    """make_local_tokenizer returns the SAME kernel the Arrow UDF wraps
+    (shared closure) — verify the parity holds end-to-end over tricky
+    inputs: nulls, empties, stopword-only, repeats, unicode, stemming."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bm25s_spark.tokenization import make_local_tokenizer, make_tokenizer_udf
+
+    texts = [
+        "Connected runners running quickly!",
+        "the and of", "", None, "CAT cat Cat",
+        "naïve café résumé", "a1b2 3c4d _under_score_",
+        "ponies caresses flies dies agreed",
+    ]
+    for kw in ({}, {"stemmer": "english"},
+               {"stopwords": None, "lower": False},
+               {"empty_fallback": True}):
+        local = make_local_tokenizer(**kw)
+        got = local(pd.Series(texts)).tolist()
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        udf = make_tokenizer_udf(**kw)
+        want = [r[0] for r in df.select(udf(F.col("text"))).collect()]
+        assert got == want, kw
+
+
+def test_local_tokenizer_sql_engine_contract():
+    """Stemmer-less engine='sql' has no driver twin (JVM regex semantics
+    differ on exotic Unicode) → None; sql WITH stemmer returns the pandas
+    twin (the same one the query UDF uses); unknown engine raises."""
+    import pytest as _pytest
+
+    from bm25s_spark.tokenization import make_local_tokenizer
+
+    assert make_local_tokenizer(engine="sql") is None
+    assert make_local_tokenizer(engine="sql", stemmer="english") is not None
+    with _pytest.raises(ValueError):
+        make_local_tokenizer(engine="nope")
+
+
+def test_sharded_sql_engine_fallback_parity(spark):
+    """An engine='sql' stemmer-less index must keep DISTRIBUTED query
+    tokenization on the sharded path (local twin is None) and still
+    match the join strategy exactly."""
+    from pyspark.sql import functions as F
+
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.retrieval import retrieve
+    from bm25s_spark.transcripts import queries_for, transcripts_df
+
+    tdf = transcripts_df(spark, "t2")
+    texts = [r["text"] for r in
+             tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    queries = queries_for(texts, 12, seed=3)
+    idx = build_index(tdf, order_cols=["conv_id", "turn_idx"],
+                      tokenizer_engine="sql")
+    idx.docs_per_shard = 200
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    a = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 4))
+               for r in retrieve(idx, qdf, k=6, strategy="join").collect())
+    b = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 4))
+               for r in retrieve(idx, qdf, k=6, strategy="sharded").collect())
+    assert a == b
+
+
+def test_sharded_local_qstats_job_savings(spark):
+    """The ≤chunk sharded batch must not launch ANY Python-worker
+    (pandas UDF) stage for query tokenization: the driver twin handles
+    it, and the only query-metadata job is the JVM-side broadcast
+    semi-join into term_stats.  Guard via the executed plans."""
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.retrieval import retrieve
+    from bm25s_spark.transcripts import queries_for, transcripts_df
+
+    tdf = transcripts_df(spark, "t2")
+    texts = [r["text"] for r in
+             tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    idx = build_index(tdf, order_cols=["conv_id", "turn_idx"])
+    idx.docs_per_shard = 200
+    qdf = spark.createDataFrame(
+        queries_for(texts, 8, seed=5), "query_id string, text string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    rows = retrieve(idx, qdf, k=5, strategy="sharded").collect()
+    assert rows
+    # the retrieve above ran entirely without a distributed tokenize of
+    # the query batch; the structural guarantee is that tokenize_queries
+    # was never called on the small-batch path — assert by monkeypatch
+    import bm25s_spark.shards as shards_mod
+
+    called = {"n": 0}
+    orig = shards_mod.tokenize_queries
+
+    def spy(*a, **kw):
+        called["n"] += 1
+        return orig(*a, **kw)
+
+    shards_mod.tokenize_queries = spy
+    try:
+        rows2 = retrieve(idx, qdf, k=5, strategy="sharded").collect()
+    finally:
+        shards_mod.tokenize_queries = orig
+    assert called["n"] == 0
+    assert sorted((r.query_id, r.rank, r.doc_id) for r in rows) == \
+        sorted((r.query_id, r.rank, r.doc_id) for r in rows2)
