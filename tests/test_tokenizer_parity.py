@@ -344,8 +344,6 @@ def test_sharded_sql_engine_fallback_parity(spark):
     """An engine='sql' stemmer-less index must keep DISTRIBUTED query
     tokenization on the sharded path (local twin is None) and still
     match the join strategy exactly."""
-    from pyspark.sql import functions as F
-
     from bm25s_spark.indexer import build_index
     from bm25s_spark.retrieval import retrieve
     from bm25s_spark.transcripts import queries_for, transcripts_df
@@ -369,7 +367,7 @@ def test_sharded_local_qstats_job_savings(spark):
     """The ≤chunk sharded batch must not launch ANY Python-worker
     (pandas UDF) stage for query tokenization: the driver twin handles
     it, and the only query-metadata job is the JVM-side broadcast
-    semi-join into term_stats.  Guard via the executed plans."""
+    semi-join into term_stats."""
     from bm25s_spark.indexer import build_index
     from bm25s_spark.retrieval import retrieve
     from bm25s_spark.transcripts import queries_for, transcripts_df
@@ -382,8 +380,6 @@ def test_sharded_local_qstats_job_savings(spark):
     qdf = spark.createDataFrame(
         queries_for(texts, 8, seed=5), "query_id string, text string"
     )
-    tracker = spark.sparkContext.statusTracker()
-    before = set(tracker.getJobIdsForGroup(None) or [])
     rows = retrieve(idx, qdf, k=5, strategy="sharded").collect()
     assert rows
     # the retrieve above ran entirely without a distributed tokenize of
