@@ -295,6 +295,11 @@ def _local_qstats(
     distributed ``qstats.toPandas()`` frame: (query_id, term, mult, df
     [, _nnoc]) with inner-join semantics (OOV terms and empty-token
     queries drop here, exactly as the distributed join drops them)."""
+    if probe_pdf[query_id_col].isna().any():
+        raise ValueError(
+            f"null {query_id_col!r} in query batch — every query needs a "
+            "non-null id (results are keyed by it)"
+        )
     if local_tok is not None:
         token_lists = local_tok(probe_pdf[text_col])
     else:
@@ -305,9 +310,17 @@ def _local_qstats(
         if toks is None:
             continue
         for t in toks:
+            # a null element inside a pre-tokenized array: the
+            # distributed path explodes it to a null term row that the
+            # term_stats join then drops — dropping it here is the same
+            if t is None:
+                continue
             qids.append(qid)
             terms.append(t)
-    qt = pd.DataFrame({"query_id": qids, "term": terms})
+    qt = pd.DataFrame({
+        "query_id": pd.Series(qids, dtype=None if qids else object),
+        "term": pd.Series(terms, dtype=None if terms else object),
+    })
     if len(qt):
         qt = (
             qt.groupby(["query_id", "term"], as_index=False, sort=False)
@@ -440,7 +453,13 @@ def retrieve_sharded(
     # Python-worker round-trip, no explode/groupBy shuffle).  The limit
     # bounds the probe to O(chunk) rows however big the batch is; row
     # count over-approximates distinct ids, which can only push a
-    # duplicated-id batch onto the chunked path — correct either way
+    # duplicated-id batch onto the chunked path — correct either way.
+    # Deliberate tradeoff: a >chunk batch discards this one bounded
+    # pull (chunk+1 rows of query text) — the alternative, an id-only
+    # count first, would put a second Spark job back on every
+    # interactive ≤chunk batch, the exact cost this path removes.
+    # Callers with pathologically large per-query text (documents as
+    # queries) should lower query_chunk_size or pre-tokenize.
     pretok = isinstance(queries_df.schema[text_col].dataType, ArrayType)
     local_tok = (
         None if pretok

@@ -234,3 +234,66 @@ def test_build_index_sets_adaptive_shard_size(spark):
         idx.num_docs, spark.sparkContext.defaultParallelism
     )
     assert idx.docs_per_shard == expected
+
+
+def test_sharded_all_stopword_batch(spark):
+    """A small sharded batch whose queries all tokenize to nothing
+    (stopword-only / empty text) must return pad rows, not crash in the
+    driver-local metadata path (empty pandas frame dtype mismatch)."""
+    tdf = transcripts_df(spark, "t2")
+    engine = SparkBM25()
+    engine.index(tdf)
+    engine.index_.docs_per_shard = 300
+    qdf = spark.createDataFrame(
+        [("q1", "the and of"), ("q2", "")], "query_id string, text string"
+    )
+    rows = _rows(engine.retrieve(qdf, k=3, strategy="sharded"))
+    assert {r["query_id"] for r in rows} == {"q1", "q2"}
+    assert all(len([r for r in rows if r["query_id"] == q]) == 3
+               for q in ("q1", "q2"))
+
+
+def test_sharded_empty_query_batch(spark):
+    """An empty queries_df on the sharded path returns an empty result
+    frame (no crash on the zero-row driver-local probe)."""
+    tdf = transcripts_df(spark, "t2")
+    engine = SparkBM25()
+    engine.index(tdf)
+    engine.index_.docs_per_shard = 300
+    qdf = spark.createDataFrame([], "query_id string, text string")
+    assert engine.retrieve(qdf, k=3, strategy="sharded").count() == 0
+
+
+def test_sharded_pretokenized_null_token(spark):
+    """A null element inside a pre-tokenized query array is dropped
+    (the distributed explode→join path drops the null term row; the
+    driver-local path must match, not TypeError on sorted())."""
+    tdf = transcripts_df(spark, "t2")
+    engine = SparkBM25()
+    engine.index(tdf)
+    engine.index_.docs_per_shard = 300
+    texts = [r["text"] for r in
+             tdf.orderBy("conv_id", "turn_idx").select("text").collect()]
+    tok = texts[0].lower().split()[:3]
+    qdf = spark.createDataFrame(
+        [("q1", tok + [None]), ("q2", [None])],
+        "query_id string, text array<string>",
+    )
+    rows = _rows(engine.retrieve(qdf, k=3, strategy="sharded"))
+    assert {r["query_id"] for r in rows} == {"q1", "q2"}
+
+
+def test_sharded_null_query_id_rejected(spark):
+    """A null query_id on the driver-local path raises a clear
+    ValueError (results are keyed by query id; the distributed path
+    fails on the same input too, just less legibly)."""
+    tdf = transcripts_df(spark, "t2")
+    engine = SparkBM25()
+    engine.index(tdf)
+    engine.index_.docs_per_shard = 300
+    qdf = spark.createDataFrame(
+        [(None, "hello world"), ("q2", "hello")],
+        "query_id string, text string",
+    )
+    with pytest.raises(ValueError, match="null 'query_id'"):
+        engine.retrieve(qdf, k=3, strategy="sharded").collect()
