@@ -297,3 +297,47 @@ def test_sharded_null_query_id_rejected(spark):
     )
     with pytest.raises(ValueError, match="null 'query_id'"):
         engine.retrieve(qdf, k=3, strategy="sharded").collect()
+
+
+def test_local_qstats_equals_distributed_pull(spark):
+    """Frame-level parity: the driver-local metadata pull must produce
+    the EXACT (query_id, term, mult, df) relation the distributed
+    ``tokenize_queries ⨝ term_stats`` path yields — over messy text
+    (unicode, punctuation, stopword runs, repeats, empties, nulls)."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bm25s_spark.indexer import build_index
+    from bm25s_spark.retrieval import tokenize_queries
+    from bm25s_spark.shards import _local_qstats
+    from bm25s_spark.tokenization import make_local_tokenizer
+
+    tdf = transcripts_df(spark, "t2")
+    idx = build_index(tdf, order_cols=["conv_id", "turn_idx"])
+    texts = [r["text"] for r in tdf.limit(40).select("text").collect()]
+    rng = random.Random(11)
+    frags = [w for t in texts for w in t.split()][:300]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        words = [rng.choice(frags + ["the", "and", "naïve", "CAFÉ", "!!!",
+                                     "zzzqqqxxx", ""]) for _ in range(n)]
+        rows.append((f"q{i:03d}", " ".join(words)))
+    rows += [("qempty", ""), ("qnull", None), ("qstop", "the and of a")]
+    qdf = spark.createDataFrame(rows, "query_id string, text string")
+
+    qterms = tokenize_queries(idx, qdf, "query_id", "text")
+    dist = (
+        qterms.join(idx.term_stats.select("term", "df"), "term")
+        .select("query_id", "term", "mult", "df")
+        .toPandas()
+    )
+    local = _local_qstats(
+        idx, qdf.toPandas(), "query_id", "text",
+        make_local_tokenizer(**idx.tokenizer_kwargs), [],
+    )
+    key = lambda f: sorted(map(tuple, f[["query_id", "term", "mult", "df"]]
+                               .itertuples(index=False)))
+    assert key(local) == key(dist)
