@@ -195,6 +195,17 @@ def run_workload(cores: int, sf_dir: str) -> dict:
         steps["bm25_batch_sharded"] = round(time.time() - t, 3)
         qps = round(N_BATCH_QUERIES / max(steps["bm25_batch_sharded"], 1e-9), 2)
 
+        # interactive single-query latency on the sharded path (pad on —
+        # the full interactive contract): the ≤chunk fast path tokenizes
+        # the query on the driver, so the only pre-kernel Spark job is
+        # the vocab-side broadcast semi-join
+        t = time.time()
+        one = spark.createDataFrame(
+            entrymod.GATE_QUERIES[:1], "query_id string, text string"
+        )
+        idx.retrieve(one, k=10, strategy="sharded").collect()
+        steps["bm25_topk_1q_sharded"] = round(time.time() - t, 3)
+
         t = time.time()
         from bm25s_spark.operators.dedup import minhash_lsh_candidates
 
