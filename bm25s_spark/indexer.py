@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bm25s_spark import scoring
 from bm25s_spark.ids import assign_dense_ids, assign_doc_ids
@@ -105,6 +106,8 @@ class BM25Index:
     tokenizer_kwargs: dict = field(default_factory=dict)
     sharded: DataFrame | None = None   # blocked layout (see postings_blocks)
     docs_per_shard: int = 65536
+    # build-internal cached stages (tokenized, tf) — released by unpersist()
+    aux_persisted: list = field(default_factory=list)
 
     def persist(self) -> "BM25Index":
         self.postings = self.postings.persist()
@@ -113,7 +116,8 @@ class BM25Index:
         return self
 
     def unpersist(self) -> None:
-        for df in (self.postings, self.term_stats, self.doc_lens):
+        for df in (self.postings, self.term_stats, self.doc_lens,
+                   *self.aux_persisted):
             try:
                 df.unpersist()
             except Exception:
@@ -344,10 +348,17 @@ def _index_from_tokenized(
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
     tf = narrow_tf(tokenized, max_doc_len=int(agg["maxdl"] or 0))
+    aux = [tokenized]
     if stem_with is not None:
+        # the surface-form TF is consumed twice by the fold (distinct-term
+        # mapping + the re-aggregation join) — cache it so the explode
+        # runs once
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        aux.append(tf)
         tf = stem_tf(tf, stem_with)
     return _index_from_tf(
-        spark, tf, doc_lens, doc_map, num_docs, avgdl, k1, b, delta, tok_kwargs
+        spark, tf, doc_lens, doc_map, num_docs, avgdl, k1, b, delta,
+        tok_kwargs, aux_persisted=aux,
     )
 
 
@@ -363,12 +374,23 @@ def _index_from_tf(
     delta: float,
     tok_kwargs: dict,
     dfreq: DataFrame | None = None,
+    aux_persisted: list | None = None,
 ) -> BM25Index:
     """(doc_id, dl, term, tf) rows → the eager index tables.
 
     ``dfreq`` (term, df), when given, skips the posting-sized DF
     aggregation — :func:`merge_indexes` passes the vocab-sized sum of
     the sides' document frequencies instead."""
+    # cache the TF table: it is consumed by THREE separate jobs (the
+    # vocab range-partitioner's sample, the vocab id-assignment
+    # materialization, and the final postings join) — without the cache
+    # each of those re-runs the narrow explode over the whole corpus
+    # (measured ~3× the per-pass cost on the bench build).  Postings-
+    # sized but compact (4 narrow columns); MEMORY_AND_DISK spills at
+    # scale, and unpersist() releases it with the index.
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    aux_persisted = list(aux_persisted or [])
+    aux_persisted.append(tf)
     # DF per term: reference/bm25s/scoring.py:28-57 — map-side partial
     # aggregation bounds the shuffle at one row per term per partition
     if dfreq is None:
@@ -425,6 +447,7 @@ def _index_from_tf(
         docs_per_shard=auto_docs_per_shard(
             num_docs, spark.sparkContext.defaultParallelism
         ),
+        aux_persisted=aux_persisted,
     )
 
 

@@ -301,21 +301,27 @@ def prf_retrieve(
     expansion_terms: int = 3,
     method: str = "lucene",
     idf_method: str | None = None,
-    rescore: str = "full",
+    rescore: str | None = None,
     query_id_col: str = "query_id",
     text_col: str = "text",
     **retrieve_kwargs,
 ) -> DataFrame:
     """Two-stage PRF retrieval → (query_id, rank, doc_id, score).
 
-    ``rescore="full"`` (default): ``prf_expand`` then a normal
-    ``retrieve`` over the expanded pre-tokenized queries (any strategy /
-    extra flags pass through) — three postings passes.
-    ``rescore="delta"``: :func:`prf_score_delta` — round 2 scores only
-    the expansion terms and adds the retained round-1 scores; one fewer
-    full postings pass, same math up to FP summation order.  The delta
-    path is join-strategy-shaped; of the retrieve flags only ``pad`` is
-    honored (default True), everything else is rejected."""
+    ``rescore="delta"`` (the default when no retrieve pass-through flags
+    are given): :func:`prf_score_delta` — round 2 scores only the
+    expansion terms and adds the retained round-1 scores; one fewer
+    full postings pass than ``full``, same math up to FP summation
+    order.  The delta path is join-strategy-shaped; of the retrieve
+    flags only ``pad`` is honored (default True).
+    ``rescore="full"``: ``prf_expand`` then a normal ``retrieve`` over
+    the expanded pre-tokenized queries (any strategy / extra flags pass
+    through) — three postings passes.  Calls that pass retrieve flags
+    beyond ``pad`` default to ``full`` (delta rejects them)."""
+    if rescore is None:
+        # delta is the fast default; pass-through flags (strategy, etc.)
+        # need the full-rescore path
+        rescore = "delta" if set(retrieve_kwargs) <= {"pad"} else "full"
     if rescore not in ("full", "delta"):
         raise ValueError(f"rescore must be 'full' or 'delta', got {rescore!r}")
     if rescore == "delta":

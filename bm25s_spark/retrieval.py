@@ -50,7 +50,8 @@ from bm25s_spark.tokenization import make_tokenizer_udf
 
 def tokenize_queries(index: BM25Index, queries_df: DataFrame,
                      query_id_col: str = "query_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     localize_max: int = 4096) -> DataFrame:
     """queries(query_id, text) → (query_id, term, mult) using the *same*
     tokenizer configuration the index was built with (update_vocab=never:
     unseen terms simply won't join).
@@ -58,10 +59,57 @@ def tokenize_queries(index: BM25Index, queries_df: DataFrame,
     Pre-tokenized queries are accepted too (the reference's ``retrieve``
     takes token lists / ``Tokenized``, ``reference/bm25s/__init__.py:
     759-803``): if ``text_col`` is already ``array<string>`` it is
-    exploded verbatim, no tokenizer run."""
-    from pyspark.sql.types import ArrayType
+    exploded verbatim, no tokenizer run.
 
-    if isinstance(queries_df.schema[text_col].dataType, ArrayType):
+    Batches of ≤ ``localize_max`` queries tokenize ON THE DRIVER through
+    the same pandas kernel the distributed UDF wraps (identical output
+    by construction) and come back as a local relation: every broadcast
+    consumer of the result then builds from local rows instead of
+    re-running a Python-worker UDF sub-plan per consumer — interactive
+    batches save one UDF round-trip per broadcast build.  The probe is
+    one bounded ``limit(localize_max+1)`` Arrow pull; bigger batches (or
+    the stemmer-less JVM tokenizer config, whose query path must stay
+    JVM for regex-engine parity) keep the distributed plan.
+    ``localize_max=0`` disables the probe outright."""
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    pretok = isinstance(queries_df.schema[text_col].dataType, ArrayType)
+    local_tok = None
+    if not pretok:
+        from bm25s_spark.tokenization import make_local_tokenizer
+
+        local_tok = make_local_tokenizer(**index.tokenizer_kwargs)
+    if localize_max and (pretok or local_tok is not None):
+        probe = (
+            queries_df.select(query_id_col, text_col)
+            .limit(localize_max + 1)
+            .toPandas()
+        )
+        if len(probe) <= localize_max:
+            if local_tok is not None:
+                token_lists = local_tok(probe[text_col])
+            else:
+                token_lists = probe[text_col]
+            counts: dict = {}
+            for qid, toks in zip(probe[query_id_col], token_lists):
+                if toks is None:
+                    continue
+                if hasattr(qid, "item"):
+                    qid = qid.item()  # numpy scalar → Python for createDataFrame
+                for t in toks:
+                    # a null element in a pre-tokenized array explodes to
+                    # a null term row distributed — keep it for parity
+                    key = (qid, t)
+                    counts[key] = counts.get(key, 0) + 1
+            schema = StructType([
+                StructField("query_id", queries_df.schema[query_id_col].dataType, True),
+                StructField("term", StringType(), True),
+                StructField("mult", LongType(), False),
+            ])
+            return queries_df.sparkSession.createDataFrame(
+                [(q, t, int(m)) for (q, t), m in counts.items()], schema
+            )
+    if pretok:
         token_col = F.col(text_col)
     else:
         udf = make_tokenizer_udf(**index.tokenizer_kwargs)

@@ -485,7 +485,10 @@ def retrieve_sharded(
         )
         query_ids = sorted(pd.unique(qpdf["query_id"]).tolist())
     else:
-        qterms = tokenize_queries(index, queries_df, query_id_col, text_col)
+        # the batch is already known to exceed the chunk size — skip
+        # tokenize_queries' own driver-localization probe
+        qterms = tokenize_queries(index, queries_df, query_id_col, text_col,
+                                  localize_max=0)
         qstats = (
             qterms.join(
                 index.term_stats.select("term", "df", *_nnoc_cols), "term"
