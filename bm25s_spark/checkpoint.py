@@ -237,7 +237,10 @@ def build_index_checkpointed(
 
     def s_term_stats():
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        empty_row = spark.createDataFrame([("", 0)], "term string, df long")
+        empty_row = spark.range(1).select(
+        F.lit("").alias("term"), F.lit(0).cast("long").alias("df")
+    )  # JVM-native one-row relation: createDataFrame(rows) would put a
+    # Python-worker scan into every downstream postings/save plan
         vocab = dfreq.unionByName(empty_row).groupBy("term").agg(F.max("df").alias("df"))
         ts = assign_dense_ids(vocab, ["term"], "term_id")
         for m, col in NNOC_COLS.items():

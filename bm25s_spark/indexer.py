@@ -398,7 +398,10 @@ def _index_from_tf(
 
     # vocab with the empty-token patch (reference/bm25s/__init__.py:562-564):
     # "" joins the vocab (df=0 → contributes nothing, but OOV lookups hit it)
-    empty_row = spark.createDataFrame([("", 0)], "term string, df long")
+    empty_row = spark.range(1).select(
+        F.lit("").alias("term"), F.lit(0).cast("long").alias("df")
+    )  # JVM-native one-row relation: createDataFrame(rows) would put a
+    # Python-worker scan into every downstream postings/save plan
     # max() dedups against a real "" term (possible when empty_fallback
     # inserted "" into documents — its true df>0 wins over the patch's 0)
     vocab = (

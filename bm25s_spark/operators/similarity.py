@@ -429,9 +429,16 @@ def ivf_build_partitioned(
         "cell", F.element_at(_centroid_assign_udf(cent, 1)(F.col("cvec")), 1)
     )
     c_cells.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
-    cent_rows = [(i, [float(x) for x in cent[i]]) for i in range(cent.shape[0])]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
+    # Arrow path (pandas), NOT createDataFrame(rows): a pickled local
+    # relation executes through a Python-worker scan, which costs a flat
+    # ~3 s per consuming WRITE job in this runtime; the Arrow conversion
+    # yields a pure-JVM LocalTableScan (measured 0.14 s for this write)
+    cent_pdf = pd.DataFrame({
+        "cell": np.arange(cent.shape[0], dtype=np.int32),
+        "centroid": [cent[i].astype(np.float64) for i in range(cent.shape[0])],
+    })
+    spark.createDataFrame(cent_pdf).select(
+        F.col("cell").cast("int"), F.col("centroid").cast("array<double>")
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return cent
 
