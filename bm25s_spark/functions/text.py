@@ -251,17 +251,22 @@ def with_repetition(
          / F.greatest(n_toks, F.lit(1))).cast("double"),
     )
     for n in ngram_ns:
+        # the run-scan aggregate is the expensive expression here:
+        # materialize its struct ONCE and read fields from the alias —
+        # inlining `top[...]` per output column authored N copies of the
+        # whole aggregate into the plan (interpreted HOFs get no codegen
+        # CSE, so every copy executes; it also bloats optimizer time)
         df = df.withColumn(f"_g{n}", F.sort_array(_ngrams(F.col("_toks"), n)))
-        top = _top_run(F.col(f"_g{n}"))
+        df = df.withColumn(f"_top{n}", _top_run(F.col(f"_g{n}")))
         df = (
-            df.withColumn(f"top_{n}gram", top["best_val"])
-            .withColumn(f"top_{n}gram_cnt", top["best_cnt"])
+            df.withColumn(f"top_{n}gram", F.col(f"_top{n}")["best_val"])
+            .withColumn(f"top_{n}gram_cnt", F.col(f"_top{n}")["best_cnt"])
             .withColumn(
                 f"top_{n}gram_char_frac",
                 (F.col(f"top_{n}gram_cnt") * F.length(F.col(f"top_{n}gram"))
                  / doc_chars).cast("double"),
             )
-            .drop(f"_g{n}")
+            .drop(f"_g{n}", f"_top{n}")
         )
     return df.drop("_lines", "_dlines", "_toks")
 
@@ -391,11 +396,21 @@ def gopher_filter(
     c = F.col(text_col)
     df = with_repetition(df, text_col=text_col)
 
-    words = _ws_tokens(c)
-    lwords = _ws_tokens(F.lower(c))
+    # materialize the expensive per-row arrays ONCE as temp columns —
+    # authoring them inline put 3-4 copies of each regex split into the
+    # plan (one per consuming signal), and interpreted HOFs execute
+    # every copy; aliases referenced more than once are not re-inlined
+    # by the optimizer because they are non-cheap
+    df = (
+        df.withColumn("_gw", _ws_tokens(c))
+        .withColumn("_glw", _ws_tokens(F.lower(c)))
+        .withColumn("_gl", _lines(c))
+    )
+    words = F.col("_gw")
+    lwords = F.col("_glw")
+    lines = F.col("_gl")
     n_words = F.size(words)
     n_words1 = F.greatest(n_words, F.lit(1))
-    lines = _lines(c)
     n_lines1 = F.greatest(F.size(lines), F.lit(1))
 
     n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
@@ -421,6 +436,7 @@ def gopher_filter(
         .withColumn("ellipsis_end_frac", (n_ellipsis / n_lines1).cast("double"))
         .withColumn("alpha_word_frac", (n_alpha_words / n_words1).cast("double"))
         .withColumn("stop_word_hits", stop_hits)
+        .drop("_gw", "_glw", "_gl")
     )
     checks = {
         "word_count": (F.col("n_words") < min_words)
@@ -441,6 +457,20 @@ def gopher_filter(
         F.array(*[F.when(checks[r], F.lit(r)) for r in _GOPHER_RULES]),
         lambda x: x.isNotNull(),
     )
+    # `keep` carries a nondeterministic no-op conjunct
+    # (spark_partition_id() ≥ 0 is always true, so the VALUE is
+    # unchanged): a deterministic `keep` lets the optimizer substitute a
+    # caller's `.where("keep")` through the projection, duplicating the
+    # ENTIRE signal tree (every interpreted HOF above) into the pushed
+    # filter — measured 3× the per-row work and ~3× the optimizer/
+    # codegen time on the bench pass.  (rand()-based guards no longer
+    # work: Spark 4 range-folds comparisons against rand's [0,1) bounds.)
+    # Guide §4.4 fix applied to the one expensive composite, not blanket.
+    # Cost: predicates on gopher columns no longer reorder below this
+    # projection (they never reached the parquet scan anyway — derived
+    # columns don't push down).
     return df.withColumn("drop_reasons", reasons).withColumn(
-        "keep", F.size(F.col("drop_reasons")) == 0
+        "keep",
+        (F.spark_partition_id() >= F.lit(0))
+        & (F.size(F.col("drop_reasons")) == 0),
     )

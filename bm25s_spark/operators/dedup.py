@@ -152,7 +152,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{H-1}): min over shingles of H md5-derived
     hash functions — the standard MinHash estimator of Jaccard."""
-    sh = word_shingles(df, n, text_col, id_col)
+    from bm25s_spark.util import spread_small_scan
+
+    # H md5 hashes per shingle is per-row expensive: spread a
+    # low-parallelism input (e.g. one small parquet file) before it
+    sh = word_shingles(spread_small_scan(df), n, text_col, id_col)
     aggs = [
         F.min(_md5_hash64(F.col("shingle"), i)).alias(f"sig_{i}")
         for i in range(num_hashes)

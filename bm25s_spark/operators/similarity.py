@@ -81,13 +81,17 @@ def brute_force_knn(
     The query side is broadcast; the corpus scan is embarrassingly
     parallel and the only shuffle is the per-query top-k (bounded by
     queries × k after partial windowing)."""
+    from bm25s_spark.util import spread_small_scan
+
     q = query_df.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
-    c = emb_df.select(
+    # queries × dim multiply-adds per corpus row: spread a
+    # low-parallelism input (small single-file tables scan as one split)
+    c = spread_small_scan(emb_df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
-    )
+    ))
     cand = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("vec_id").isNotNull())

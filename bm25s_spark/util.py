@@ -5,6 +5,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a LOW-parallelism input up to the
+    session's default parallelism before per-row-expensive work.
+
+    A small single-file parquet table plans as one scan split, pinning
+    the whole downstream computation (shingle hashing, vector math) to
+    one core of the host (guide: input skew — repartition immediately
+    after the read).  At scale the scan already has ≥ parallelism
+    splits and this is a no-op, so the shuffle only ever moves
+    small-table bytes.  Purely physical: row content is unchanged, and
+    every caller's downstream aggregation is partition-order
+    insensitive."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur < target:
+        return df.repartition(target)
+    return df
+
+
 def eager_checkpoint(df: DataFrame, reliable: bool = True) -> DataFrame:
     """Materialize ``df`` now and TRUNCATE its lineage.
 
