@@ -25,18 +25,35 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataFrame:
+def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str,
+                     persisted_out: list | None = None) -> DataFrame:
     """Append ``id_col`` = rank of the row in the global ``order_cols``
     order (0-based, contiguous).  Requires ``order_cols`` to be a unique
     key.  Triggers one small job (per-partition counts); the returned
     DataFrame is persisted (MEMORY_AND_DISK) because its lineage contains
-    that job's partitioning."""
+    that job's partitioning.
+
+    The input is cached first (unless the caller already persisted it):
+    ``repartitionByRange`` needs a sampling pass over the child plan
+    BEFORE the exchange evaluates it, so an uncached input — often an
+    expensive derivation — would be computed twice.  The sampling pass
+    touches every partition, so it doubles as the cache's materializer
+    and the exchange then reads cached rows.  Caches created here are
+    appended to ``persisted_out`` (when given) so callers can release
+    them with their own lifecycle."""
     spark = df.sparkSession
+    src = df
+    if df.storageLevel == StorageLevel.NONE:
+        src = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(src)
     part = (
-        df.repartitionByRange(*order_cols)
+        src.repartitionByRange(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persisted_out is not None:
+        persisted_out.append(part)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     with_rn = part.withColumn("_rn", F.row_number().over(w))
     counts = {
@@ -56,10 +73,11 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str) -> DataF
     return out
 
 
-def assign_doc_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+def assign_doc_ids(df: DataFrame, order_cols: list[str] | None = None,
+                   persisted_out: list | None = None) -> DataFrame:
     """Doc identity rule for transcripts (FIXTURES.md §1): one document per
     turn, ``doc_id`` = rank under ``(conv_id, turn_idx)`` — the positional
     doc id of the reference's stably-ordered corpus (SURVEY.md §1.3)."""
     if order_cols is None:
         order_cols = ["conv_id", "turn_idx"]
-    return assign_dense_ids(df, order_cols, "doc_id")
+    return assign_dense_ids(df, order_cols, "doc_id", persisted_out)

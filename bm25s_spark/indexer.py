@@ -288,10 +288,11 @@ def build_index(
     if tokenizer_engine != "pandas":
         tok_kwargs["engine"] = tokenizer_engine
 
+    build_caches: list = []
     if doc_id_col is not None:
         base = docs.withColumn("doc_id", F.col(doc_id_col).cast("long"))
     else:
-        base = assign_doc_ids(docs, order_cols)
+        base = assign_doc_ids(docs, order_cols, persisted_out=build_caches)
 
     sql_stem = tokenizer_engine == "sql" and stemmer is not None
     if sql_stem:
@@ -313,6 +314,7 @@ def build_index(
     return _index_from_tokenized(
         spark, tokenized, doc_map, k1, b, delta, tok_kwargs,
         stem_with=stemmer if sql_stem else None,
+        aux_persisted=build_caches,
     )
 
 
@@ -325,6 +327,7 @@ def _index_from_tokenized(
     delta: float,
     tok_kwargs: dict,
     stem_with=None,
+    aux_persisted: list | None = None,
 ) -> BM25Index:
     """Shared back half of the build: (doc_id, tokens) → BM25Index.
 
@@ -348,7 +351,8 @@ def _index_from_tokenized(
     num_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
 
     tf = narrow_tf(tokenized, max_doc_len=int(agg["maxdl"] or 0))
-    aux = [tokenized]
+    aux = list(aux_persisted or [])
+    aux.append(tokenized)
     if stem_with is not None:
         # the surface-form TF is consumed twice by the fold (distinct-term
         # mapping + the re-aggregation join) — cache it so the explode
@@ -407,7 +411,8 @@ def _index_from_tf(
     vocab = (
         dfreq.unionByName(empty_row).groupBy("term").agg(F.max("df").alias("df"))
     )
-    term_stats = assign_dense_ids(vocab, ["term"], "term_id")
+    term_stats = assign_dense_ids(vocab, ["term"], "term_id",
+                                  persisted_out=aux_persisted)
     for m, col in NNOC_COLS.items():
         term_stats = term_stats.withColumn(
             col,

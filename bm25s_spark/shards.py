@@ -478,12 +478,22 @@ def retrieve_sharded(
             queries_df.select(query_id_col).limit(query_chunk_size + 1).count()
         )
     qterms = None
+    fold_pad = False
     if n_q_probe <= query_chunk_size and probe_pdf is not None:
         qpdf = _local_qstats(
             index, probe_pdf, query_id_col, text_col, local_tok,
             _nnoc_cols,
         )
-        query_ids = sorted(pd.unique(qpdf["query_id"]).tolist())
+        # the probe holds EVERY query id of the batch (all-OOV queries
+        # included, which the in-vocab qpdf drops) — keying the merge on
+        # the full id set lets the pad-candidate pool ride the kernel
+        # job (`fold_pad`) instead of a separate post-top-k union+window
+        # pass; ids absent from the kernel payload simply emit no
+        # candidate rows
+        query_ids = sorted(pd.unique(probe_pdf[query_id_col]).tolist())
+        # round_to (gate mode) keeps the classic post-top-k pad pass:
+        # its rounding/tie contract is pinned against the oracle there
+        fold_pad = pad and round_to is None
     else:
         # the batch is already known to exceed the chunk size — skip
         # tokenize_queries' own driver-localization probe
@@ -837,6 +847,29 @@ def retrieve_sharded(
         # single chunk: fully lazy (one job); the broadcast lives as
         # long as the returned plan does
         candidates, _bc = run_chunk(qpdf)
+        if fold_pad:
+            # pad folded INTO the kernel job: union the 2·k-lowest-doc
+            # pool (score 0 — the nnoc add below lifts pads to the same
+            # nnoc-floor value the reference's dense vector assigns
+            # unmatched docs) against every query BEFORE the final
+            # merge.  Equivalent to the post-top-k pad pass by rank
+            # algebra (topk(topk(R) ∪ P) = topk(R ∪ P) for rows pruned
+            # per query in the merge), and one whole job + window pass
+            # cheaper; matched pool docs keep their real score — the
+            # merge drops their pad twin.
+            pool = index.doc_lens.select("doc_id").orderBy("doc_id") \
+                .limit(2 * k)
+            pad_rows = (
+                F.broadcast(qid_df.select("q_idx")).crossJoin(pool)
+                .select(
+                    "q_idx", F.col("doc_id").cast("long").alias("doc_id"),
+                    F.lit(0.0).alias("score"),
+                    F.lit(True).alias("is_pad"),
+                )
+            )
+            candidates = candidates.withColumn(
+                "is_pad", F.lit(False)
+            ).unionByName(pad_rows)
     else:
         n_chunks = (len(query_ids) + query_chunk_size - 1) // query_chunk_size
         chunked = qstats.join(F.broadcast(qid_df), "query_id").withColumn(
@@ -935,6 +968,16 @@ def retrieve_sharded(
         # the reference's numpy top-k routine on the candidate set for tie
         # parity (reference/bm25s/selection.py:14-37): argpartition then
         # descending argsort of the k-partition
+        if "is_pad" in pdf.columns:
+            # folded pad rows: a doc with a real (kernel) candidate row
+            # keeps that row only — its pad twin is dropped here, the
+            # same per-(query, doc) exclusion the anti-join performed
+            isp = pdf["is_pad"].to_numpy()
+            if isp.any():
+                real_docs = pdf["doc_id"].to_numpy()[~isp]
+                drop = isp & pdf["doc_id"].isin(real_docs).to_numpy()
+                if drop.any():
+                    pdf = pdf[~drop]
         sc = pdf["score"].to_numpy()
         kk = min(k, sc.shape[0])
         if round_to is not None:
@@ -945,11 +988,13 @@ def retrieve_sharded(
             rs = np.round(sc, round_to)
             order = np.lexsort((pdf["doc_id"].to_numpy(), -rs))[:kk]
         else:
-            if kk < sc.shape[0]:
-                part = np.argpartition(sc, -kk)[-kk:]
-            else:
-                part = np.arange(sc.shape[0])
-            order = part[np.argsort(-sc[part], kind="stable")]
+            # deterministic (score desc, doc_id asc) — the documented
+            # tie contract.  The earlier argpartition+stable-argsort
+            # broke cross-shard ties by shuffle arrival order, so the
+            # folded-pad merge and the chunked/pad window could pick
+            # different members of an exact tie group; a full lexsort
+            # over the ≤ shards×k candidate sliver is just as cheap.
+            order = np.lexsort((pdf["doc_id"].to_numpy(), -sc))[:kk]
         return pd.DataFrame({
             "query_id": np.full(kk, key[0]),
             "rank": np.arange(1, kk + 1, dtype=np.int32),
@@ -959,7 +1004,9 @@ def retrieve_sharded(
 
     topk = merged.groupBy("query_id").applyInPandas(final_topk, final_schema)
 
-    if not pad:
+    if not pad or fold_pad:
+        # fold_pad already unioned the pad pool pre-merge: done in the
+        # kernel job, no post-top-k pass
         return topk
     # pad to exactly k rows/query (empty or sparse queries)
     topk = topk.persist()

@@ -266,9 +266,12 @@ def test_allow_negative_end_to_end(spark, ref_bm25s, monkeypatch):
 
 def test_padded_retrieve_plans_lazily(spark):
     """Padding no longer runs an eager count-probe inside retrieve():
-    constructing the padded plan must launch ZERO Spark jobs — the pad
-    candidates are unioned pre-window and the rank cut drops them at
-    action time (one job end-to-end instead of probe + persist + rank)."""
+    constructing the padded plan launches at most ONE Spark job — the
+    bounded driver-localization probe of tokenize_queries (a
+    ``limit(n+1)`` Arrow pull that replaces a Python-UDF sub-plan in
+    every downstream broadcast build).  The pad candidates are unioned
+    pre-window and the rank cut drops them at action time — no
+    count-probe, no persist, no rank job at construction."""
     tdf = transcripts_df(spark, "t1")
     engine = SparkBM25(method="bm25+")
     engine.index(tdf)
@@ -280,7 +283,7 @@ def test_padded_retrieve_plans_lazily(spark):
     try:
         df = engine.retrieve(qdf, k=3, pad=True)
         jobs = sc.statusTracker().getJobIdsForGroup("pad-lazy")
-        assert not jobs, f"plan construction launched jobs: {jobs}"
+        assert len(jobs) <= 1, f"plan construction launched jobs: {jobs}"
     finally:
         sc.setJobGroup("", "")
     rows = df.collect()
