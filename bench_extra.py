@@ -65,15 +65,26 @@ def main():
 
     steps = {}
 
+    if do_plans and (not args or "index_build" in args):
+        os.makedirs(PLANS_DIR, exist_ok=True)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        fresh = build_index(corpus, order_cols=["conv_id", "turn_idx"],
+                            keep_doc_map=False)
+        with open(os.path.join(PLANS_DIR, f"index_build{SUFFIX}.txt"), "w") as f:
+            f.write(fresh.postings._jdf.queryExecution().explainString(mode))
+        fresh.unpersist()
+
     def step(name, fn, plan_df_fn=None):
         if args and name not in args:
             return
         if do_plans and plan_df_fn is not None:
             df = plan_df_fn()
             os.makedirs(PLANS_DIR, exist_ok=True)
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+                .fromString("formatted")
             with open(os.path.join(PLANS_DIR, f"{name}{SUFFIX}.txt"), "w") as f:
-                f.write(df._sc is not None and "" or "")
-                f.write(df._jdf.queryExecution().explainString("formatted"))
+                f.write(df._jdf.queryExecution().explainString(mode))
         sc.setJobDescription(name)
         t = time.time()
         fn()
@@ -93,7 +104,8 @@ def main():
     one = spark.createDataFrame(entrymod.GATE_QUERIES[:1],
                                 "query_id string, text string")
     step("bm25_topk_1q_sharded",
-         lambda: idx.retrieve(one, k=10, strategy="sharded").collect())
+         lambda: idx.retrieve(one, k=10, strategy="sharded").collect(),
+         lambda: idx.retrieve(one, k=10, strategy="sharded"))
 
     from bm25s_spark.operators.dedup import minhash_lsh_candidates
     step("dedup_minhash_lsh",
@@ -135,7 +147,9 @@ def main():
     from bm25s_spark.operators.prf import prf_retrieve
     step("prf_8q",
          lambda: prf_retrieve(idx, qdf, k=10, feedback_docs=5,
-                              expansion_terms=3, pad=False).collect())
+                              expansion_terms=3, pad=False).collect(),
+         lambda: prf_retrieve(idx, qdf, k=10, feedback_docs=5,
+                              expansion_terms=3, pad=False))
     step("prf_delta_8q",
          lambda: prf_retrieve(idx, qdf, k=10, feedback_docs=5,
                               expansion_terms=3, rescore="delta",
@@ -149,31 +163,42 @@ def main():
             "doc_id", "ts")
         retrieve_with_decay(idx, qdf, ts_map, now="2026-01-08 00:00:00",
                             half_life_hours=24.0, k=10).collect()
-    step("recency_topk_8q", _recency)
+    def _recency_df():
+        ts_map = assign_doc_ids(corpus, ["conv_id", "turn_idx"]).select(
+            "doc_id", "ts")
+        return retrieve_with_decay(idx, qdf, ts_map,
+                                   now="2026-01-08 00:00:00",
+                                   half_life_hours=24.0, k=10)
+    step("recency_topk_8q", _recency, _recency_df)
 
     from bm25s_spark.operators.lm import with_lm_score
     corpus_docs = corpus.select(
         F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")
                     ).alias("doc_id"), "text")
-    step("lm_score_pass", lambda: with_lm_score(corpus_docs).count())
+    step("lm_score_pass", lambda: with_lm_score(corpus_docs).count(),
+         lambda: with_lm_score(corpus_docs))
 
     from bm25s_spark.operators.collocations import pmi_collocations
     step("pmi_collocations",
-         lambda: pmi_collocations(corpus, min_count=5, k=20).collect())
+         lambda: pmi_collocations(corpus, min_count=5, k=20).collect(),
+         lambda: pmi_collocations(corpus, min_count=5, k=20))
 
     from bm25s_spark.operators.phrase import phrase_topk
     pq = spark.createDataFrame(entrymod.PHRASE_QUERIES,
                                "query_id string, text string")
     step("phrase_topk_6q",
-         lambda: phrase_topk(corpus_docs, pq, k=10).collect())
+         lambda: phrase_topk(corpus_docs, pq, k=10).collect(),
+         lambda: phrase_topk(corpus_docs, pq, k=10))
 
     from bm25s_spark.operators.querylang import retrieve_parsed
     qlq = spark.createDataFrame(entrymod.QL_QUERIES,
                                 "query_id string, text string")
-    step("querylang_9q", lambda: retrieve_parsed(idx, qlq, k=10).collect())
+    step("querylang_9q", lambda: retrieve_parsed(idx, qlq, k=10).collect(),
+         lambda: retrieve_parsed(idx, qlq, k=10))
 
     from bm25s_spark.operators.qld import retrieve_qld
-    step("qld_topk_8q", lambda: retrieve_qld(idx, qdf, k=10).collect())
+    step("qld_topk_8q", lambda: retrieve_qld(idx, qdf, k=10).collect(),
+         lambda: retrieve_qld(idx, qdf, k=10))
 
     import tempfile
     from bm25s_spark.operators.similarity import (

@@ -101,11 +101,17 @@ def pmi_collocations(
         F.sum("pair_count").alias("c")
     )
     bi = bi_all.where(F.col("w2").isNotNull())
-    totals = bi.agg(F.sum("pair_count").alias("tb")).collect()[0]
+    # both totals in ONE aggregation job over the checkpointed pair
+    # table: tu sums every (w1, *) pair (each token occurs exactly once
+    # as w1 — the kept-tail construction), tb only real bigrams
+    totals = bi_all.agg(
+        F.sum("pair_count").alias("tu"),
+        F.sum(
+            F.when(F.col("w2").isNotNull(), F.col("pair_count"))
+        ).alias("tb"),
+    ).collect()[0]
     t_bi = float(totals["tb"] or 0.0)
-    t_uni = float(
-        uni.agg(F.sum("c").alias("tu")).collect()[0]["tu"] or 0.0
-    )
+    t_uni = float(totals["tu"] or 0.0)
 
     scored = (
         bi.filter(F.col("pair_count") >= min_count)

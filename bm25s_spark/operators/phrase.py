@@ -90,6 +90,91 @@ def _query_offsets(
     )
 
 
+def _prefilter_candidate_docs(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    text_col: str,
+    query_id_col: str,
+    phrase_col: str,
+    tok_kwargs: dict,
+    require_all: bool,
+    max_queries: int = 256,
+) -> DataFrame:
+    """Cheap JVM substring prefilter ahead of the positional tokenize.
+
+    ``positional_postings`` runs the Python tokenizer over EVERY corpus
+    row, but only docs containing the batch's query terms can survive
+    the downstream term join — a token present in the post-tokenize
+    stream is necessarily a substring of the lowercased raw text, so
+    ``instr(lower(text), term) > 0`` is a provable superset filter.
+    For a small driver-tokenizable batch this builds
+    OR_query(AND_term(contains)) (``require_all``: a phrase needs every
+    offset, so AND per query; proximity likewise) as pure codegen'd
+    column expressions, cutting the Python-boundary pass to candidate
+    rows.  Falls back to no filtering (returns ``docs``) for big/
+    non-local batches, a JVM-engine tokenizer spec, or ``lower=False``.
+    """
+    from pyspark.sql.types import ArrayType
+
+    from bm25s_spark.tokenization import make_local_tokenizer
+
+    if not tok_kwargs.get("lower", True):
+        return docs
+    pretok = isinstance(queries_df.schema[phrase_col].dataType, ArrayType)
+    local_tok = None
+    if not pretok:
+        try:
+            local_tok = make_local_tokenizer(**tok_kwargs)
+        except Exception:
+            return docs
+        if local_tok is None:  # stemmer-less JVM engine: stay distributed
+            return docs
+        # stemming maps tokens away from their surface form — a stemmed
+        # query token need not be a substring of the raw text
+        if tok_kwargs.get("stemmer") is not None:
+            return docs
+    elif tok_kwargs.get("stemmer") is not None:
+        return docs
+    import pandas as pd
+
+    probe = (
+        queries_df.select(phrase_col).limit(max_queries + 1).toPandas()
+    )
+    if len(probe) > max_queries:
+        return docs
+    if pretok:
+        token_lists = probe[phrase_col]
+    else:
+        token_lists = local_tok(probe[phrase_col])
+    per_query: list[list[str]] = []
+    for toks in token_lists:
+        terms = sorted({t for t in (toks if toks is not None else [])
+                        if t})
+        per_query.append(terms)
+    lowered = F.lower(F.col(text_col))
+    clauses = []
+    for terms in per_query:
+        if not terms:
+            continue  # empty phrase matches nothing — no clause needed
+        hits = [F.instr(lowered, F.lit(t)) > 0 for t in terms]
+        if require_all:
+            clause = hits[0]
+            for h in hits[1:]:
+                clause = clause & h
+        else:
+            clause = hits[0]
+            for h in hits[1:]:
+                clause = clause | h
+        clauses.append(clause)
+    if not clauses:
+        # no query carries any term: nothing can match downstream
+        return docs.where(F.lit(False))
+    cond = clauses[0]
+    for cl in clauses[1:]:
+        cond = cond | cl
+    return docs.where(cond)
+
+
 def phrase_match(
     docs: DataFrame,
     queries_df: DataFrame,
@@ -113,6 +198,9 @@ def phrase_match(
     kw = dict(stopwords=stopwords, stemmer=stemmer)
     if token_pattern is not None:
         kw["token_pattern"] = token_pattern
+    docs = _prefilter_candidate_docs(docs, queries_df, text_col,
+                                     query_id_col, phrase_col, kw,
+                                     require_all=True)
     pos = positional_postings(
         docs, text_col, id_col, stopwords, stemmer, token_pattern
     )
@@ -192,6 +280,9 @@ def proximity_match(
     kw = dict(stopwords=stopwords, stemmer=stemmer)
     if token_pattern is not None:
         kw["token_pattern"] = token_pattern
+    docs = _prefilter_candidate_docs(docs, queries_df, text_col,
+                                     query_id_col, phrase_col, kw,
+                                     require_all=True)
     pos = positional_postings(
         docs, text_col, id_col, stopwords, stemmer, token_pattern
     )
