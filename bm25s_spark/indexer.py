@@ -275,7 +275,13 @@ def build_index(
     vocab-sized pass (:func:`stem_tf` — Python cost O(distinct terms),
     not O(corpus tokens); see its docstring for the measured tradeoff);
     query batches stem through the pandas twin ``make_tokenizer_udf``
-    returns for this spec.
+    returns for this spec.  Engine asymmetry caveat for ``sql`` +
+    stemmer: the CORPUS tokenizes under Java regex, the QUERY side
+    under Python ``re`` (the pandas twin) — the engines differ on
+    exotic Unicode word characters (superscript digits and the like),
+    so corpus terms containing such characters can be unreachable from
+    text queries.  Stemmer-less ``sql`` keeps both sides JVM and has no
+    such asymmetry.
     """
     spark = docs.sparkSession
     tok_kwargs = dict(

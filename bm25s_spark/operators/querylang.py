@@ -251,8 +251,17 @@ _ExpandClause = namedtuple(
 )
 
 
-def _probe_clauses(unquoted: DataFrame):
+def _probe_clauses(unquoted: DataFrame, with_terms: bool = False):
     """All driver-side clause probes in ONE Spark job.
+
+    ``with_terms=True`` additionally extracts the term-operator tokens
+    (word/must/neg/boost — the ``parse_query_terms`` pre-tokenizer
+    stage) from the range/expansion/filter-stripped text, still through
+    Spark's own regex engine in the same probe job, and returns them as
+    a fifth element: one (query_id, word, must, neg, boost) tuple per
+    token occurrence, in text order.  The caller can then run the
+    engine tokenizer's driver-local twin over the words and skip the
+    distributed parse entirely.
 
     Equivalent to collecting ``parse_range_filters`` /
     ``parse_filters`` / ``parse_expansions`` separately (plus the
@@ -295,27 +304,53 @@ def _probe_clauses(unquoted: DataFrame):
             F.lit("1"),
         ).cast("double").alias("boost"),
     )
-    rows = (
+    tok = lambda t: F.struct(
+        F.regexp_extract(t, r"\w\w+", 0).alias("word"),
+        F.when(F.substring(t, 1, 1) == "+", 1).otherwise(0).alias("must"),
+        neg_of(t).alias("neg"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(t, r"\^(\d+(?:\.\d+)?)", 1), F.lit("")),
+            F.lit("1"),
+        ).cast("double").alias("boost"),
+    )
+    base = (
         unquoted
         .withColumn(
             "_rt", F.expr(f"regexp_extract_all(_t, '{_RANGE_RE_SQL}', 0)")
         )
         .withColumn("_t2", F.regexp_replace("_t", _RANGE_RE_PY, " "))
-        .select(
-            "_qid",
-            "_nph",
-            F.transform("_rt", rng).alias("_ranges"),
-            F.transform(
-                F.expr(f"regexp_extract_all(_t2, '{_FILTER_RE_SQL}', 0)"),
-                flt,
-            ).alias("_filters"),
-            F.transform(
-                F.expr(f"regexp_extract_all(_t2, '{_EXPAND_RE_SQL}', 0)"),
-                exp,
-            ).alias("_exps"),
-        )
-        .collect()
     )
+    sel = [
+        F.col("_qid"),
+        F.col("_nph"),
+        F.transform("_rt", rng).alias("_ranges"),
+        F.transform(
+            F.expr(f"regexp_extract_all(_t2, '{_FILTER_RE_SQL}', 0)"),
+            flt,
+        ).alias("_filters"),
+        F.transform(
+            F.expr(f"regexp_extract_all(_t2, '{_EXPAND_RE_SQL}', 0)"),
+            exp,
+        ).alias("_exps"),
+    ]
+    if with_terms:
+        # identical stripping order to retrieve_parsed's fallback path:
+        # expansions out first, then equality filters, then the token
+        # grammar — all in Spark's regex engine for exactness
+        base = base.withColumn(
+            "_t3",
+            F.regexp_replace(
+                F.regexp_replace("_t2", _EXPAND_RE_PY, " "),
+                r"[+\-]?\w\w+:\w\w+", " ",
+            ),
+        )
+        sel.append(
+            F.transform(
+                F.expr(f"regexp_extract_all(_t3, '{_TOKEN_RE_SQL}', 0)"),
+                tok,
+            ).alias("_toks")
+        )
+    rows = base.select(*sel).collect()
     ranges = sorted(
         {
             _RangeClause(r["_qid"], s["field"], s["lo"], s["hi"], s["neg"])
@@ -342,6 +377,13 @@ def _probe_clauses(unquoted: DataFrame):
         for s in r["_exps"]
     ]
     has_phrases = any(r["_nph"] > 0 for r in rows)
+    if with_terms:
+        term_toks = [
+            (r["_qid"], s["word"], s["must"], s["neg"], s["boost"])
+            for r in rows
+            for s in r["_toks"]
+        ]
+        return ranges, filters, exps, has_phrases, term_toks
     return ranges, filters, exps, has_phrases
 
 
@@ -435,8 +477,21 @@ def retrieve_parsed(
     # every batch-sized clause family — ranges (parsed and stripped
     # BEFORE the equality/term parses so bracket operands never leak
     # into the term bag), equality filters, wildcard/fuzzy expansions,
-    # phrase presence — resolves in ONE collected probe job
-    ranges, filters, exps, has_phrases = _probe_clauses(unquoted)
+    # phrase presence — resolves in ONE collected probe job.  When the
+    # engine tokenizer has a driver-local twin, the term-operator
+    # tokens ride the same probe (Java-regex extraction stays in
+    # Spark) and the parsed term bag becomes a local relation — the
+    # scoring plan's 4 broadcast consumers then build from local rows
+    # instead of re-running a Python-UDF parse sub-plan each
+    from bm25s_spark.tokenization import make_local_tokenizer
+
+    local_tok = make_local_tokenizer(**index.tokenizer_kwargs)
+    if local_tok is not None:
+        ranges, filters, exps, has_phrases, term_toks = _probe_clauses(
+            unquoted, with_terms=True
+        )
+    else:
+        ranges, filters, exps, has_phrases = _probe_clauses(unquoted)
     unquoted = unquoted.select(
         "_qid", F.regexp_replace("_t", _RANGE_RE_PY, " ").alias("_t")
     )
@@ -475,14 +530,53 @@ def retrieve_parsed(
                 f"'+' (must) is not supported on wildcard/fuzzy clauses: "
                 f"+{e.word}{'*' if e.wild else '~'}"
             )
-    stripped = unquoted.select(
-        "_qid",
-        F.regexp_replace(
-            F.regexp_replace("_t", _EXPAND_RE_PY, " "),
-            r"[+\-]?\w\w+:\w\w+", " ",
-        ).alias("_t"),
-    )
-    q = parse_query_terms(index, stripped, "_qid", "_t")
+    if local_tok is not None:
+        # driver-side twin of parse_query_terms: same aggregation
+        # semantics (boosts of positive occurrences add, must survives
+        # via max, a neg marking anywhere poisons the term) over the
+        # probe's Java-regex tokens, with the word→term step through
+        # the SAME pandas kernel the distributed UDF wraps
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StringType, StructField, StructType,
+        )
+
+        words = [w for (_q, w, _m, _n, _b) in term_toks]
+        token_lists = (
+            local_tok(pd.Series(words, dtype=object)) if words else []
+        )
+        qagg: dict = {}
+        for (qid, _w, must, neg, boost), terms in zip(term_toks,
+                                                      token_lists):
+            for term in terms:
+                a = qagg.setdefault((qid, term), [0.0, 0, 0])
+                if neg == 0:
+                    a[0] += boost
+                    a[1] = max(a[1], must)
+                a[2] = max(a[2], neg)
+        qrows = [
+            (qid, term, 0.0 if n == 1 else float(w),
+             0 if n == 1 else int(m), int(n))
+            for (qid, term), (w, m, n) in qagg.items()
+        ]
+        q_schema = StructType([
+            StructField("query_id",
+                        queries_df.schema[query_id_col].dataType, True),
+            StructField("term", StringType(), True),
+            StructField("weight", DoubleType(), False),
+            StructField("must", IntegerType(), False),
+            StructField("neg", IntegerType(), False),
+        ])
+        q = index.spark.createDataFrame(qrows, q_schema)
+    else:
+        stripped = unquoted.select(
+            "_qid",
+            F.regexp_replace(
+                F.regexp_replace("_t", _EXPAND_RE_PY, " "),
+                r"[+\-]?\w\w+:\w\w+", " ",
+            ).alias("_t"),
+        )
+        q = parse_query_terms(index, stripped, "_qid", "_t")
     extra_bags = []
     # phrase words join the should bag at weight 1 per occurrence
     # (through the INDEX tokenizer — scoring vocabulary)

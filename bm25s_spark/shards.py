@@ -398,6 +398,12 @@ def retrieve_sharded(
     ties doc_id-ascending, so the kernel's candidate cut agrees exactly
     with an oracle ranking on rounded scores.
 
+    ``query_chunk_size`` also bounds the driver-side batch-size probe:
+    the fast path pulls up to ``query_chunk_size + 1`` query rows —
+    ids AND text — to the driver, so with very large per-query text
+    (documents-as-queries) lower ``query_chunk_size`` or pre-tokenize
+    to keep that pull byte-bounded.
+
     ``query_chunk_size`` bounds the driver-side state per kernel pass:
     batches larger than this are streamed through the kernel in chunks —
     each chunk pulls *only its own* (query_id, term, mult, df) metadata

@@ -184,6 +184,10 @@ def make_tokenizer_udf(
     (:func:`bm25s_spark.indexer.stem_tf`); query batches — tiny next to
     the corpus — take this exact pandas twin, so query tokens stem
     identically to the build's vocab pass (same Snowball code).
+    NOTE: only the ``build_index`` entry points deliver the JVM-scan +
+    ``stem_tf`` combination — a direct caller of this factory (e.g. the
+    standalone :func:`tokenize` helper) requesting ``sql`` + stemmer
+    silently gets the pandas UDF in its scan, not the JVM engine.
 
     Both engines return a callable ``Column -> Column``, so the spec
     travels in ``tokenizer_kwargs`` and query-side tokenization always
