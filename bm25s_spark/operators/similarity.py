@@ -285,6 +285,23 @@ def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int,
     return cent
 
 
+def _assign_cells(x: np.ndarray, cent: np.ndarray,
+                  n_probe: int) -> list[np.ndarray]:
+    """Nearest-``n_probe`` centroid ids (cosine) per row of ``x`` —
+    the ONE assignment kernel, shared by the distributed UDF and the
+    driver-local query path so both produce identical cells."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sims = x @ cent.T
+    p = min(n_probe, cent.shape[0])
+    top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+    # order probes best-first (stable output)
+    rows = []
+    for i in range(top.shape[0]):
+        t = top[i]
+        rows.append(t[np.argsort(-sims[i, t])].astype(np.int32))
+    return rows
+
+
 def _centroid_assign_udf(centroids: np.ndarray, n_probe: int):
     """pandas UDF: embedding → the ``n_probe`` nearest centroid ids
     (cosine), via one Arrow-batched matmul against the broadcast
@@ -297,16 +314,7 @@ def _centroid_assign_udf(centroids: np.ndarray, n_probe: int):
                 yield pd.Series([], dtype=object)
                 continue
             x = np.array([np.asarray(v, dtype=np.float64) for v in s])
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sims = x @ cent.T
-            p = min(n_probe, cent.shape[0])
-            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
-            # order probes best-first (stable output)
-            rows = []
-            for i in range(top.shape[0]):
-                t = top[i]
-                rows.append(t[np.argsort(-sims[i, t])].astype(np.int32))
-            yield pd.Series(rows)
+            yield pd.Series(_assign_cells(x, cent, n_probe))
 
     return F.pandas_udf(assign, ArrayType(IntegerType()))
 
@@ -472,21 +480,53 @@ def ivf_knn_partitioned(
     q0 = query_df.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
-    # materialize the assignment once: the probe-cell collect AND the
-    # candidate join both consume it — unmaterialized, the query-side
-    # plan (incl. the centroid matmul UDF) would execute twice.  The
-    # cache is released before returning (checkpoint, then unpersist):
-    # a long-lived session calling this per batch must not accumulate
-    # one pinned dataset per call (the GC-overhead failure mode
-    # duplicate_components hit)
-    q_cells_cached = q0.withColumn(
-        "cells", _centroid_assign_udf(cent, n_probe)(F.col("qvec"))
-    ).select("query_id", "qvec", F.explode("cells").alias("cell")).persist()
-    probe_cells = sorted(
-        {r["cell"] for r in q_cells_cached.select("cell").distinct().collect()}
-    )
-    q_cells = _eager_checkpoint(q_cells_cached)
-    q_cells_cached.unpersist()
+    probe_pdf = q0.limit(4097).toPandas()
+    if len(probe_pdf) <= 4096:
+        # driver-local query assignment: the batch is already bounded
+        # (one Arrow pull) and the SAME numpy kernel the UDF wraps
+        # (_assign_cells) computes the probe cells — identical by
+        # construction.  This replaces three jobs (assignment persist,
+        # probe-cell collect, checkpoint) with zero: q_cells becomes a
+        # local relation the candidate join broadcasts directly.
+        if len(probe_pdf):
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in probe_pdf["qvec"]])
+            cell_lists = _assign_cells(x, cent, n_probe)
+        else:
+            cell_lists = []
+        probe_cells = sorted({int(c) for cs in cell_lists for c in cs})
+        from pyspark.sql.types import IntegerType as _Int, StructField, StructType
+
+        q_schema = StructType([
+            q0.schema["query_id"],
+            q0.schema["qvec"],
+            StructField("cell", _Int(), False),
+        ])
+        exploded = pd.DataFrame({
+            "query_id": [qid for qid, cs in
+                         zip(probe_pdf["query_id"], cell_lists)
+                         for _ in cs],
+            "qvec": [qv for qv, cs in
+                     zip(probe_pdf["qvec"], cell_lists) for _ in cs],
+            "cell": [int(c) for cs in cell_lists for c in cs],
+        })
+        q_cells = spark.createDataFrame(exploded, q_schema)
+    else:
+        # big batches keep the distributed assignment; materialize it
+        # once — the probe-cell collect AND the candidate join both
+        # consume it.  The cache is released before returning
+        # (checkpoint, then unpersist): a long-lived session calling
+        # this per batch must not accumulate one pinned dataset per
+        # call (the GC-overhead failure mode duplicate_components hit)
+        q_cells_cached = q0.withColumn(
+            "cells", _centroid_assign_udf(cent, n_probe)(F.col("qvec"))
+        ).select("query_id", "qvec", F.explode("cells").alias("cell")).persist()
+        probe_cells = sorted(
+            {r["cell"]
+             for r in q_cells_cached.select("cell").distinct().collect()}
+        )
+        q_cells = _eager_checkpoint(q_cells_cached)
+        q_cells_cached.unpersist()
     if probe_info is not None:
         probe_info["probe_cells"] = probe_cells
         probe_info["n_centroids"] = int(cent.shape[0])
