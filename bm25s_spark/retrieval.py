@@ -79,7 +79,8 @@ def tokenize_queries(index: BM25Index, queries_df: DataFrame,
         from bm25s_spark.tokenization import make_local_tokenizer
 
         local_tok = make_local_tokenizer(**index.tokenizer_kwargs)
-    if localize_max and (pretok or local_tok is not None):
+    if localize_max and not queries_df.isStreaming \
+            and (pretok or local_tok is not None):
         probe = (
             queries_df.select(query_id_col, text_col)
             .limit(localize_max + 1)
