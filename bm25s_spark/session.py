@@ -28,7 +28,7 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 32)
-    mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+    mem = os.environ.get("SPARK_DRIVER_MEM") or _default_driver_mem()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -62,6 +62,25 @@ def get_spark(
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark
+
+
+def _default_driver_mem() -> str:
+    """Default heap sized to the machine, not a constant: local mode
+    runs driver + executors in ONE JVM, so an 8 g heap on a large host
+    starves the block manager once build caches and shuffle state scale
+    up (observed: cache eviction/extra spill at 4× the bench corpus).
+    An eighth of physical RAM, clamped to [8g, 24g] — overridable via
+    $SPARK_DRIVER_MEM, and cluster deployments size executors
+    explicitly anyway."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(max(total_gb // 8, 8), 24)}g"
+    except OSError:
+        pass
+    return "8g"
 
 
 def _ship_package(spark: SparkSession) -> None:
