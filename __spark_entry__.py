@@ -741,7 +741,7 @@ def _gate_knn_conv_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = pooled.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    res = similarity.brute_force_knn(pooled, qv, k=5)
+    res = similarity.brute_force_knn(pooled, qv, k=5, round_to=4)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("int").alias("rank"),
@@ -1709,12 +1709,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_snippets"] = snippets_gate
 
     # ---- similarity search ----
+    # round_to=4 ranks on the ROUNDED cosine (the oracle's own order:
+    # round(...) feeds its row_number window), so a rounded tie group
+    # spanning the k boundary resolves by vec_id asc on both engines —
+    # at sf0.001 the unrounded Spark ranking picked different tie
+    # members than the oracle (pre-existing in round 5; fixed here)
     def knn_brute(spark, sf):
         emb = _embeddings(spark, sf)
         qv = emb.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding")
         )
-        res = similarity.brute_force_knn(emb, qv, k=5)
+        res = similarity.brute_force_knn(emb, qv, k=5, round_to=4)
         return res.select(
             F.col("query_id").cast("long").alias("query_id"),
             F.col("rank").cast("int").alias("rank"),
@@ -1737,7 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), F.col("embedding")
         )
         res = similarity.lsh_knn(
-            emb, qv, k=5, n_planes=4, n_tables=2, multiprobe=4
+            emb, qv, k=5, n_planes=4, n_tables=2, multiprobe=4,
+            round_to=4,
         )
         return res.select(
             F.col("query_id").cast("long").alias("query_id"),
@@ -1758,7 +1764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding")
         )
-        res = similarity.ivf_knn(emb, qv, k=5, n_centroids=16, n_probe=16)
+        res = similarity.ivf_knn(emb, qv, k=5, n_centroids=16, n_probe=16,
+                                 round_to=4)
         return res.select(
             F.col("query_id").cast("long").alias("query_id"),
             F.col("rank").cast("int").alias("rank"),

@@ -47,16 +47,26 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
     return df.withColumn(out, _dot(ac, bc) / (_norm(ac) * _norm(bc)))
 
 
-def _rescore_topk(cand: DataFrame, k: int) -> DataFrame:
+def _rescore_topk(cand: DataFrame, k: int,
+                  round_to: int | None = None) -> DataFrame:
     """Shared exact-rescore tail of every kNN variant: candidates
     carrying (query_id, qvec, vec_id, cvec) → exact double cosine →
     per-query window top-k with the (cosine desc, vec_id asc) tie
-    contract.  One definition so a tie/cast fix applies everywhere."""
+    contract.  One definition so a tie/cast fix applies everywhere.
+
+    ``round_to`` (gate-stability convention, as in ``retrieve``):
+    round the cosine BEFORE ranking so a rounded tie group spanning the
+    k boundary resolves by vec_id asc — exactly the order an oracle
+    ranking on rounded scores produces.  Without it, two docs whose
+    exact cosines differ in the last ULPs but round equal can be cut
+    differently by engines that rank at different precision."""
     scored = cand.withColumn(
         "cosine",
         (_dot(F.col("qvec"), F.col("cvec"))
          / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).cast("double"),
     )
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -75,6 +85,7 @@ def brute_force_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, vec_id, cosine).
 
@@ -96,7 +107,7 @@ def brute_force_knn(
         F.broadcast(q).crossJoin(c)
         .where(F.col("vec_id").isNotNull())
     )
-    return _rescore_topk(cand, k)
+    return _rescore_topk(cand, k, round_to)
 
 
 def mean_pool_embeddings(
@@ -202,6 +213,7 @@ def lsh_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: ``n_tables`` independent sign-bit hash
     tables (the standard recall lever — one table's bucketing is too
@@ -256,7 +268,7 @@ def lsh_knn(
         .select("query_id", "qvec", "vec_id", "cvec")
         .dropDuplicates(["query_id", "vec_id"])  # pairs can collide in several tables
     )
-    return _rescore_topk(cand, k)
+    return _rescore_topk(cand, k, round_to)
 
 
 def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int,
@@ -331,6 +343,7 @@ def ivf_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the classic coarse
     quantizer: k-means centroids partition the corpus into cells; each
@@ -372,7 +385,7 @@ def ivf_knn(
     cand = F.broadcast(q_cells).join(c_cells, "cell").select(
         "query_id", "qvec", "vec_id", "cvec"
     )
-    return _rescore_topk(cand, k)
+    return _rescore_topk(cand, k, round_to)
 
 
 def _arith_planes(dim: int, n_planes: int) -> np.ndarray:
@@ -464,6 +477,7 @@ def ivf_knn_partitioned(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     probe_info: dict | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Top-k over an ``ivf_build_partitioned`` layout with **partition
     pruning**: the union of all queries' probe cells (bounded:
@@ -538,7 +552,7 @@ def ivf_knn_partitioned(
     cand = F.broadcast(q_cells).join(corpus, "cell").select(
         "query_id", "qvec", "vec_id", "cvec"
     )
-    return _rescore_topk(cand, k)
+    return _rescore_topk(cand, k, round_to)
 
 
 def quantize_embeddings(
