@@ -242,7 +242,10 @@ def build_index_checkpointed(
     )  # JVM-native one-row relation: createDataFrame(rows) would put a
     # Python-worker scan into every downstream postings/save plan
         vocab = dfreq.unionByName(empty_row).groupBy("term").agg(F.max("df").alias("df"))
-        ts = assign_dense_ids(vocab, ["term"], "term_id")
+        from bm25s_spark.indexer import VOCAB_LOCALIZE_MAX
+
+        ts = assign_dense_ids(vocab, ["term"], "term_id",
+                              localize_max=VOCAB_LOCALIZE_MAX)
         for m, col in NNOC_COLS.items():
             ts = ts.withColumn(
                 col,

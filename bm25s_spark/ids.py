@@ -26,7 +26,8 @@ from pyspark.storagelevel import StorageLevel
 
 
 def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str,
-                     persisted_out: list | None = None) -> DataFrame:
+                     persisted_out: list | None = None,
+                     localize_max: int = 0) -> DataFrame:
     """Append ``id_col`` = rank of the row in the global ``order_cols``
     order (0-based, contiguous).  Requires ``order_cols`` to be a unique
     key.  Triggers one small job (per-partition counts); the returned
@@ -40,8 +41,35 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str,
     touches every partition, so it doubles as the cache's materializer
     and the exchange then reads cached rows.  Caches created here are
     appended to ``persisted_out`` (when given) so callers can release
-    them with their own lifecycle."""
+    them with their own lifecycle.
+
+    ``localize_max`` > 0 enables a driver-local fast path for NARROW
+    inputs bounded by it (e.g. the build's vocab table): one bounded
+    ``limit(localize_max+1)`` Arrow pull, a pandas sort (UTF-8 binary
+    string order ≡ Spark's, integer order identical), and a pure-JVM
+    local relation back — replacing the range-partitioner sample job,
+    the window, the counts collect and the offsets join with a single
+    job.  Only string/integer, null-free order columns qualify (other
+    types/NULLs keep Spark's ordering authority); oversized inputs pay
+    one discarded bounded pull and fall through to the distributed
+    path.  Callers must only enable this when a localized row (all
+    columns) is small — the pull is the whole row, not just the key."""
     spark = df.sparkSession
+    if localize_max and not df.isStreaming:
+        import pandas as pd
+
+        probe = df.limit(localize_max + 1).toPandas()
+        if len(probe) <= localize_max and _localizable(probe, order_cols):
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            out_pdf = probe.sort_values(
+                order_cols, kind="mergesort", ignore_index=True
+            )
+            out_pdf[id_col] = pd.RangeIndex(len(out_pdf)).astype("int64")
+            schema = StructType(
+                list(df.schema.fields) + [StructField(id_col, LongType(), False)]
+            )
+            return spark.createDataFrame(out_pdf, schema=schema)
     src = df
     if df.storageLevel == StorageLevel.NONE:
         src = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -64,13 +92,34 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str,
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    offset_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    from bm25s_spark.util import local_relation
+
+    offset_df = local_relation(spark, offsets, "_pid int, _offset long")
     out = (
         with_rn.join(F.broadcast(offset_df), "_pid")
         .withColumn(id_col, (F.col("_offset") + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
     return out
+
+
+def _localizable(pdf, order_cols: list[str]) -> bool:
+    """True when pandas ordering of ``order_cols`` provably matches
+    Spark's: string (Python str — code-point order ≡ UTF-8 binary) or
+    integer dtypes, no NULLs.  Anything else (floats/NaN, timestamps,
+    mixed object columns) keeps the distributed path."""
+    import numpy as np
+
+    for c in order_cols:
+        s = pdf[c]
+        if s.isna().any():
+            return False
+        if np.issubdtype(s.dtype, np.integer):
+            continue
+        if s.dtype == object and all(isinstance(v, str) for v in s):
+            continue
+        return False
+    return True
 
 
 def assign_doc_ids(df: DataFrame, order_cols: list[str] | None = None,

@@ -153,8 +153,10 @@ def save_index_iceberg(index: BM25Index, prefix: str,
 
     spark = index.spark
     params_rows = [(k, json.dumps(v)) for k, v in _params_dict(index).items()]
+    from bm25s_spark.util import local_relation
+
     _iceberg_write(
-        spark.createDataFrame(params_rows, "key string, value string"),
+        local_relation(spark, params_rows, "key string, value string"),
         f"{prefix}_params",
     )
     _iceberg_write(index.term_stats, f"{prefix}_term_stats")

@@ -63,6 +63,11 @@ NNOC_COLS = {m: f"nnoc_{METHOD_SLUGS[m]}" for m in scoring.METHODS_REQUIRING_NNO
 SHARD_SIZE_FLOOR = 4096
 SHARD_SIZE_CAP = 65536
 
+# assign_dense_ids localize cap for the vocab table (term, df): ≤1M
+# terms (~tens of MB) assign term_ids on the driver in one bounded
+# Arrow pull; larger vocabularies keep the distributed range partitioner
+VOCAB_LOCALIZE_MAX = 1_000_000
+
 
 def auto_docs_per_shard(num_docs: int, parallelism: int,
                         floor: int = SHARD_SIZE_FLOOR,
@@ -417,8 +422,13 @@ def _index_from_tf(
     vocab = (
         dfreq.unionByName(empty_row).groupBy("term").agg(F.max("df").alias("df"))
     )
+    # vocab-sized and narrow (term, df): ids assign driver-locally up to
+    # VOCAB_LOCALIZE_MAX terms (one bounded Arrow pull + a pandas sort →
+    # pure-JVM local relation) instead of the 3-job range-partitioner
+    # path; web-scale vocabularies past the cap stay distributed
     term_stats = assign_dense_ids(vocab, ["term"], "term_id",
-                                  persisted_out=aux_persisted)
+                                  persisted_out=aux_persisted,
+                                  localize_max=VOCAB_LOCALIZE_MAX)
     for m, col in NNOC_COLS.items():
         term_stats = term_stats.withColumn(
             col,

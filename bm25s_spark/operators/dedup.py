@@ -484,7 +484,10 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
                 len(big_rows), max_bucket_size,
                 sum(r["_n"] for r in big_rows),
             )
-            big_df = chunks_cached.sparkSession.createDataFrame(
+            from bm25s_spark.util import local_relation
+
+            big_df = local_relation(
+                chunks_cached.sparkSession,
                 [(int(r["band"]), int(r["chunk"])) for r in big_rows],
                 "band int, chunk long",
             )

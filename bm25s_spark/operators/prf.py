@@ -240,7 +240,9 @@ def prf_score_delta(
             )
         return out
     spark = queries_df.sparkSession
-    eterms = spark.createDataFrame(erows, eterms_plan.schema)
+    from bm25s_spark.util import local_relation
+
+    eterms = local_relation(spark, erows, eterms_plan.schema)
 
     impact = _impact_col(index, method, idf_method)
     postings = index.postings

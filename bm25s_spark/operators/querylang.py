@@ -50,6 +50,7 @@ from bm25s_spark.indexer import BM25Index
 from bm25s_spark.retrieval import _impact_col, _nnoc_per_query
 from bm25s_spark.scoring import METHODS
 from bm25s_spark.tokenization import make_tokenizer_udf
+from bm25s_spark.util import local_relation
 
 # doubled backslashes: this literal goes through Spark SQL's string
 # parser (F.expr), which unescapes one level.  The boost suffix only
@@ -567,7 +568,7 @@ def retrieve_parsed(
             StructField("must", IntegerType(), False),
             StructField("neg", IntegerType(), False),
         ])
-        q = index.spark.createDataFrame(qrows, q_schema)
+        q = local_relation(index.spark, qrows, q_schema)
     else:
         stripped = unquoted.select(
             "_qid",
@@ -609,8 +610,8 @@ def retrieve_parsed(
         wild_rows = sorted((e.query_id, e.word, float(e.boost), int(e.neg))
                            for e in exps if e.wild)
         if wild_rows:
-            wdf = spark.createDataFrame(
-                wild_rows, ["query_id", "word", "boost", "neg"]
+            wdf = local_relation(
+                spark, wild_rows, ["query_id", "word", "boost", "neg"]
             )
             extra_bags.append(
                 F.broadcast(wdf)
@@ -622,8 +623,8 @@ def retrieve_parsed(
             frows = sorted((e.query_id, e.word, float(e.boost), int(e.neg))
                            for e in exps
                            if not e.wild and int(e.edits) == edits)
-            fdf = spark.createDataFrame(
-                frows, ["query_id", "word", "boost", "neg"]
+            fdf = local_relation(
+                spark, frows, ["query_id", "word", "boost", "neg"]
             )
             term, word = F.col("term"), F.col("word")
             fuzzy_ok = (
@@ -702,7 +703,8 @@ def retrieve_parsed(
             pos_rows = sorted({(f.query_id, f.value) for f in filters
                                if f.field == fld and not f.neg})
             if pos_rows:
-                posdf = spark.createDataFrame(pos_rows, ["query_id", "_req"])
+                posdf = local_relation(spark, pos_rows,
+                                       ["query_id", "_req"])
                 cand = (
                     cand.join(F.broadcast(posdf), "query_id", "left")
                     .where(
@@ -714,7 +716,7 @@ def retrieve_parsed(
             neg_rows = sorted({(f.query_id, f.value) for f in filters
                                if f.field == fld and f.neg})
             if neg_rows:
-                negdf = spark.createDataFrame(neg_rows, ["_nq", "_ban"])
+                negdf = local_relation(spark, neg_rows, ["_nq", "_ban"])
                 cand = cand.join(
                     F.broadcast(negdf),
                     (F.col("query_id") == F.col("_nq"))

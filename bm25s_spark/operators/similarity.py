@@ -740,7 +740,10 @@ def cosine_near_duplicates(
                 len(big_rows), max_bucket_size,
                 sum(r["_n"] for r in big_rows),
             )
-            big_df = chunks_cached.sparkSession.createDataFrame(
+            from bm25s_spark.util import local_relation
+
+            big_df = local_relation(
+                chunks_cached.sparkSession,
                 [(r["band"], r["chunk"]) for r in big_rows],
                 "band int, chunk int",
             )

@@ -107,8 +107,11 @@ def tokenize_queries(index: BM25Index, queries_df: DataFrame,
                 StructField("term", StringType(), True),
                 StructField("mult", LongType(), False),
             ])
-            return queries_df.sparkSession.createDataFrame(
-                [(q, t, int(m)) for (q, t), m in counts.items()], schema
+            from bm25s_spark.util import local_relation
+
+            return local_relation(
+                queries_df.sparkSession,
+                [(q, t, int(m)) for (q, t), m in counts.items()], schema,
             )
     if pretok:
         token_col = F.col(text_col)

@@ -56,6 +56,7 @@ from bm25s_spark.indexer import IMPACT_COLS, NNOC_COLS, BM25Index
 from bm25s_spark.scoring import METHODS, METHODS_REQUIRING_NNOC, METHOD_SLUGS
 from bm25s_spark.retrieval import tokenize_queries
 from bm25s_spark.tokenization import make_local_tokenizer
+from bm25s_spark.util import local_relation
 
 
 SHARD_SCHEMA_FIELDS = [
@@ -341,8 +342,8 @@ def _local_qstats(
         if nnoc_cols:
             stats["_nnoc"] = pd.Series([], dtype="float64")
         return qt.merge(stats, on="term", how="inner")[out_cols]
-    tdf = spark.createDataFrame(
-        [(t,) for t in distinct_terms], "term string"
+    tdf = local_relation(
+        spark, [(t,) for t in distinct_terms], "term string"
     )
     stats = (
         index.term_stats.join(F.broadcast(tdf), "term")
@@ -592,7 +593,9 @@ def retrieve_sharded(
         )
         # only shards containing query terms matter; prune with a
         # broadcast semi join on term before the scan-heavy kernel
-        terms_df = spark.createDataFrame([(t,) for t in per_term], "term string")
+        terms_df = local_relation(
+            spark, [(t,) for t in per_term], "term string"
+        )
         needed = base_needed.join(
             F.broadcast(terms_df), "term", "left_semi"
         ).withColumn("is_mask", F.lit(False))
@@ -810,8 +813,8 @@ def retrieve_sharded(
         StructField("q_idx", IntegerType(), False),
         StructField("query_id", qid_type, False),
     ])
-    qid_df = spark.createDataFrame(
-        [(i, q) for i, q in enumerate(query_ids)], qid_schema
+    qid_df = local_relation(
+        spark, [(i, q) for i, q in enumerate(query_ids)], qid_schema
     )
 
     # per-query nnoc sums (reference/bm25s/__init__.py:614-618) are
@@ -919,7 +922,7 @@ def retrieve_sharded(
             # an empty candidate set flows through the normal merge/pad
             # path (the single-chunk branch reaches the same result via
             # an empty broadcast payload)
-            candidates = spark.createDataFrame([], out_schema)
+            candidates = local_relation(spark, [], out_schema)
         else:
             # a 2-deep thread pool overlaps consecutive chunks (Spark
             # schedules jobs from separate threads concurrently),
@@ -947,7 +950,8 @@ def retrieve_sharded(
                 StructField("query_id", qid_type, False),
                 StructField("nnoc_sum", DoubleType(), False),
             ])
-            nnoc = spark.createDataFrame(
+            nnoc = local_relation(
+                spark,
                 [
                     (q.item() if hasattr(q, "item") else q, s)
                     for q, s in nnoc_sums.items()
@@ -1029,7 +1033,8 @@ def retrieve_sharded(
             StructField("term", StringType(), False),
             StructField("mult", LongType(), False),
         ])
-        qterms = spark.createDataFrame(
+        qterms = local_relation(
+            spark,
             [(q, t, int(m)) for q, t, m in zip(
                 qpdf["query_id"].tolist(), qpdf["term"].tolist(),
                 qpdf["mult"].tolist(),

@@ -28,6 +28,43 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def local_relation(spark, rows, schema) -> DataFrame:
+    """JVM-native local relation from driver-side rows.
+
+    ``spark.createDataFrame(rows, schema)`` over a plain Python row list
+    plans a pickled-RDD scan (``Scan ExistingRDD``): EVERY consuming job
+    re-deserializes the rows through a Python worker — a broadcast build
+    over such a relation measures ~2× the latency of the Arrow path's
+    pure-JVM ``LocalTableScan`` (~0.2 s extra per consumer job in this
+    runtime), and the hot query paths consume their batch-sized local
+    tables (query terms, expansion terms, id maps) from several
+    broadcast builds per plan.  Routing the rows through a pandas frame
+    (Arrow conversion) plants a ``LocalTableScan`` instead — no Python
+    anywhere in the consuming plans (guide §4).
+
+    ``schema`` may be a StructType, a DDL string, or a plain
+    column-name list (type inference, like ``createDataFrame``).  Falls
+    back to the classic path when the Arrow conversion rejects the data
+    (exotic element types).  Caveat: float NaN values round-trip as
+    NULL under Arrow — callers' row data must be NaN-free (all current
+    call sites ship finite aggregates).
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    rows = rows if isinstance(rows, list) else list(rows)
+    try:
+        st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        if isinstance(st, StructType):
+            pdf = pd.DataFrame(rows, columns=st.names)
+            return spark.createDataFrame(pdf, schema=st)
+        # plain column-name list: keep type inference semantics
+        pdf = pd.DataFrame(rows, columns=list(schema))
+        return spark.createDataFrame(pdf)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def eager_checkpoint(df: DataFrame, reliable: bool = True) -> DataFrame:
     """Materialize ``df`` now and TRUNCATE its lineage.
 
