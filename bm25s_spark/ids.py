@@ -71,10 +71,10 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str,
             )
             return spark.createDataFrame(out_pdf, schema=schema)
     src = df
+    src_persisted_here = False
     if df.storageLevel == StorageLevel.NONE:
         src = df.persist(StorageLevel.MEMORY_AND_DISK)
-        if persisted_out is not None:
-            persisted_out.append(src)
+        src_persisted_here = True
     part = (
         src.repartitionByRange(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -88,6 +88,14 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str,
         r["_pid"]: r["n"]
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if src_persisted_here:
+        # the input cache only exists so the range sampler and the
+        # exchange's map stage (two traversals inside the counts job
+        # above) evaluate the source once; from here on every recompute
+        # path reads the exchange's reused map output, never ``src`` —
+        # release the corpus-sized cache now instead of holding it for
+        # the index's lifetime (guide §5: unpersist when done)
+        src.unpersist(blocking=False)
     offsets, acc = [], 0
     for pid in sorted(counts):
         offsets.append((pid, acc))
